@@ -1,0 +1,53 @@
+"""Dictionary codec (E2) — Parquet RLE_DICTIONARY semantics.
+
+Distinct values PLAIN-encoded once (the "dictionary page",
+parquet.thrift:583-589,703-712); the value stream becomes indices encoded
+with the RLE/bit-packed hybrid at ``bit_width(len(dict)-1)`` bits
+(parquet.thrift:616-618). Here the dictionary blob travels in the page
+``data`` section ahead of the index stream (one self-contained page row
+replaces Parquet's separate dictionary page — SURVEY.md §1.2).
+
+Layout: ``[u32 n_dict][u32 dict_blob_len][dict PLAIN blob][rle index stream]``
+Factorization is pyarrow's C++ ``dictionary_encode`` — first-occurrence
+order, deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import plain, rle
+
+
+def _to_arrow(values, tag: str) -> pa.Array:
+    if isinstance(values, pa.Array):
+        return values
+    if tag == "str":
+        return pa.array(values, type=pa.large_string())
+    if tag == "bin":
+        return pa.array(values, type=pa.large_binary())
+    return pa.array(np.ascontiguousarray(values))
+
+
+def encode(values, tag: str) -> tuple[bytes, dict]:
+    arr = _to_arrow(values, tag)
+    dct = arr.dictionary_encode()
+    codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    uniques = dct.dictionary
+    dict_blob, _ = plain.encode(uniques, tag)
+    idx_stream, idx_params = rle.encode(codes)
+    n_dict = len(uniques)
+    head = np.array([n_dict, len(dict_blob)], dtype=np.uint32).tobytes()
+    return head + dict_blob + idx_stream, {"bw": idx_params["bw"]}
+
+
+def decode(data: bytes, params: dict, n: int, tag: str):
+    head = np.frombuffer(data[:8], dtype=np.uint32)
+    n_dict, blob_len = int(head[0]), int(head[1])
+    dict_blob = data[8 : 8 + blob_len]
+    uniques = plain.decode(dict_blob, {}, n_dict, tag)
+    codes = rle.decode(data[8 + blob_len :], {"bw": int(params["bw"])}, n)
+    if isinstance(uniques, pa.Array):
+        return uniques.take(pa.array(codes.astype(np.int64)))
+    return np.asarray(uniques)[codes.astype(np.int64)]

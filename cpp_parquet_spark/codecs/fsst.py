@@ -1,0 +1,268 @@
+"""FSST-style string symbol-table codec (E7).
+
+Inspired by Boncz/Lehner/Neumann, "FSST: Fast Random Access String
+Compression" (VLDB 2020), as mandated by BASELINE.json:6,14 — a per-page
+table of at most 255 multi-byte symbols plus an escape byte; every string
+is rewritten as a sequence of 1-byte symbol codes, with out-of-vocabulary
+bytes emitted as ``ESC(0xFF) + raw byte``.
+
+This is a from-scratch *vectorized* variant, not the paper's algorithm:
+symbols are built by R rounds (default 3) of greedy non-overlapping digram
+merging — round r merges pairs of round-(r-1) symbols, so symbol length
+doubles per round up to 2**R = 8 bytes, matching FSST's 8-byte symbol cap.
+Training and encoding are numpy-only; the single Python loop is over
+rounds (3), never over values or bytes (BASELINE.json:15).
+
+Hot-path representation: the working array ``a`` is uint8 (codes 0..254,
+255 = ESC); each round's merge table is a flat 65536-entry int16 LUT
+indexed by ``(left << 8) | right`` so no bounds masking is needed, and the
+ESC row/column stays -1 by construction. String-boundary breaks are
+enforced with a per-position string-id array (int32).
+
+Page layout (all little-endian)::
+
+    [u16 n_codes][u8 sym_len[n_codes]][flat symbol bytes]
+    [u32 enc_len[n_strings]][encoded stream bytes]
+
+Decoding needs only the code->bytes expansions; greedy-merge history is
+training-side state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+ESC = 255                     # escape code (always reserved)
+MAX_CODES = 255               # codes 0..254 usable as symbols
+ROUNDS = 3                    # symbol length up to 2**ROUNDS = 8 bytes
+ROUND_BUDGET = (160, 64, 31)  # max new symbols per round
+MIN_PAIR_FREQ = 8             # a pair must occur this often in the sample
+MAX_BASE = 240                # more distinct bytes than this -> not texty
+TRAIN_BYTES = 1 << 16         # train on at most 64 KiB of the page
+
+
+class SymbolTable:
+    """code -> byte expansion, plus the per-round merge LUTs for encoding."""
+
+    __slots__ = ("base_lut", "expansions", "round_luts")
+
+    def __init__(self, base_lut, expansions, round_luts):
+        self.base_lut = base_lut          # uint8->code (int16, -1 = OOV)
+        self.expansions = expansions      # list[bytes], index = code
+        self.round_luts = round_luts      # list of int16[65536] pair LUTs
+
+
+def _flatten(values) -> tuple[np.ndarray, np.ndarray]:
+    """pa.Array/sequence of str|bytes -> (flat uint8 bytes, byte_lens int64)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        first = next((v for v in values if v is not None), "")
+        typ = pa.large_binary() if isinstance(first, bytes) else pa.large_string()
+        values = pa.array(values, type=typ)
+    arr = values
+    if not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    lens = np.diff(offsets)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offsets[-1]))[int(offsets[0]):]
+    return data, lens
+
+
+def _pair_keys(a: np.ndarray) -> np.ndarray:
+    """uint16 key (left<<8)|right for each adjacent pair of uint8 codes."""
+    k = a[:-1].astype(np.uint16)
+    k <<= 8
+    k |= a[1:]
+    return k
+
+
+def _sub_pass(a: np.ndarray, sid: np.ndarray, rawb: np.ndarray,
+              lut: np.ndarray):
+    """One greedy non-overlapping pair-substitution pass (all numpy).
+
+    a: uint8 codes; sid: int32 string id per position; rawb: raw byte per
+    position (meaningful only where a == ESC); lut: int16[65536], -1 = no
+    merge (ESC rows/cols are -1 by construction).
+    """
+    n = a.shape[0]
+    if n < 2:
+        return a, sid, rawb
+    z = lut[_pair_keys(a)]
+    valid = z >= 0
+    valid &= sid[:-1] == sid[1:]
+    p = np.flatnonzero(valid).astype(np.int32)
+    if p.size == 0:
+        return a, sid, rawb
+    # greedy left-to-right non-overlap: in each chain of consecutive match
+    # positions, keep even offsets
+    idx = np.arange(p.size, dtype=np.int32)
+    new_chain = np.empty(p.size, dtype=bool)
+    new_chain[0] = True
+    np.greater(np.diff(p), 1, out=new_chain[1:])
+    chain_first = np.maximum.accumulate(np.where(new_chain, idx, 0))
+    sel = p[((idx - chain_first) & 1) == 0]
+    a[sel] = z[sel].astype(np.uint8)
+    alive = np.ones(n, dtype=bool)
+    alive[sel + 1] = False
+    return a[alive], sid[alive], rawb[alive]
+
+
+def _make_sid(lens: np.ndarray) -> np.ndarray:
+    return np.repeat(np.arange(lens.shape[0], dtype=np.int32), lens)
+
+
+def train(values) -> SymbolTable | None:
+    """Build a symbol table from (a sample of) the given strings.
+
+    Deterministic. Returns None when the data is not FSST-friendly
+    (too many distinct bytes, i.e. binary-ish, or nothing merges).
+    """
+    data, lens = _flatten(values)
+    if data.shape[0] == 0:
+        return None
+    if data.shape[0] > TRAIN_BYTES:
+        # deterministic prefix of whole strings totalling ~TRAIN_BYTES
+        cum = np.cumsum(lens)
+        k = min(int(np.searchsorted(cum, TRAIN_BYTES)), lens.shape[0] - 1)
+        data = data[: int(cum[k])]
+        lens = lens[: k + 1]
+    present = np.flatnonzero(np.bincount(data, minlength=256))
+    nbase = present.shape[0]
+    if nbase > MAX_BASE:
+        return None
+    base_lut = np.full(256, -1, dtype=np.int16)
+    base_lut[present] = np.arange(nbase, dtype=np.int16)
+    expansions: list[bytes] = [bytes([b]) for b in present.tolist()]
+
+    a = base_lut[data].astype(np.uint8)   # no OOV possible: base = this data
+    sid = _make_sid(lens)[: a.shape[0]]
+    rawb = data
+    vocab = nbase
+    round_luts: list[np.ndarray] = []
+    for r in range(ROUNDS):
+        budget = min(ROUND_BUDGET[r], MAX_CODES - vocab)
+        if budget <= 0 or a.shape[0] < 2:
+            break
+        keys = _pair_keys(a)
+        keys = keys[sid[:-1] == sid[1:]]
+        if keys.shape[0] == 0:
+            break
+        # during training `a` never holds ESC or out-of-vocab codes, so all
+        # observed pairs are mergeable as-is
+        freq = np.bincount(keys, minlength=65536)
+        order = np.argsort(freq, kind="stable")[::-1][:budget]
+        order = order[freq[order] >= MIN_PAIR_FREQ]
+        if order.shape[0] == 0:
+            break
+        lut = np.full(65536, -1, dtype=np.int16)
+        lut[order] = np.arange(vocab, vocab + order.shape[0], dtype=np.int16)
+        for pair_key in order.tolist():
+            x, y = pair_key >> 8, pair_key & 0xFF
+            expansions.append(expansions[x] + expansions[y])
+        round_luts.append(lut)
+        a, sid, rawb = _sub_pass(a, sid, rawb, lut)
+        vocab += order.shape[0]
+    if not round_luts:
+        return None
+    return SymbolTable(base_lut, expansions, round_luts)
+
+
+def _encode_with_table(values, table: SymbolTable) -> tuple[bytes, np.ndarray]:
+    """Returns (stream bytes, per-string encoded byte lengths)."""
+    data, lens = _flatten(values)
+    n = lens.shape[0]
+    mapped = table.base_lut[data]         # int16; -1 marks OOV
+    a = np.where(mapped < 0, np.int16(ESC), mapped).astype(np.uint8)
+    sid = _make_sid(lens)
+    rawb = data
+    for lut in table.round_luts:
+        a, sid, rawb = _sub_pass(a, sid, rawb, lut)
+    is_esc = a == ESC
+    out_w = is_esc.astype(np.int64)
+    out_w += 1                                  # escape emits 2 bytes
+    offs = np.zeros(a.shape[0] + 1, dtype=np.int64)
+    np.cumsum(out_w, out=offs[1:])
+    out = np.empty(int(offs[-1]), dtype=np.uint8)
+    out[offs[:-1]] = a
+    out[offs[:-1][is_esc] + 1] = rawb[is_esc]
+    enc_lens = np.bincount(sid, weights=out_w, minlength=n).astype(np.uint32)
+    return out.tobytes(), enc_lens
+
+
+def encode(values, table: SymbolTable | None = None) -> tuple[bytes, dict]:
+    if table is None:
+        table = train(values)
+    if table is None:
+        raise ValueError("fsst: data not trainable (caller should fall back)")
+    stream, enc_lens = _encode_with_table(values, table)
+    n_codes = len(table.expansions)
+    sym_lens = np.array([len(s) for s in table.expansions], dtype=np.uint8)
+    flat = b"".join(table.expansions)
+    head = (np.uint16(n_codes).tobytes() + sym_lens.tobytes() + flat
+            + enc_lens.tobytes())
+    return head + stream, {}
+
+
+def decode(data: bytes, params: dict, n: int, tag: str = "str"):
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n_codes = int(raw[:2].view(np.uint16)[0])
+    pos = 2
+    sym_lens = raw[pos : pos + n_codes].astype(np.int64)
+    pos += n_codes
+    flat_len = int(sym_lens.sum())
+    flat = raw[pos : pos + flat_len]
+    pos += flat_len
+    enc_lens = raw[pos : pos + 4 * n].view(np.uint32).astype(np.int64)
+    pos += 4 * n
+    s = raw[pos:]
+    sid = np.repeat(np.arange(n, dtype=np.int32), enc_lens)
+
+    # -- escape resolution: in each maximal chain of consecutive 0xFF bytes
+    # (chains also break at string boundaries), even offsets are escapes and
+    # odd offsets are their raw bytes; a non-0xFF byte immediately after an
+    # escape is that escape's raw byte.
+    is_ff = s == ESC
+    p = np.flatnonzero(is_ff)
+    is_escape = np.zeros(s.shape[0], dtype=bool)
+    if p.size:
+        idx = np.arange(p.size, dtype=np.int64)
+        new_chain = np.empty(p.size, dtype=bool)
+        new_chain[0] = True
+        new_chain[1:] = (np.diff(p) > 1) | (sid[p[1:]] != sid[p[:-1]])
+        chain_first = np.maximum.accumulate(np.where(new_chain, idx, 0))
+        is_escape[p[((idx - chain_first) & 1) == 0]] = True
+    is_raw = np.zeros(s.shape[0], dtype=bool)
+    esc_pos = np.flatnonzero(is_escape)
+    is_raw[esc_pos + 1] = True
+    is_code = ~is_escape & ~is_raw
+
+    # -- expansion lengths and source offsets per emitting position
+    starts_tab = np.zeros(n_codes, dtype=np.int64)
+    np.cumsum(sym_lens[:-1], out=starts_tab[1:])
+    emit = is_code | is_escape
+    codes = s[emit]
+    emit_esc = is_escape[emit]
+    safe = np.minimum(codes, n_codes - 1)
+    L = np.where(emit_esc, 1, sym_lens[safe])
+    # escapes read the byte after them from the stream; codes read the table
+    combined = np.concatenate((flat, s))
+    src = np.where(emit_esc, flat_len + np.flatnonzero(emit) + 1,
+                   starts_tab[safe])
+    tot = int(L.sum())
+    cum = np.zeros(L.shape[0], dtype=np.int64)
+    np.cumsum(L[:-1], out=cum[1:])
+    step = np.arange(tot, dtype=np.int64) - np.repeat(cum, L)
+    out_bytes = combined[np.repeat(src, L) + step]
+
+    dec_lens = np.bincount(sid[emit], weights=L, minlength=n).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dec_lens, out=offsets[1:])
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+    )
+    return arr.cast(pa.large_string()) if tag == "str" else arr

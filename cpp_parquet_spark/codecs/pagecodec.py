@@ -1,0 +1,206 @@
+"""Page framing and codec dispatch.
+
+A *page* is one encoded run of values for one column — the engine's
+equivalent of a Parquet data page (parquet.thrift:671-693,797-836;
+SURVEY.md §1.2 maps pages to rows of the pages table). Layout of the
+``data`` blob::
+
+    [u32 def_len][def-level RLE stream (absent when def_len == 0)]
+    [value stream (codec-specific, holds only the non-null values)]
+
+``params`` is a small JSON dict (codec metadata: bit widths, FOR frame).
+``num_values`` counts rows including nulls (parquet.thrift:673-676).
+
+Type tags: i64 i32 f64 f32 bool str bin ts (timestamp stored as int64
+epoch-microseconds; the tag restores the logical type on decode).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import bitpack, dictionary, fsst, levels, plain, rle
+from . import for_ as forc
+
+INT_TAGS = {"i64", "i32", "ts"}
+FLOAT_TAGS = {"f64", "f32"}
+STR_TAGS = {"str", "bin"}
+
+#: codecs legal per tag (selection never goes outside these)
+LEGAL = {
+    **{t: ("plain", "for", "rle", "dict", "bitpack") for t in INT_TAGS},
+    **{t: ("plain", "dict") for t in FLOAT_TAGS},
+    "bool": ("rle", "plain"),
+    **{t: ("plain", "dict", "fsst") for t in STR_TAGS},
+}
+
+_NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
+             "f32": np.float32}
+
+
+def spark_type_tag(dt) -> str | None:
+    """Spark DataType -> tag, or None when unsupported (caller passes through)."""
+    from pyspark.sql import types as T
+    m = {T.LongType: "i64", T.IntegerType: "i32", T.DoubleType: "f64",
+         T.FloatType: "f32", T.BooleanType: "bool", T.StringType: "str",
+         T.BinaryType: "bin", T.TimestampType: "ts"}
+    return m.get(type(dt))
+
+
+def _series_to_numpy(s: pd.Series, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarray]:
+    """-> (non-null values, valid bool mask over all rows)."""
+    valid = ~s.isna().to_numpy()
+    if tag == "ts":
+        v = s.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
+        return v[valid].view(np.int64), valid
+    if tag in _NP_FIXED:
+        src = s if valid.all() else s.fillna(0)
+        return src.to_numpy(dtype=_NP_FIXED[tag])[valid], valid
+    if tag == "bool":
+        src = s if valid.all() else s.fillna(False)
+        return src.to_numpy(dtype=bool)[valid], valid
+    if tag in STR_TAGS:
+        arr = pa.array(s, type=pa.large_string() if tag == "str" else pa.large_binary())
+        return (arr.drop_null() if not valid.all() else arr), valid
+    raise ValueError(f"unsupported tag {tag}")
+
+
+def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, dict]:
+    if codec == "plain":
+        return plain.encode(vals, tag)
+    if codec == "dict":
+        return dictionary.encode(vals, tag)
+    if codec == "fsst":
+        if tag not in STR_TAGS:
+            raise ValueError("fsst is string-only")
+        return fsst.encode(vals, fsst_table)
+    if tag == "bool":
+        if codec == "rle":
+            data, p = rle.encode(np.asarray(vals, dtype=np.uint64), bit_width=1)
+            return data, p
+        raise ValueError(f"bool: unsupported codec {codec}")
+    if tag in INT_TAGS:
+        v = np.ascontiguousarray(vals, dtype=np.int64)
+        if codec == "for":
+            return forc.encode(v)
+        if codec == "rle":
+            # FOR-framed residuals through the RLE/bit-packed hybrid: runs in
+            # the raw values survive framing, and the frame bounds bit width.
+            lo = int(v.min()) if v.size else 0
+            r = v.astype(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+            data, p = rle.encode(r)
+            return data, {"frame": lo, **p}
+        if codec == "bitpack":
+            if v.size and int(v.min()) < 0:
+                return forc.encode(v)  # bitpack needs unsigned; frame first
+            data, p = bitpack.encode(v.astype(np.uint64))
+            return data, {"frame": 0, **p}
+    raise ValueError(f"unsupported codec {codec} for tag {tag}")
+
+
+def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
+    if codec == "plain":
+        return plain.decode(data, params, k, tag)
+    if codec == "dict":
+        return dictionary.decode(data, params, k, tag)
+    if codec == "fsst":
+        return fsst.decode(data, params, k, tag)
+    if tag == "bool" and codec == "rle":
+        return rle.decode(data, {"bw": 1}, k).astype(bool)
+    if tag in INT_TAGS:
+        if codec == "for":
+            return forc.decode(data, params, k)
+        if codec == "rle":
+            lo = int(params["frame"])
+            r = rle.decode(data, params, k)
+            return (r + np.uint64(lo & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+        if codec == "bitpack":
+            lo = int(params.get("frame", 0))
+            if lo:
+                return forc.decode(data, params, k)
+            return bitpack.decode(data, params, k).view(np.int64)
+    raise ValueError(f"unsupported codec {codec} for tag {tag}")
+
+
+def raw_size(vals, tag: str, n_present: int) -> int:
+    """PLAIN-equivalent byte size (the 'uncoded' baseline for ratios)."""
+    if tag in ("i64", "f64", "ts"):
+        return 8 * n_present
+    if tag in ("i32", "f32"):
+        return 4 * n_present
+    if tag == "bool":
+        return (n_present + 7) // 8
+    if isinstance(vals, pa.Array):
+        ba = vals.cast(pa.large_binary()) if not pa.types.is_large_binary(vals.type) else vals
+        return int(pa.compute.sum(pa.compute.binary_length(ba)).as_py() or 0) + 4 * n_present
+    return sum(len(x) for x in vals) + 4 * n_present
+
+
+def encode_page(s: pd.Series, tag: str, codec: str, fsst_table=None) -> dict:
+    """Encode one page; returns the pages-table row fields (sans ids)."""
+    n = len(s)
+    vals, valid = _series_to_numpy(s, tag)
+    null_count = int(n - valid.sum())
+    def_stream = levels.encode_validity(valid) if null_count else b""
+    k = n - null_count
+    if k == 0:
+        body, params = b"", {}
+        codec = "plain"
+    else:
+        body, params = _encode_values(vals, tag, codec, fsst_table)
+    data = np.uint32(len(def_stream)).tobytes() + def_stream + body
+    return {
+        "codec": codec,
+        "type": tag,
+        "params": json.dumps(params, separators=(",", ":")),
+        "data": data,
+        "num_values": n,
+        "null_count": null_count,
+        "raw_bytes": raw_size(vals, tag, k),
+        "enc_bytes": len(data),
+    }
+
+
+def decode_page(data: bytes, params_json: str, codec: str, tag: str,
+                num_values: int, null_count: int) -> pa.Array:
+    """Decode one page back to an Arrow array (nulls restored)."""
+    def_len = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    body = data[4 + def_len :]
+    n = num_values
+    k = n - null_count
+    if null_count:
+        valid = levels.decode_validity(data[4 : 4 + def_len], n)
+    else:
+        valid = np.ones(n, dtype=bool)
+    vals = _decode_values(body, json.loads(params_json), codec, tag, k) \
+        if k else None
+
+    arrow_type = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
+                  "f32": pa.float32(), "bool": pa.bool_(),
+                  "str": pa.large_string(), "bin": pa.large_binary(),
+                  "ts": pa.timestamp("us")}[tag]
+    if k == 0:
+        return pa.nulls(n, arrow_type)
+    if tag in STR_TAGS:
+        arr = vals
+        if null_count:
+            idx = np.cumsum(valid, dtype=np.int64) - 1
+            take = pa.array(idx, mask=~valid)
+            arr = arr.take(take)
+        return arr.cast(arrow_type) if arr.type != arrow_type else arr
+    v = np.asarray(vals)
+    if tag == "i32":
+        v = v.astype(np.int32)
+    elif tag == "f32":
+        v = v.astype(np.float32)
+    elif tag == "ts":
+        v = v.view(np.int64)
+    if null_count:
+        full = np.zeros(n, dtype=v.dtype)
+        full[valid] = v
+        return pa.array(full, type=arrow_type, mask=~valid)
+    return pa.array(v, type=arrow_type)

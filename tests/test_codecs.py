@@ -1,0 +1,112 @@
+"""PLAIN (E1), dictionary (E2), FOR (E6), bit-pack (E4) roundtrips and
+edge cases (overflow guards, empty/unicode strings, dict-vs-plain sizes)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cpp_parquet_spark.codecs import bitpack, dictionary, plain
+from cpp_parquet_spark.codecs import for_ as forc
+
+
+def test_plain_fixed_roundtrip():
+    rng = np.random.default_rng(1)
+    for tag, dt in [("i64", np.int64), ("i32", np.int32),
+                    ("f64", np.float64), ("f32", np.float32)]:
+        v = rng.standard_normal(1000).astype(dt) if "f" in tag else \
+            rng.integers(-2**31, 2**31, 1000).astype(dt)
+        data, p = plain.encode(v, tag)
+        got = plain.decode(data, p, 1000, tag)
+        assert np.array_equal(got, v)
+
+
+def test_plain_bool_roundtrip():
+    v = np.array([True, False, True, True, False] * 41)  # 205 values
+    data, _ = plain.encode(v, "bool")
+    assert len(data) == (205 + 7) // 8
+    assert np.array_equal(plain.decode(data, {}, 205, "bool"), v)
+
+
+@pytest.mark.parametrize("vals", [
+    ["hello", "world", "", "a", "x" * 10000, "héllo wörld — ünïcode ≠ ascii",
+     "\x00\x01 binary-ish \xff", "tab\tnewline\n"],
+    [""] * 50,
+    ["dup"] * 100 + ["other"] * 3,
+])
+def test_plain_strings_roundtrip(vals):
+    data, p = plain.encode(vals, "str")
+    got = plain.decode(data, p, len(vals), "str")
+    assert got.to_pylist() == vals
+
+
+def test_plain_string_size_matches_parquet_plain():
+    """[u32 len][bytes] per value — same total as Parquet PLAIN BYTE_ARRAY
+    (parquet.thrift:566-576), just de-interleaved."""
+    vals = ["abc", "de", ""]
+    data, _ = plain.encode(vals, "str")
+    assert len(data) == 4 * 3 + 5
+
+
+def test_for_roundtrip_and_size():
+    v = np.arange(1000, 2000, dtype=np.int64)
+    data, p = forc.encode(v)
+    assert p["frame"] == 1000 and p["bw"] == 10
+    assert len(data) == (1000 * 10 + 7) // 8
+    assert np.array_equal(forc.decode(data, p, 1000), v)
+
+
+def test_for_int64_extremes():
+    v = np.array([np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max], dtype=np.int64)
+    data, p = forc.encode(v)
+    assert p["bw"] == 64
+    assert np.array_equal(forc.decode(data, p, 3), v)
+
+
+def test_for_negative_values():
+    v = np.array([-500, -499, -1, -500, -250], dtype=np.int64)
+    data, p = forc.encode(v)
+    assert p["frame"] == -500
+    assert np.array_equal(forc.decode(data, p, 5), v)
+
+
+def test_for_constant_column():
+    v = np.full(10000, 42, dtype=np.int64)
+    data, p = forc.encode(v)
+    assert p["bw"] == 0 and data == b""
+    assert np.array_equal(forc.decode(data, p, 10000), v)
+
+
+def test_bitpack_codec():
+    v = np.array([0, 1, 2, 3, 7, 6, 5], dtype=np.uint64)
+    data, p = bitpack.encode(v)
+    assert p["bw"] == 3
+    assert np.array_equal(bitpack.decode(data, p, 7), v)
+
+
+@pytest.mark.parametrize("tag,vals", [
+    ("str", ["en", "fr", "en", "en", "zh", "fr"] * 100),
+    ("str", ["only"]),
+    ("i64", np.array([7, 7, 7, 9, 7] * 50, dtype=np.int64)),
+    ("f64", np.array([1.5, 2.5, 1.5, np.inf, -0.0] * 20)),
+])
+def test_dict_roundtrip(tag, vals):
+    data, p = dictionary.encode(vals, tag)
+    got = dictionary.decode(data, p, len(vals), tag)
+    if tag == "str":
+        assert got.to_pylist() == list(vals)
+    else:
+        assert np.array_equal(np.asarray(got), np.asarray(vals))
+
+
+def test_dict_beats_plain_on_low_cardinality():
+    vals = ["GET", "POST", "GET", "GET"] * 2500
+    d, _ = dictionary.encode(vals, "str")
+    pl, _ = plain.encode(vals, "str")
+    assert len(d) < len(pl) / 10
+
+
+def test_dict_indices_are_rle_compressed():
+    """Runs of the same value should collapse via the hybrid encoding."""
+    vals = ["a"] * 10000 + ["b"] * 10000
+    d, _ = dictionary.encode(vals, "str")
+    assert len(d) < 50  # two dict entries + two repeated runs

@@ -1,0 +1,90 @@
+"""Page framing (S2/E5): every (tag, codec) combination round-trips,
+including null masks via definition-level runs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cpp_parquet_spark.codecs import pagecodec as pc
+
+
+def roundtrip(s: pd.Series, tag: str, codec: str):
+    row = pc.encode_page(s, tag, codec)
+    arr = pc.decode_page(row["data"], row["params"], row["codec"], row["type"],
+                         row["num_values"], row["null_count"])
+    return row, arr
+
+
+RNG = np.random.default_rng(42)
+
+CASES = [
+    ("i64", "plain", pd.Series(RNG.integers(-1000, 1000, 500))),
+    ("i64", "for", pd.Series(RNG.integers(10**9, 10**9 + 5000, 500))),
+    ("i64", "rle", pd.Series(np.repeat(RNG.integers(0, 5, 20), 25))),
+    ("i64", "bitpack", pd.Series(RNG.integers(0, 100, 500))),
+    ("i64", "dict", pd.Series(RNG.choice([7, 11, 13], 500))),
+    ("i32", "for", pd.Series(RNG.integers(-50, 50, 500).astype(np.int32))),
+    ("f64", "plain", pd.Series(RNG.standard_normal(500))),
+    ("f64", "dict", pd.Series(RNG.choice([1.5, 2.5, -3.25], 500))),
+    ("f32", "plain", pd.Series(RNG.standard_normal(500).astype(np.float32))),
+    ("bool", "rle", pd.Series(RNG.random(500) < 0.3)),
+    ("bool", "plain", pd.Series(RNG.random(500) < 0.5)),
+    ("str", "plain", pd.Series([f"value-{i % 37}" for i in range(500)])),
+    ("str", "dict", pd.Series([f"lang-{i % 5}" for i in range(500)])),
+    ("str", "fsst", pd.Series(["def foo(): return bar + baz  # comment"] * 300
+                              + [f"import module_{i}\n" * 3 for i in range(200)])),
+    ("ts", "plain", pd.Series(pd.date_range("2024-01-01", periods=500, freq="h"))),
+    ("ts", "for", pd.Series(pd.date_range("2024-01-01", periods=500, freq="s"))),
+    ("ts", "dict", pd.Series(pd.to_datetime(["2024-01-01", "2024-06-01"]).repeat(250))),
+]
+
+
+@pytest.mark.parametrize("tag,codec,s", CASES, ids=[f"{t}-{c}" for t, c, _ in CASES])
+def test_page_roundtrip(tag, codec, s):
+    s = s.reset_index(drop=True)
+    row, arr = roundtrip(s, tag, codec)
+    assert row["num_values"] == len(s)
+    assert row["null_count"] == 0
+    expect = pa.Array.from_pandas(s)
+    if tag == "ts":
+        expect = expect.cast(pa.timestamp("us"))
+    elif tag == "str":
+        expect = expect.cast(pa.large_string())
+    got = arr.cast(expect.type)
+    assert got.equals(expect), f"{tag}/{codec} mismatch"
+
+
+@pytest.mark.parametrize("tag,codec,s", [
+    ("i64", "for", pd.Series([1, None, 3, None, 5], dtype="Int64")),
+    ("i64", "plain", pd.Series([None] * 5, dtype="Int64")),
+    ("f64", "plain", pd.Series([1.5, None, 2.5, None, None])),
+    ("str", "dict", pd.Series(["a", None, "b", "a", None])),
+    ("str", "fsst", pd.Series((["def f(): pass", None, "def g(): pass"] * 20))),
+    ("str", "plain", pd.Series([None, "x", None, "", "yy"])),
+], ids=["for-nulls", "all-null", "f64-nulls", "dict-nulls", "fsst-nulls", "plain-str-nulls"])
+def test_page_roundtrip_with_nulls(tag, codec, s):
+    s = s.reset_index(drop=True)
+    row, arr = roundtrip(s, tag, codec)
+    assert row["null_count"] == int(s.isna().sum())
+    expect = pa.Array.from_pandas(s)
+    if tag == "str":
+        expect = expect.cast(pa.large_string())
+    got = arr.cast(expect.type)
+    assert got.equals(expect)
+
+
+def test_def_levels_alternating_nulls():
+    """Worst-case literal def-levels (FIXTURES.md B3 nullable_s)."""
+    s = pd.Series([None if i % 2 else f"v{i}" for i in range(1000)])
+    row, arr = roundtrip(s, "str", "dict")
+    assert row["null_count"] == 500
+    assert arr.null_count == 500
+    assert arr.to_pylist() == s.where(s.notna(), None).tolist()
+
+
+def test_raw_bytes_accounting():
+    s = pd.Series(["abcd", "ef", ""])
+    row = pc.encode_page(s, "str", "plain")
+    assert row["raw_bytes"] == 6 + 12  # payload + 4B lengths
+    assert row["enc_bytes"] == len(row["data"])
