@@ -26,7 +26,7 @@ import pyarrow as pa
 from . import bitpack, dictionary, fsst, levels, plain, rle
 from . import for_ as forc
 
-INT_TAGS = {"i64", "i32", "ts"}
+INT_TAGS = {"i64", "i32", "ts", "tsn"}
 FLOAT_TAGS = {"f64", "f32"}
 STR_TAGS = {"str", "bin"}
 
@@ -41,31 +41,64 @@ LEGAL = {
 _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
              "f32": np.float32}
 
+ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
+              "f32": pa.float32(), "bool": pa.bool_(),
+              "str": pa.large_string(), "bin": pa.large_binary(),
+              "ts": pa.timestamp("us"), "tsn": pa.timestamp("us")}
+
 
 def spark_type_tag(dt) -> str | None:
     """Spark DataType -> tag, or None when unsupported (caller passes through)."""
     from pyspark.sql import types as T
     m = {T.LongType: "i64", T.IntegerType: "i32", T.DoubleType: "f64",
          T.FloatType: "f32", T.BooleanType: "bool", T.StringType: "str",
-         T.BinaryType: "bin", T.TimestampType: "ts"}
+         T.BinaryType: "bin", T.TimestampType: "ts",
+         T.TimestampNTZType: "tsn"}
     return m.get(type(dt))
 
 
-def _series_to_numpy(s: pd.Series, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarray]:
-    """-> (non-null values, valid bool mask over all rows)."""
-    valid = ~s.isna().to_numpy()
-    if tag == "ts":
-        v = s.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
-        return v[valid].view(np.int64), valid
+def spark_type_for(tag: str):
+    from pyspark.sql import types as T
+    return {"i64": T.LongType(), "i32": T.IntegerType(), "f64": T.DoubleType(),
+            "f32": T.FloatType(), "bool": T.BooleanType(),
+            "str": T.StringType(), "bin": T.BinaryType(),
+            "ts": T.TimestampType(), "tsn": T.TimestampNTZType()}[tag]
+
+
+def to_arrow(values, tag: str) -> pa.Array:
+    """Normalize any input (pa.Array/ChunkedArray/pd.Series/list) to the
+    canonical Arrow representation for a tag."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pd.Series):
+        values = pa.Array.from_pandas(values)
+    elif not isinstance(values, pa.Array):
+        values = pa.array(values)
+    want = ARROW_TYPE[tag]
+    if tag in ("ts", "tsn") and pa.types.is_timestamp(values.type):
+        values = values.cast(pa.timestamp("us", tz=values.type.tz))
+        if values.type.tz is not None:
+            values = values.cast(pa.timestamp("us"))
+        return values
+    return values if values.type == want else values.cast(want)
+
+
+def _arr_split(arr: pa.Array, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarray]:
+    """-> (non-null values as numpy/arrow, valid bool mask over all rows)."""
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        work = arr.drop_null()
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+        work = arr
+    if tag in ("ts", "tsn"):
+        return work.cast(pa.int64()).to_numpy(zero_copy_only=False), valid
     if tag in _NP_FIXED:
-        src = s if valid.all() else s.fillna(0)
-        return src.to_numpy(dtype=_NP_FIXED[tag])[valid], valid
+        return work.to_numpy(zero_copy_only=False), valid
     if tag == "bool":
-        src = s if valid.all() else s.fillna(False)
-        return src.to_numpy(dtype=bool)[valid], valid
+        return work.to_numpy(zero_copy_only=False), valid
     if tag in STR_TAGS:
-        arr = pa.array(s, type=pa.large_string() if tag == "str" else pa.large_binary())
-        return (arr.drop_null() if not valid.all() else arr), valid
+        return work, valid
     raise ValueError(f"unsupported tag {tag}")
 
 
@@ -128,7 +161,7 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
 
 def raw_size(vals, tag: str, n_present: int) -> int:
     """PLAIN-equivalent byte size (the 'uncoded' baseline for ratios)."""
-    if tag in ("i64", "f64", "ts"):
+    if tag in ("i64", "f64", "ts", "tsn"):
         return 8 * n_present
     if tag in ("i32", "f32"):
         return 4 * n_present
@@ -140,10 +173,15 @@ def raw_size(vals, tag: str, n_present: int) -> int:
     return sum(len(x) for x in vals) + 4 * n_present
 
 
-def encode_page(s: pd.Series, tag: str, codec: str, fsst_table=None) -> dict:
-    """Encode one page; returns the pages-table row fields (sans ids)."""
-    n = len(s)
-    vals, valid = _series_to_numpy(s, tag)
+def encode_page(values, tag: str, codec: str, fsst_table=None) -> dict:
+    """Encode one page; returns the pages-table row fields (sans ids).
+
+    ``values`` may be a pa.Array (canonical, zero-copy path), pd.Series,
+    or a plain sequence.
+    """
+    arr = to_arrow(values, tag)
+    n = len(arr)
+    vals, valid = _arr_split(arr, tag)
     null_count = int(n - valid.sum())
     def_stream = levels.encode_validity(valid) if null_count else b""
     k = n - null_count
@@ -179,10 +217,7 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
     vals = _decode_values(body, json.loads(params_json), codec, tag, k) \
         if k else None
 
-    arrow_type = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
-                  "f32": pa.float32(), "bool": pa.bool_(),
-                  "str": pa.large_string(), "bin": pa.large_binary(),
-                  "ts": pa.timestamp("us")}[tag]
+    arrow_type = ARROW_TYPE[tag]
     if k == 0:
         return pa.nulls(n, arrow_type)
     if tag in STR_TAGS:
@@ -197,7 +232,7 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
         v = v.astype(np.int32)
     elif tag == "f32":
         v = v.astype(np.float32)
-    elif tag == "ts":
+    elif tag in ("ts", "tsn"):
         v = v.view(np.int64)
     if null_count:
         full = np.zeros(n, dtype=v.dtype)

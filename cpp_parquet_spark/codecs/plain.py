@@ -17,7 +17,7 @@ import pyarrow as pa
 # --- fixed-width numerics ----------------------------------------------------
 
 _FIXED = {"i64": "<i8", "i32": "<i4", "f64": "<f8", "f32": "<f4", "u64": "<u8",
-          "ts": "<i8"}
+          "ts": "<i8", "tsn": "<i8"}
 
 
 def encode_fixed(values: np.ndarray, tag: str) -> bytes:

@@ -1,0 +1,325 @@
+"""The encode/decode/verify pipelines (SURVEY.md §3.2-3.3).
+
+Lifecycle of ``encode_table``::
+
+    scan -> with_part_id (deterministic salted hash)  [narrow]
+         -> repartition(num_parts, __part_id) + sortWithinPartitions  [the
+            ONE wide exchange of the encode pass]
+         -> mapInArrow(encode kernel)   [JVM->Python Arrow boundary; numpy
+            kernels; per-page codec auto-selection]
+         -> pages DataFrame (one row per encoded page)
+
+``decode_table`` reverses it with a single groupBy(part_id).applyInArrow.
+``run_encode`` adds the durable layer: pages parquet + per-partition
+manifest with run/attempt lineage; reruns anti-join the manifest and only
+encode missing parts (checkpoint resume, BASELINE.json:14). Orphan pages
+from a crashed run are ignored by readers because decode joins pages
+against the committed manifest on (part_id, run_id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .codecs import pagecodec
+from .partitioning import EncodeConfig, cluster_by_part, with_part_id
+from .select import choose_codec_arrow
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("table", T.StringType()),
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("column", T.StringType()),
+    T.StructField("col_idx", T.IntegerType()),
+    T.StructField("page_id", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("params", T.StringType()),
+    T.StructField("data", T.BinaryType()),
+    T.StructField("num_values", T.LongType()),
+    T.StructField("null_count", T.LongType()),
+    T.StructField("raw_bytes", T.LongType()),
+    T.StructField("enc_bytes", T.LongType()),
+])
+
+_PAGES_ARROW = pa.schema([
+    ("table", pa.string()), ("part_id", pa.int32()), ("column", pa.string()),
+    ("col_idx", pa.int32()), ("page_id", pa.int32()), ("codec", pa.string()),
+    ("type", pa.string()), ("params", pa.string()), ("data", pa.binary()),
+    ("num_values", pa.int64()), ("null_count", pa.int64()),
+    ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+])
+
+META_COL = "__part_meta__"
+
+
+def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[int]:
+    """Cut offsets (ascending, ending at len) so each page ~page_bytes."""
+    n = len(arr)
+    if n == 0:
+        return []
+    if tag in ("str", "bin"):
+        off = np.zeros(1, dtype=np.int64)
+        a = arr.cast(pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
+        buf_off = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1,
+                                offset=a.offset * 8)
+        cum = buf_off - buf_off[0]
+        targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
+        cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
+    else:
+        w = 8 if tag in ("i64", "f64", "ts", "tsn") else (4 if tag in ("i32", "f32") else 1)
+        rows = min(rows_max, max(1024, page_bytes // w))
+        cuts = np.arange(rows, n + rows, rows).clip(None, n)
+    cuts = np.unique(np.concatenate((cuts, [n])))
+    # enforce rows_max
+    return [int(c) for c in cuts]
+
+
+def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig):
+    """Returns a mapInArrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch]."""
+    overrides = dict(cfg.codec_overrides)
+    page_bytes, rows_max = cfg.page_bytes, cfg.page_rows_max
+    table_name = cfg.table_name
+
+    def kernel(batches):
+        counters: dict[tuple[int, str], int] = {}
+        part_rows: dict[int, int] = {}
+        part_t0: dict[int, float] = {}
+        out_rows: list[dict] = []
+
+        def flush():
+            nonlocal out_rows
+            if not out_rows:
+                return None
+            cols_out = {k: [r[k] for r in out_rows] for k in _PAGES_ARROW.names}
+            batch = pa.RecordBatch.from_pydict(cols_out, schema=_PAGES_ARROW)
+            out_rows = []
+            return batch
+
+        for batch in batches:
+            pids = batch.column("__part_id").to_numpy(zero_copy_only=False)
+            if pids.shape[0] == 0:
+                continue
+            bounds = np.flatnonzero(np.diff(pids)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [pids.shape[0]]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                part = int(pids[s])
+                part_t0.setdefault(part, time.monotonic())
+                part_rows[part] = part_rows.get(part, 0) + (e - s)
+                for ci, (col, tag) in enumerate(zip(cols, tags)):
+                    arr = batch.column(col).slice(s, e - s)
+                    arr = pagecodec.to_arrow(arr, tag)
+                    prev = 0
+                    for cut in _page_cuts(arr, tag, page_bytes, rows_max):
+                        piece = arr.slice(prev, cut - prev)
+                        prev = cut
+                        codec = overrides.get(col)
+                        ftab = None
+                        if codec is None:
+                            codec, ftab = choose_codec_arrow(piece, tag)
+                        row = pagecodec.encode_page(piece, tag, codec, ftab)
+                        pid = counters.get((part, col), 0)
+                        counters[(part, col)] = pid + 1
+                        row.update(table=table_name, part_id=part, column=col,
+                                   col_idx=ci, page_id=pid)
+                        out_rows.append(row)
+            b = flush()
+            if b is not None:
+                yield b
+        # one meta row per part seen by this task: wall time + row count
+        for part, nrows in part_rows.items():
+            wall = time.monotonic() - part_t0[part]
+            out_rows.append({
+                "table": table_name, "part_id": part, "column": META_COL,
+                "col_idx": -1, "page_id": 0, "codec": "__meta__",
+                "type": "meta",
+                "params": json.dumps({"wall_s": round(wall, 4)}),
+                "data": b"", "num_values": nrows, "null_count": 0,
+                "raw_bytes": 0, "enc_bytes": 0,
+            })
+        b = flush()
+        if b is not None:
+            yield b
+
+    return kernel
+
+
+def encodable_columns(df: DataFrame) -> tuple[list[str], list[str]]:
+    cols, tags = [], []
+    for f in df.schema.fields:
+        tag = pagecodec.spark_type_tag(f.dataType)
+        if tag is not None:
+            cols.append(f.name)
+            tags.append(tag)
+    return cols, tags
+
+
+def encode_table(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
+    """DataFrame -> pages DataFrame (pure transformation, no writes)."""
+    cols, tags = encodable_columns(df)
+    if not cols:
+        raise ValueError("no encodable columns")
+    prepared = cluster_by_part(with_part_id(df.select(*cols), cfg), cfg)
+    kernel = make_encode_kernel(cols, tags, cfg)
+    return prepared.mapInArrow(kernel, PAGES_SCHEMA)
+
+
+def decode_table(pages: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """pages DataFrame -> original rows (grouped per-part reassembly)."""
+    meta = (pages.filter(F.col("col_idx") >= 0)
+                 .select("column", "col_idx", "type")
+                 .distinct().orderBy("col_idx").collect())
+    cols = [r["column"] for r in meta]
+    tags = [r["type"] for r in meta]
+    out_fields = [T.StructField(c, pagecodec.spark_type_for(t)) for c, t in zip(cols, tags)]
+    out_schema = T.StructType(out_fields)
+    # Spark's Arrow bridge wants 32-bit-offset string/binary, not large_*
+    spark_arrow = dict(pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
+                       ts=pa.timestamp("us", tz="UTC"))
+    out_arrow = pa.schema([(c, spark_arrow[t]) for c, t in zip(cols, tags)])
+
+    def decode_part(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("col_idx", "ascending"), ("page_id", "ascending")])
+        colnames = tbl.column("column").to_pylist()
+        params = tbl.column("params").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        types_ = tbl.column("type").to_pylist()
+        datas = tbl.column("data").to_pylist()
+        nvals = tbl.column("num_values").to_pylist()
+        nnull = tbl.column("null_count").to_pylist()
+        arrays = {}
+        for i in range(len(colnames)):
+            if colnames[i] == META_COL:
+                continue
+            arr = pagecodec.decode_page(datas[i], params[i], codecs[i],
+                                        types_[i], int(nvals[i]), int(nnull[i]))
+            arrays.setdefault(colnames[i], []).append(arr)
+        out = []
+        for c, t in zip(cols, tags):
+            chunks = arrays.get(c, [])
+            want = pagecodec.ARROW_TYPE[t]
+            if not chunks:
+                out.append(pa.nulls(0, want))
+                continue
+            merged = pa.chunked_array(chunks).combine_chunks()
+            out.append(merged.cast(want) if merged.type != want else merged)
+        return pa.table(out, schema=out_arrow)
+
+    grouped = pages.groupBy("part_id")
+    if hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(lambda t: decode_part(t), out_schema)
+
+    def decode_part_pandas(pdf):
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        return decode_part(tbl).to_pandas()
+
+    return grouped.applyInPandas(decode_part_pandas, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# durable layer: pages + manifest on disk, resumable
+# ---------------------------------------------------------------------------
+
+def manifest_from_pages(pages_meta: DataFrame, run_id: str,
+                        cfg: EncodeConfig) -> DataFrame:
+    data_pages = pages_meta.filter(F.col("col_idx") >= 0)
+    meta_rows = (pages_meta.filter(F.col("column") == META_COL)
+                 .groupBy("table", "part_id")
+                 .agg(F.sum("num_values").alias("num_rows"),
+                      F.sum(F.get_json_object("params", "$.wall_s")
+                             .cast("double")).alias("encode_wall_s")))
+    agg = (data_pages.groupBy("table", "part_id")
+           .agg(F.count("*").alias("num_pages"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.array_sort(F.collect_set("codec")).alias("codecs"),
+                F.array_sort(F.collect_set("column")).alias("columns")))
+    return (agg.join(meta_rows, ["table", "part_id"], "left")
+               .withColumn("run_id", F.lit(run_id))
+               .withColumn("num_parts", F.lit(cfg.num_parts))
+               .withColumn("committed_at", F.current_timestamp()))
+
+
+def run_encode(spark: SparkSession, df: DataFrame, dst: str,
+               cfg: EncodeConfig, run_id: str | None = None) -> dict:
+    """Durable, resumable encode. Returns summary stats (driver-side)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pages_dir = os.path.join(dst, "pages")
+    manifest_dir = os.path.join(dst, "manifest")
+    done = None
+    if _exists(spark, manifest_dir):
+        done = spark.read.parquet(manifest_dir).select("part_id").distinct()
+    src = with_part_id(df.select(*encodable_columns(df)[0]), cfg)
+    if done is not None:
+        src = src.join(F.broadcast(done),
+                       src["__part_id"] == done["part_id"], "left_anti")
+    cols, tags = encodable_columns(df)
+    prepared = cluster_by_part(src, cfg)
+    pages = prepared.mapInArrow(make_encode_kernel(cols, tags, cfg), PAGES_SCHEMA)
+    pages = pages.withColumn("run_id", F.lit(run_id))
+    pages.write.mode("append").parquet(pages_dir)
+    # manifest from the just-committed pages (column pruning: the heavy
+    # `data` column is never read here)
+    written = (spark.read.parquet(pages_dir)
+               .filter(F.col("run_id") == run_id).drop("data", "run_id"))
+    manifest = manifest_from_pages(written, run_id, cfg)
+    manifest.write.mode("append").parquet(manifest_dir)
+    mrows = spark.read.parquet(manifest_dir)
+    summary = (mrows.agg(F.count("*").alias("parts"),
+                         F.sum("num_rows").alias("rows"),
+                         F.sum("raw_bytes").alias("raw_bytes"),
+                         F.sum("enc_bytes").alias("enc_bytes")).collect()[0])
+    return {"run_id": run_id, "parts": summary["parts"],
+            "rows": summary["rows"], "raw_bytes": summary["raw_bytes"],
+            "enc_bytes": summary["enc_bytes"]}
+
+
+def read_committed_pages(spark: SparkSession, dst: str) -> DataFrame:
+    """Pages joined against the manifest — orphans from crashed runs drop out."""
+    pages = spark.read.parquet(os.path.join(dst, "pages"))
+    manifest = spark.read.parquet(os.path.join(dst, "manifest"))
+    committed = manifest.select("part_id", "run_id")
+    return pages.join(F.broadcast(committed), ["part_id", "run_id"], "left_semi")
+
+
+def decode_dataset(spark: SparkSession, dst: str) -> DataFrame:
+    return decode_table(read_committed_pages(spark, dst), spark)
+
+
+def verify_roundtrip(orig: DataFrame, decoded: DataFrame, col: str) -> dict:
+    """Multiset sha256 comparison on one column (BASELINE.json:15 invariant).
+
+    Equal (hash, count) sets <=> the decoded multiset of values is
+    bit-identical to the source's."""
+    def hist(d: DataFrame) -> DataFrame:
+        dt = d.schema[col].dataType
+        c = F.col(col)
+        if not isinstance(dt, (T.StringType, T.BinaryType)):
+            c = c.cast("string")  # canonical text form for non-binary types
+        # NULL hashes need a sentinel: SQL joins never match NULL keys
+        h = F.coalesce(F.sha2(c.cast("binary"), 256), F.lit("<NULL>"))
+        return d.select(h.alias("h")).groupBy("h").agg(F.count("*").alias("c"))
+    a, b = hist(orig), hist(decoded)
+    joined = a.alias("a").join(b.alias("b"), "h", "full_outer")
+    bad = joined.filter(
+        F.coalesce(F.col("a.c"), F.lit(-1)) != F.coalesce(F.col("b.c"), F.lit(-2))
+    ).count()
+    total = orig.count()
+    return {"rows": total, "mismatched_hashes": bad,
+            "sha256_match_rate": 1.0 if bad == 0 else
+            max(0.0, 1.0 - bad / max(total, 1))}
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)

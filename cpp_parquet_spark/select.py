@@ -1,0 +1,161 @@
+"""Codec auto-selection (E8).
+
+The reference world's only "selection" is parquet-cpp's dict-first with
+size-threshold fallback to PLAIN (parquet/properties.h:137-139,305-306;
+SURVEY.md §2.1 E8). The north rule mandates a real sampling-based selector
+(BASELINE.json:6): per column chunk, pick dict vs RLE vs FSST vs bit-pack
+vs FOR vs PLAIN from column statistics — cardinality, run-length, byte
+frequency.
+
+Two layers:
+
+* :func:`choose_codec` — deterministic pure function: page-level stats ->
+  codec name, by comparing *estimated encoded sizes* (ints/floats/bools)
+  or *measured sample encodings* (strings — dict/FSST/plain encoded on a
+  deterministic <=16 KiB sample and the smallest wins).
+* The cluster-level sampling pass lives in
+  :mod:`cpp_parquet_spark.stats` (Spark DataFrame aggregation over a
+  seeded sample; its thresholds mirror this module so plan-level and
+  page-level decisions agree).
+
+Determinism matters: resume must re-pick identical codecs for identical
+input (SURVEY.md §7 M5 hard part #3) — no RNG, stride-based sampling only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import dictionary, fsst, plain
+from .codecs.bitpack import bit_width_for
+from .codecs.pagecodec import INT_TAGS, STR_TAGS
+
+SAMPLE_VALUES = 512          # stride-sampled values for string estimation
+SAMPLE_BYTES = 1 << 14       # cap the string sample at 16 KiB
+DICT_MAX_CARD = 1 << 16      # beyond this a dictionary stops paying off
+
+
+def _stride_sample(n: int, k: int) -> np.ndarray:
+    """Deterministic evenly-spaced index sample (no RNG)."""
+    if n <= k:
+        return np.arange(n)
+    return np.linspace(0, n - 1, k).astype(np.int64)
+
+
+def _int_stats(v: np.ndarray) -> dict:
+    n = v.shape[0]
+    runs = int((v[1:] != v[:-1]).sum()) + 1 if n else 1
+    idx = _stride_sample(n, 1024)
+    sample = v[idx]
+    ndist_s = len(np.unique(sample))
+    lo, hi = (int(v.min()), int(v.max())) if n else (0, 0)
+    return {"n": n, "lo": lo, "hi": hi, "mean_run": n / runs,
+            "ndistinct_est": ndist_s * max(1, n // max(1, idx.shape[0]))
+                             if ndist_s == idx.shape[0] else ndist_s}
+
+
+def choose_int_codec(v: np.ndarray) -> str:
+    """Pick by estimated encoded size; deterministic tiebreak order."""
+    st = _int_stats(v)
+    n = st["n"]
+    if n == 0:
+        return "plain"
+    span = (st["hi"] - st["lo"]) & 0xFFFFFFFFFFFFFFFF
+    bw = bit_width_for(span)
+    vb = (bw + 7) // 8
+    est = {"plain": 8 * n, "for": (n * bw) // 8 + 16}
+    if st["mean_run"] >= 4:
+        # repeated runs dominate: headers + byte-padded values per run
+        est["rle"] = int(n / st["mean_run"]) * (2 + max(vb, 1)) + 16
+    nd = st["ndistinct_est"]
+    if nd <= DICT_MAX_CARD and nd < n // 2:
+        cw = bit_width_for(max(nd - 1, 1))
+        est["dict"] = nd * 8 + (n * cw) // 8 + 24
+    if st["lo"] >= 0:
+        est["bitpack"] = (n * bit_width_for(st["hi"])) // 8 + 8
+    order = ("rle", "dict", "for", "bitpack", "plain")
+    return min(order, key=lambda c: est.get(c, float("inf")))
+
+
+def choose_float_codec(v: np.ndarray) -> str:
+    n = v.shape[0]
+    if n == 0:
+        return "plain"
+    idx = _stride_sample(n, 1024)
+    nd = len(np.unique(v[idx]))
+    return "dict" if nd <= max(16, idx.shape[0] // 10) else "plain"
+
+
+def choose_string_codec(arr: pa.Array) -> tuple[str, object]:
+    """Returns (codec, trained fsst table or None).
+
+    Encodes a deterministic sample with each candidate and picks the
+    smallest — the selection signal the stats pass computes at scale
+    (cardinality + byte-frequency) reduced to a direct measurement here.
+    """
+    n = len(arr)
+    if n == 0:
+        return "plain", None
+    idx = _stride_sample(n, SAMPLE_VALUES)
+    sample = arr.take(pa.array(idx))
+    if sample.null_count:
+        sample = sample.drop_null()
+    if len(sample) == 0:
+        return "plain", None
+    sizes = {}
+    pl, _ = plain.encode(sample, "str")
+    sizes["plain"] = len(pl)
+    d, _ = dictionary.encode(sample, "str")
+    sizes["dict"] = len(d)
+    table = fsst.train(sample)
+    if table is not None:
+        f, _ = fsst.encode(sample, table)
+        # subtract the symbol-table overhead: it amortizes over the full
+        # page, not the sample
+        sizes["fsst"] = max(1, len(f) - sum(len(s) for s in table.expansions)
+                            - len(table.expansions) - 2)
+    order = ("fsst", "dict", "plain")
+    best = min(order, key=lambda c: sizes.get(c, float("inf")))
+    return best, (table if best == "fsst" else None)
+
+
+def choose_codec_arrow(arr: pa.Array, tag: str):
+    """pa.Array + tag -> (codec, fsst_table_or_None). Deterministic.
+
+    The per-page entry point used by the encode kernel (nulls are handled
+    by the page framing; selection looks at present values only)."""
+    if tag == "bool":
+        return "rle", None
+    work = arr.drop_null() if arr.null_count else arr
+    if len(work) == 0:
+        return "plain", None
+    if tag in INT_TAGS:
+        if tag in ("ts", "tsn"):
+            work = work.cast(pa.int64())
+        return choose_int_codec(work.to_numpy(zero_copy_only=False)), None
+    if tag in ("f64", "f32"):
+        return choose_float_codec(work.to_numpy(zero_copy_only=False)), None
+    if tag in STR_TAGS:
+        return choose_string_codec(work)
+    return "plain", None
+
+
+def choose_codec(s, tag: str):
+    """pandas Series + tag -> (codec, fsst_table_or_None). Deterministic."""
+    if tag == "bool":
+        return "rle", None
+    if tag in INT_TAGS:
+        v = s.dropna()
+        if tag in ("ts", "tsn"):
+            arr = v.to_numpy(dtype="datetime64[us]").view(np.int64)
+        else:
+            arr = v.to_numpy(dtype=np.int64)
+        return choose_int_codec(arr), None
+    if tag in ("f64", "f32"):
+        return choose_float_codec(s.dropna().to_numpy()), None
+    if tag in STR_TAGS:
+        arr = pa.Array.from_pandas(s)
+        arr = arr.cast(pa.large_string() if tag == "str" else pa.large_binary())
+        return choose_string_codec(arr)
+    return "plain", None

@@ -1,0 +1,132 @@
+"""End-to-end engine tests: encode -> pages -> decode -> sha256-bit-identical
+(BASELINE.json:15 per-row invariant), on driver fixtures and the synthetic
+north-rule table; plus codec-selection sanity and size bounds vs the
+stand-in reference writer (pyarrow, BASELINE.md rows 3-5)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark import synth
+from cpp_parquet_spark.engine import (decode_table, encode_table,
+                                      verify_roundtrip)
+from cpp_parquet_spark.partitioning import EncodeConfig
+
+
+def roundtrip_all_columns(spark, df, cfg):
+    pages = encode_table(df, cfg).cache()
+    try:
+        dec = decode_table(pages).cache()
+        assert dec.count() == df.count()
+        for c in dec.columns:
+            r = verify_roundtrip(df, dec, c)
+            assert r["mismatched_hashes"] == 0, f"column {c}: {r}"
+        return pages
+    finally:
+        pages.unpersist()
+
+
+TABLES = {
+    "documents": EncodeConfig(keys=("source",), salt_from=("doc_id",),
+                              num_parts=4, order_keys=("doc_id",),
+                              table_name="documents"),
+    "events": EncodeConfig(keys=("event_type",), salt_from=("event_id",),
+                           num_parts=4, order_keys=("event_id",),
+                           table_name="events"),
+    "lineitem": EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
+                             num_parts=6, order_keys=("l_orderkey", "l_linenumber"),
+                             table_name="lineitem"),
+    "orders": EncodeConfig(keys=("o_orderstatus",), salt_from=("o_orderkey",),
+                           num_parts=4, order_keys=("o_orderkey",),
+                           table_name="orders"),
+    "supplier": EncodeConfig(keys=("s_nationkey",), salt_from=("s_suppkey",),
+                             num_parts=2, order_keys=("s_suppkey",),
+                             table_name="supplier"),
+    "region": EncodeConfig(keys=("r_regionkey",), salt_from=(),
+                           num_parts=2, order_keys=("r_regionkey",),
+                           table_name="region"),
+}
+
+
+@pytest.mark.parametrize("table", list(TABLES))
+def test_fixture_roundtrip(spark, sf_dir, table):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    roundtrip_all_columns(spark, df, TABLES[table])
+
+
+def test_repofiles_roundtrip(spark):
+    path = synth.fixture_path("sf0.001")
+    df = spark.read.parquet(path)
+    cfg = EncodeConfig(keys=("repo",), salt_from=("path",), num_parts=8,
+                       order_keys=("repo", "path"), table_name="repofiles")
+    pages = encode_table(df, cfg).cache()
+    try:
+        dec = decode_table(pages)
+        for c in ["repo", "path", "commit", "lang", "content"]:
+            r = verify_roundtrip(df, dec, c)
+            assert r["mismatched_hashes"] == 0, f"column {c}: {r}"
+    finally:
+        pages.unpersist()
+
+
+def test_size_beats_standin_reference(spark):
+    """Encoded size must be <= the stand-in reference writer's
+    (pyarrow UNCOMPRESSED, dict enabled — BASELINE.md rows 3-5, 8)."""
+    path = synth.fixture_path("sf0.001")
+    df = spark.read.parquet(path)
+    cfg = EncodeConfig(keys=("repo",), salt_from=("path",), num_parts=4,
+                       table_name="repofiles")
+    pages = encode_table(df, cfg)
+    ours = (pages.filter(F.col("col_idx") >= 0)
+            .groupBy("column").agg(F.sum("enc_bytes").alias("b"))
+            .collect())
+    ours = {r["column"]: r["b"] for r in ours}
+
+    # stand-in reference: pyarrow parquet, UNCOMPRESSED, dictionary on
+    import tempfile
+    tbl = pq.read_table(path)
+    ref_sizes = {}
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        pq.write_table(tbl, f.name, compression="NONE", use_dictionary=True)
+        meta = pq.ParquetFile(f.name).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                ref_sizes[name] = ref_sizes.get(name, 0) + col.total_compressed_size
+    total_ours = sum(ours.values())
+    total_ref = sum(ref_sizes.values())
+    assert total_ours <= total_ref, f"ours {ours} vs reference {ref_sizes}"
+    # content (the FSST target) must individually beat the reference
+    assert ours["content"] < ref_sizes["content"]
+
+
+def test_codec_selection_signals(spark, sf_dir):
+    """E8 expectations from FIXTURES.md A: lang/source -> dict,
+    n_chars -> int codec (for/rle/dict/bitpack), text -> fsst."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = encode_table(df, TABLES["documents"])
+    rows = (pages.filter(F.col("col_idx") >= 0)
+            .select("column", "codec").distinct().collect())
+    chosen = {}
+    for r in rows:
+        chosen.setdefault(r["column"], set()).add(r["codec"])
+    assert chosen["lang"] == {"dict"}
+    assert chosen["source"] == {"dict"}
+    assert chosen["text"] == {"fsst"}
+    assert chosen["n_chars"] <= {"for", "rle", "dict", "bitpack"}
+
+
+def test_embeddings_rejected_cleanly(spark, sf_dir):
+    """Nested ArrayType columns are out of codec scope v1 (FIXTURES.md A);
+    the engine must skip them, not crash."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cfg = EncodeConfig(keys=("label",), salt_from=("vec_id",), num_parts=2,
+                       table_name="embeddings")
+    pages = encode_table(df, cfg)
+    cols = {r["column"] for r in pages.select("column").distinct().collect()}
+    assert "embedding" not in cols          # nested column skipped
+    assert {"vec_id", "label"} <= cols      # scalars still encoded

@@ -1,0 +1,101 @@
+"""Durable layer: manifest lineage, checkpoint resume (kill-after-K then
+rerun converges with no duplicate parts), determinism of re-encodes, and
+orphan-page isolation (SURVEY.md §5.2 item 5)."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark import synth
+from cpp_parquet_spark.engine import (decode_dataset, encode_table,
+                                      run_encode, verify_roundtrip,
+                                      read_committed_pages)
+from cpp_parquet_spark.partitioning import EncodeConfig, with_part_id
+
+CFG = EncodeConfig(keys=("repo",), salt_from=("path",), num_parts=8,
+                   order_keys=("repo", "path"), table_name="repofiles")
+
+
+@pytest.fixture()
+def repofiles(spark):
+    return spark.read.parquet(synth.fixture_path("sf0.001"))
+
+
+def test_resume_after_partial_run(spark, repofiles, tmp_path):
+    dst = str(tmp_path / "enc")
+    # simulate a run killed after 3 of 8 parts: encode a part_id subset
+    subset = with_part_id(repofiles, CFG).filter(F.col("__part_id") < 3) \
+        .drop("__part_id")
+    s1 = run_encode(spark, subset, dst, CFG, run_id="attempt1")
+    assert s1["parts"] == 3
+    # rerun over the FULL input: only the missing 5 parts are encoded
+    s2 = run_encode(spark, repofiles, dst, CFG, run_id="attempt2")
+    assert s2["parts"] == 8
+    manifest = spark.read.parquet(os.path.join(dst, "manifest"))
+    per_run = {r["run_id"]: r["c"] for r in
+               manifest.groupBy("run_id").agg(F.count("*").alias("c")).collect()}
+    assert per_run == {"attempt1": 3, "attempt2": 5}
+    # no duplicate parts
+    assert manifest.select("part_id").distinct().count() == 8
+    assert manifest.count() == 8
+    dec = decode_dataset(spark, dst)
+    r = verify_roundtrip(repofiles, dec, "content")
+    assert r["mismatched_hashes"] == 0
+
+
+def test_resume_noop_when_complete(spark, repofiles, tmp_path):
+    dst = str(tmp_path / "enc")
+    run_encode(spark, repofiles, dst, CFG, run_id="first")
+    s2 = run_encode(spark, repofiles, dst, CFG, run_id="second")
+    manifest = spark.read.parquet(os.path.join(dst, "manifest"))
+    assert manifest.filter(F.col("run_id") == "second").count() == 0
+    assert s2["parts"] == 8
+
+
+def test_deterministic_bytes_across_runs(spark, repofiles, tmp_path):
+    """Same input + config => byte-identical encoded pages (resume-stable
+    codec selection, SURVEY.md §7 M5)."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    run_encode(spark, repofiles, a, CFG, run_id="x")
+    run_encode(spark, repofiles, b, CFG, run_id="y")
+    def fingerprint(d):
+        return (d.filter(F.col("col_idx") >= 0)  # meta rows carry wall times
+                 .select(F.xxhash64("part_id", "column", "page_id", "codec",
+                                    "params", "data").alias("x"))
+                 .agg(F.expr("bit_xor(x)").alias("h"),
+                      F.count("*").alias("c")).collect()[0])
+    ha, hb = fingerprint(read_committed_pages(spark, a)), \
+        fingerprint(read_committed_pages(spark, b))
+    assert (ha["h"], ha["c"]) == (hb["h"], hb["c"])
+
+
+def test_orphan_pages_ignored(spark, repofiles, tmp_path):
+    """Pages whose run never committed a manifest row must not be decoded."""
+    dst = str(tmp_path / "enc")
+    run_encode(spark, repofiles, dst, CFG, run_id="good")
+    # forge an orphan: append pages with a run_id absent from the manifest
+    pages = encode_table(repofiles.limit(50), CFG) \
+        .withColumn("run_id", F.lit("orphan"))
+    pages.write.mode("append").parquet(os.path.join(dst, "pages"))
+    committed = read_committed_pages(spark, dst)
+    assert committed.filter(F.col("run_id") == "orphan").count() == 0
+    dec = decode_dataset(spark, dst)
+    assert dec.count() == repofiles.count()
+
+
+def test_manifest_lineage_fields(spark, repofiles, tmp_path):
+    dst = str(tmp_path / "enc")
+    run_encode(spark, repofiles, dst, CFG, run_id="r1")
+    m = spark.read.parquet(os.path.join(dst, "manifest"))
+    row = m.first()
+    for f in ["table", "part_id", "num_pages", "num_rows", "raw_bytes",
+              "enc_bytes", "codecs", "columns", "run_id", "num_parts",
+              "committed_at", "encode_wall_s"]:
+        assert f in m.columns, f
+    assert row["num_rows"] > 0 and row["encode_wall_s"] is not None
+    total = m.agg(F.sum("num_rows")).collect()[0][0]
+    assert total == repofiles.count()
