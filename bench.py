@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Bench harness (SURVEY.md §7 M7; driver contract).
+
+Runs the engine's headline pipelines on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and prints ONE JSON line::
+
+    {"metric": "bench_total_wall", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "encode_gbps": <content GB/s of the north-rule encode>,
+     "content_bytes": <bytes encoded in the headline query>}
+
+Inputs:
+- the north-rule table ``(repo, path, commit, lang, content)`` synthesized
+  deterministically (seed 42) by ``cpp_parquet_spark.synth`` — no external
+  data (BASELINE.json:14);
+- the driver fixtures at ``$SPARK_GRAFT_SF_DIR`` (default
+  ``/root/testdata/sf0.1``).
+
+Scaling evidence (two-cluster-size rule): run this file twice via
+``tools/scaling.py`` which sets SPARK_GRAFT_CPUS=8 then 32 and reports
+throughput at both + efficiency into BENCH.md.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   driver fixture dir          (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism         (default 32)
+  BENCH_REPOFILES_ROWS north-rule table row count  (default 100000)
+  BENCH_ONLY           comma-separated query subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cpp_parquet_spark.engine import decode_table, encode_table, verify_roundtrip
+from cpp_parquet_spark.partitioning import EncodeConfig
+from cpp_parquet_spark.session import get_spark
+from cpp_parquet_spark.synth import SF_ROWS, fixture_path, repofiles
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO_ROWS = int(os.environ.get("BENCH_REPOFILES_ROWS", "100000"))
+
+# north-rule config: salted repartition on (repo, path-bucket); enough parts
+# to keep every core busy at either parallelism level (8 or 32)
+REPO_CFG = EncodeConfig(keys=("repo",), salt_from=("path",), salt_buckets=32,
+                        num_parts=256, order_keys=("path",),
+                        table_name="repofiles")
+DOCS_CFG = EncodeConfig(keys=("source",), salt_from=("doc_id",), num_parts=16,
+                        order_keys=("doc_id",), table_name="documents")
+LINEITEM_CFG = EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
+                            num_parts=32,
+                            order_keys=("l_orderkey", "l_linenumber"),
+                            table_name="lineitem")
+
+
+def _force(df: DataFrame) -> int:
+    """Force full materialization without driver collect."""
+    return df.write.mode("overwrite").format("noop").save() or 0
+
+
+def _repofiles_df(spark: SparkSession) -> DataFrame:
+    path = _repofiles_parquet()
+    return spark.read.parquet(path)
+
+
+_REPO_PATH: str | None = None
+
+
+def _repofiles_parquet() -> str:
+    global _REPO_PATH
+    if _REPO_PATH is None:
+        if REPO_ROWS in SF_ROWS.values():
+            sf = next(k for k, v in SF_ROWS.items() if v == REPO_ROWS)
+            _REPO_PATH = fixture_path(sf)
+        else:
+            import pyarrow.parquet as pq
+            from cpp_parquet_spark.synth import CACHE
+            cache = os.path.abspath(CACHE)
+            os.makedirs(cache, exist_ok=True)
+            p = os.path.join(cache, f"repofiles_n{REPO_ROWS}.parquet")
+            if not os.path.exists(p):
+                pq.write_table(repofiles(REPO_ROWS, seed=42), p)
+            _REPO_PATH = p
+    return _REPO_PATH
+
+
+def q_encode_repofiles(spark: SparkSession) -> None:
+    """HEADLINE: north-rule encode — auto-selected codecs over source code."""
+    df = _repofiles_df(spark)
+    _force(encode_table(df, REPO_CFG))
+
+
+def q_roundtrip_repofiles(spark: SparkSession) -> None:
+    """Encode -> decode -> per-value sha256 verify on content.
+
+    Pages are cached between encode and decode, matching the real pipeline
+    where pages land on disk before any decode reads them."""
+    df = _repofiles_df(spark)
+    pages = encode_table(df, REPO_CFG)
+    cols = pages._cps_columns
+    pages = pages.cache()
+    try:
+        decoded = decode_table(pages, columns=cols)
+        res = verify_roundtrip(df, decoded, "content")
+        assert res["sha256_match_rate"] == 1.0, res
+    finally:
+        pages.unpersist()
+
+
+def q_stats_select(spark: SparkSession) -> None:
+    """Sampling pass + codec decision stats (E8/S6) over the north-rule table."""
+    df = _repofiles_df(spark).sample(0.1, seed=42)
+    stats = (df.groupBy("lang")
+             .agg(F.count("*").alias("n"),
+                  F.approx_count_distinct("content").alias("nd_content"),
+                  F.sum(F.octet_length("content")).alias("bytes"),
+                  F.avg(F.octet_length("content")).alias("avg_len")))
+    _force(stats)
+
+
+def q_encode_documents(spark: SparkSession) -> None:
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _force(encode_table(df, DOCS_CFG))
+
+
+def q_encode_lineitem(spark: SparkSession) -> None:
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    _force(encode_table(df, LINEITEM_CFG))
+
+
+def q_join_agg(spark: SparkSession) -> None:
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    _force(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total")))
+
+
+QUERIES = {
+    "encode_repofiles": q_encode_repofiles,
+    "roundtrip_repofiles": q_roundtrip_repofiles,
+    "stats_select": q_stats_select,
+    "encode_documents": q_encode_documents,
+    "encode_lineitem": q_encode_lineitem,
+    "join_agg": q_join_agg,
+}
+
+
+def main() -> None:
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+    names = only or list(QUERIES)
+    spark = get_spark(f"local[{CPUS}]")
+    # warm up JVM + Python workers so timings measure the kernels, not startup
+    warm = spark.createDataFrame([(i, "warm" * 10) for i in range(512)],
+                                 "repo string, content string") \
+        .withColumn("path", F.lit("p")).withColumn("commit", F.lit("c")) \
+        .withColumn("lang", F.lit("txt"))
+    _force(encode_table(warm, EncodeConfig(keys=("repo",), num_parts=4,
+                                           table_name="warm")))
+
+    content_bytes = _repofiles_df(spark).agg(
+        F.sum(F.octet_length("content"))).collect()[0][0]
+
+    times: dict[str, float] = {}
+    t_all = time.monotonic()
+    for name in names:
+        t0 = time.monotonic()
+        QUERIES[name](spark)
+        times[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_all, 3)
+
+    gbps = None
+    if "encode_repofiles" in times and times["encode_repofiles"] > 0:
+        gbps = round(content_bytes / times["encode_repofiles"] / 1e9, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "bench_total_wall", "value": total, "unit": "sec",
+        "queries": times, "sf": sf,
+        "encode_gbps": gbps, "content_bytes": int(content_bytes),
+        "cpus": CPUS, "repofiles_rows": REPO_ROWS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

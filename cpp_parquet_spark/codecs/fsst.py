@@ -13,11 +13,16 @@ doubles per round up to 2**R = 8 bytes, matching FSST's 8-byte symbol cap.
 Training and encoding are numpy-only; the single Python loop is over
 rounds (3), never over values or bytes (BASELINE.json:15).
 
-Hot-path representation: the working array ``a`` is uint8 (codes 0..254,
-255 = ESC); each round's merge table is a flat 65536-entry int16 LUT
-indexed by ``(left << 8) | right`` so no bounds masking is needed, and the
-ESC row/column stays -1 by construction. String-boundary breaks are
-enforced with a per-position string-id array (int32).
+Hot-path representation: the working array ``a`` is uint8 (codes 0..253;
+254 = SENT, a string-boundary sentinel; 255 = ESC); each round's merge
+table is a flat 65536-entry int16 LUT indexed by ``(left << 8) | right``
+so no bounds masking is needed, and the ESC/SENT rows/columns stay -1 by
+construction. The sentinel makes cross-string merges impossible without
+carrying a per-position string-id array through the passes, and because
+merges never touch ESC positions, the out-of-vocabulary raw bytes can be
+recovered *in original order* from the source data at the end — so the
+merge passes touch exactly ONE array (``a``), which is what keeps the
+kernel fast when 32 workers share the memory bus.
 
 Page layout (all little-endian)::
 
@@ -34,9 +39,10 @@ import numpy as np
 import pyarrow as pa
 
 ESC = 255                     # escape code (always reserved)
-MAX_CODES = 255               # codes 0..254 usable as symbols
+SENT = 254                    # string-boundary sentinel (never emitted)
+MAX_CODES = 254               # codes 0..253 usable as symbols
 ROUNDS = 3                    # symbol length up to 2**ROUNDS = 8 bytes
-ROUND_BUDGET = (160, 64, 31)  # max new symbols per round
+ROUND_BUDGET = (160, 63, 31)  # max new symbols per round
 MIN_PAIR_FREQ = 8             # a pair must occur this often in the sample
 MAX_BASE = 240                # more distinct bytes than this -> not texty
 TRAIN_BYTES = 1 << 16         # train on at most 64 KiB of the page
@@ -80,23 +86,20 @@ def _pair_keys(a: np.ndarray) -> np.ndarray:
     return k
 
 
-def _sub_pass(a: np.ndarray, sid: np.ndarray, rawb: np.ndarray,
-              lut: np.ndarray):
+def _sub_pass(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """One greedy non-overlapping pair-substitution pass (all numpy).
 
-    a: uint8 codes; sid: int32 string id per position; rawb: raw byte per
-    position (meaningful only where a == ESC); lut: int16[65536], -1 = no
-    merge (ESC rows/cols are -1 by construction).
+    a: uint8 codes (SENT breaks strings, ESC marks OOV); lut: int16[65536],
+    -1 = no merge (ESC/SENT rows and columns are -1 by construction, so no
+    merge can cross a string boundary or swallow an escape).
     """
     n = a.shape[0]
     if n < 2:
-        return a, sid, rawb
+        return a
     z = lut[_pair_keys(a)]
-    valid = z >= 0
-    valid &= sid[:-1] == sid[1:]
-    p = np.flatnonzero(valid).astype(np.int32)
+    p = np.flatnonzero(z >= 0).astype(np.int32)
     if p.size == 0:
-        return a, sid, rawb
+        return a
     # greedy left-to-right non-overlap: in each chain of consecutive match
     # positions, keep even offsets
     idx = np.arange(p.size, dtype=np.int32)
@@ -108,11 +111,17 @@ def _sub_pass(a: np.ndarray, sid: np.ndarray, rawb: np.ndarray,
     a[sel] = z[sel].astype(np.uint8)
     alive = np.ones(n, dtype=bool)
     alive[sel + 1] = False
-    return a[alive], sid[alive], rawb[alive]
+    return a[alive]
 
 
-def _make_sid(lens: np.ndarray) -> np.ndarray:
-    return np.repeat(np.arange(lens.shape[0], dtype=np.int32), lens)
+def _with_sentinels(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Interleave SENT after each string: [s0.., SENT, s1.., SENT, ...]."""
+    n = lens.shape[0]
+    total = codes.shape[0] + n
+    a = np.full(total, SENT, dtype=np.uint8)
+    sid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    a[np.arange(codes.shape[0], dtype=np.int64) + sid] = codes
+    return a
 
 
 def train(values) -> SymbolTable | None:
@@ -138,22 +147,18 @@ def train(values) -> SymbolTable | None:
     base_lut[present] = np.arange(nbase, dtype=np.int16)
     expansions: list[bytes] = [bytes([b]) for b in present.tolist()]
 
-    a = base_lut[data].astype(np.uint8)   # no OOV possible: base = this data
-    sid = _make_sid(lens)[: a.shape[0]]
-    rawb = data
+    # no OOV possible during training (base = this data's byte set)
+    a = _with_sentinels(base_lut[data].astype(np.uint8), lens)
     vocab = nbase
     round_luts: list[np.ndarray] = []
     for r in range(ROUNDS):
         budget = min(ROUND_BUDGET[r], MAX_CODES - vocab)
         if budget <= 0 or a.shape[0] < 2:
             break
-        keys = _pair_keys(a)
-        keys = keys[sid[:-1] == sid[1:]]
-        if keys.shape[0] == 0:
-            break
-        # during training `a` never holds ESC or out-of-vocab codes, so all
-        # observed pairs are mergeable as-is
-        freq = np.bincount(keys, minlength=65536)
+        freq = np.bincount(_pair_keys(a), minlength=65536).reshape(256, 256)
+        freq[SENT, :] = 0
+        freq[:, SENT] = 0
+        freq = freq.ravel()
         order = np.argsort(freq, kind="stable")[::-1][:budget]
         order = order[freq[order] >= MIN_PAIR_FREQ]
         if order.shape[0] == 0:
@@ -164,7 +169,7 @@ def train(values) -> SymbolTable | None:
             x, y = pair_key >> 8, pair_key & 0xFF
             expansions.append(expansions[x] + expansions[y])
         round_luts.append(lut)
-        a, sid, rawb = _sub_pass(a, sid, rawb, lut)
+        a = _sub_pass(a, lut)
         vocab += order.shape[0]
     if not round_luts:
         return None
@@ -175,21 +180,32 @@ def _encode_with_table(values, table: SymbolTable) -> tuple[bytes, np.ndarray]:
     """Returns (stream bytes, per-string encoded byte lengths)."""
     data, lens = _flatten(values)
     n = lens.shape[0]
+    if n == 0:
+        return b"", np.empty(0, dtype=np.uint32)
     mapped = table.base_lut[data]         # int16; -1 marks OOV
-    a = np.where(mapped < 0, np.int16(ESC), mapped).astype(np.uint8)
-    sid = _make_sid(lens)
-    rawb = data
+    oov = mapped < 0
+    a = _with_sentinels(np.where(oov, np.int16(ESC), mapped).astype(np.uint8),
+                        lens)
     for lut in table.round_luts:
-        a, sid, rawb = _sub_pass(a, sid, rawb, lut)
+        a = _sub_pass(a, lut)
+    # merges never consume ESC or SENT, so the surviving ESC positions map
+    # 1:1, in order, onto the OOV bytes of the original data
     is_esc = a == ESC
-    out_w = is_esc.astype(np.int64)
-    out_w += 1                                  # escape emits 2 bytes
+    is_sent = a == SENT
+    out_w = is_esc.astype(np.int64)       # escape emits 2 bytes
+    out_w += 1
+    out_w[is_sent] = 0                    # sentinels emit nothing
     offs = np.zeros(a.shape[0] + 1, dtype=np.int64)
     np.cumsum(out_w, out=offs[1:])
     out = np.empty(int(offs[-1]), dtype=np.uint8)
-    out[offs[:-1]] = a
-    out[offs[:-1][is_esc] + 1] = rawb[is_esc]
-    enc_lens = np.bincount(sid, weights=out_w, minlength=n).astype(np.uint32)
+    emit = ~is_sent
+    out[offs[:-1][emit]] = a[emit]
+    out[offs[:-1][is_esc] + 1] = data[oov]
+    # per-string encoded lengths from the running width at each sentinel
+    ends = offs[1:][is_sent]
+    enc_lens = np.empty(n, dtype=np.uint32)
+    enc_lens[0] = ends[0]
+    np.subtract(ends[1:], ends[:-1], out=enc_lens[1:], casting="unsafe")
     return out.tobytes(), enc_lens
 
 

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .codecs import pagecodec
+from .codecs import fsst, pagecodec
 from .partitioning import EncodeConfig, cluster_by_part, with_part_id
 from .select import choose_codec_arrow
 
@@ -93,6 +93,11 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig):
         part_rows: dict[int, int] = {}
         part_t0: dict[int, float] = {}
         out_rows: list[dict] = []
+        # codec decision per (part, column): chosen on the first page, reused
+        # for the rest — selection + FSST training amortize over the whole
+        # column chunk instead of repeating per page (deterministic: parts
+        # arrive whole and sorted, so the first page is stable across runs)
+        decisions: dict[tuple[int, str], tuple[str, object]] = {}
 
         def flush():
             nonlocal out_rows
@@ -124,7 +129,17 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig):
                         codec = overrides.get(col)
                         ftab = None
                         if codec is None:
-                            codec, ftab = choose_codec_arrow(piece, tag)
+                            dec = decisions.get((part, col))
+                            if dec is None:
+                                codec0, ftab0 = choose_codec_arrow(piece, tag)
+                                if codec0 == "fsst":
+                                    # selection trained on a ~16 KiB sample;
+                                    # retrain once on the first page (64 KiB
+                                    # cap) for a better chunk-wide table
+                                    ftab0 = fsst.train(piece) or ftab0
+                                dec = (codec0, ftab0)
+                                decisions[(part, col)] = dec
+                            codec, ftab = dec
                         row = pagecodec.encode_page(piece, tag, codec, ftab)
                         pid = counters.get((part, col), 0)
                         counters[(part, col)] = pid + 1
@@ -169,16 +184,27 @@ def encode_table(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
         raise ValueError("no encodable columns")
     prepared = cluster_by_part(with_part_id(df.select(*cols), cfg), cfg)
     kernel = make_encode_kernel(cols, tags, cfg)
-    return prepared.mapInArrow(kernel, PAGES_SCHEMA)
+    pages = prepared.mapInArrow(kernel, PAGES_SCHEMA)
+    # column layout rides along so decode_table needn't run a discovery job
+    pages._cps_columns = list(zip(cols, tags))  # type: ignore[attr-defined]
+    return pages
 
 
-def decode_table(pages: DataFrame, spark: SparkSession | None = None) -> DataFrame:
-    """pages DataFrame -> original rows (grouped per-part reassembly)."""
-    meta = (pages.filter(F.col("col_idx") >= 0)
-                 .select("column", "col_idx", "type")
-                 .distinct().orderBy("col_idx").collect())
-    cols = [r["column"] for r in meta]
-    tags = [r["type"] for r in meta]
+def decode_table(pages: DataFrame, spark: SparkSession | None = None,
+                 columns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """pages DataFrame -> original rows (grouped per-part reassembly).
+
+    ``columns`` = [(name, tag), ...] in col_idx order; when omitted, taken
+    from the hint ``encode_table`` attached, else discovered with a
+    (costly) distinct scan over the pages."""
+    columns = columns or getattr(pages, "_cps_columns", None)
+    if columns is None:
+        meta = (pages.filter(F.col("col_idx") >= 0)
+                     .select("column", "col_idx", "type")
+                     .distinct().orderBy("col_idx").collect())
+        columns = [(r["column"], r["type"]) for r in meta]
+    cols = [c for c, _ in columns]
+    tags = [t for _, t in columns]
     out_fields = [T.StructField(c, pagecodec.spark_type_for(t)) for c, t in zip(cols, tags)]
     out_schema = T.StructType(out_fields)
     # Spark's Arrow bridge wants 32-bit-offset string/binary, not large_*

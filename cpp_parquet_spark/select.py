@@ -103,6 +103,16 @@ def choose_string_codec(arr: pa.Array) -> tuple[str, object]:
         sample = sample.drop_null()
     if len(sample) == 0:
         return "plain", None
+    # cap the sample by BYTES too: on wide values (source files) 512 values
+    # can be the whole page, making selection as expensive as encoding
+    if sample.nbytes > SAMPLE_BYTES:
+        la = sample.cast(pa.large_binary())
+        offs = np.frombuffer(la.buffers()[1], dtype=np.int64,
+                             count=len(la) + 1, offset=la.offset * 8)
+        cum = offs - offs[0]
+        k = max(1, int(np.searchsorted(cum, SAMPLE_BYTES)))
+        # re-stride so the byte-capped sample still spans the whole page
+        sample = sample.take(pa.array(_stride_sample(len(sample), k)))
     sizes = {}
     pl, _ = plain.encode(sample, "str")
     sizes["plain"] = len(pl)
