@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cpp_parquet_spark import dedup, multimodal, similarity, textops
 from cpp_parquet_spark.engine import decode_table, encode_table
 from cpp_parquet_spark.partitioning import EncodeConfig
 
@@ -224,6 +225,65 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality(_read(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.7)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(_read(spark, sf_dir, "documents"),
+                                     threshold=0.7)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_read(spark, sf_dir, "documents"),
+                               max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(_read(spark, sf_dir, "embeddings"),
+                                        threshold=0.35)
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_topk(_read(spark, sf_dir, "embeddings"),
+                                 [0, 1, 2, 3, 4], k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_read(spark, sf_dir, "embeddings"),
+                               [0, 1, 2, 3, 4], k=10, planes=6)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
+    return multimodal.extract_meta(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # roundtrip correctness (oracle = histogram over SOURCE => proves
@@ -247,6 +307,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible: encoded-pages shape (rows-only check)
         "pages_summary_documents": _pages_summary("documents", DOCS_CFG),
         "pages_summary_lineitem": _pages_summary("lineitem", LINEITEM_CFG),
+        # training-data pipeline: text analysis
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # training-data pipeline: dedup
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (LSH)
+        "dedup_simhash": q_dedup_simhash,               # rows-only (xxhash64)
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # training-data pipeline: similarity search
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (LSH)
+        # training-data pipeline: multimodal plumbing
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -329,4 +405,167 @@ def oracle_sql() -> dict[str, str]:
             ) t WHERE n_events >= 2 ORDER BY user_id""",
         # pages_summary_* intentionally omitted: encoded-page layout is not
         # SQL-expressible; driver records rows-only checks for them.
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk also omitted:
+        # they depend on MinHash permutations / xxhash64 / random-hyperplane
+        # LSH not reproducible in DuckDB; pytest brute-force oracles cover
+        # them (tests/test_pipeline_ops.py).
+        "text_token_stats": """
+            SELECT doc_id,
+                   strlen(text) AS n_chars_m,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+                   round(strlen(regexp_replace(text, '\\s+', '', 'g'))
+                         / len(string_split_regex(trim(text), '\\s+')), 6)
+                       AS avg_ws_token_len
+            FROM documents""",
+        "text_quality": """
+            WITH b AS (
+              SELECT doc_id, strlen(text) AS n,
+                     strlen(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+                     len(string_split_regex(trim(text), '\\s+')) AS ws,
+                     list_count(list_filter(
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)),
+                       x -> list_contains(['the','a','an','and','of','to',
+                                           'in','is','on','for'], x))) AS stops
+              FROM documents
+            ), s AS (
+              SELECT *, 0.4 * (alpha / n) + 0.3 * (1.0 - punct / n)
+                     + 0.3 * least(CAST(1.0 AS DOUBLE), ws / 50.0) AS score
+              FROM b
+            )
+            SELECT doc_id, n AS n_chars_m, ws AS ws_tokens,
+                   round(alpha / n, 6) AS alpha_ratio,
+                   round(punct / n, 6) AS punct_ratio,
+                   round(stops / ws, 6) AS stop_ratio,
+                   round(score, 6) AS quality_score,
+                   CASE WHEN score >= 0.8 THEN 'high'
+                        WHEN score >= 0.5 THEN 'medium'
+                        ELSE 'low' END AS quality_bucket
+            FROM s""",
+        "text_langid": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_transform(string_split_regex(trim(text), '\\s+'),
+                                    x -> lower(x)) AS tk
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, lang,
+                list_count(list_filter(tk, x -> list_contains(
+                  ['the','and','is','of'], x))) AS score_en,
+                list_count(list_filter(tk, x -> list_contains(
+                  ['el','la','los','que'], x))) AS score_es,
+                list_count(list_filter(tk, x -> list_contains(
+                  ['der','die','und','ist'], x))) AS score_de,
+                list_count(list_filter(tk, x -> list_contains(
+                  ['le','les','et','est'], x))) AS score_fr
+              FROM toks
+            )
+            SELECT doc_id, lang AS lang_label,
+                   score_en, score_es, score_de, score_fr,
+                   CASE WHEN greatest(score_en, score_es, score_de,
+                                      score_fr) = 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_de,
+                                                 score_fr) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_de,
+                                                 score_fr) THEN 'es'
+                        WHEN score_de = greatest(score_en, score_es, score_de,
+                                                 score_fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM sc""",
+        "text_fingerprint": """
+            WITH t AS (
+              SELECT doc_id, text, substr(text, 1, 512) AS p FROM documents
+            ), sh AS (
+              SELECT doc_id, md5(substr(p, CAST(i AS INT), 4)) AS h
+              FROM t, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(p) - 3, 1)
+            )
+            SELECT t.doc_id, md5(t.text) AS md5_full,
+                   min(h) AS min_shingle_md5, max(h) AS max_shingle_md5
+            FROM t JOIN sh ON t.doc_id = sh.doc_id
+            GROUP BY t.doc_id, t.text""",
+        "dedup_exact_stats": """
+            SELECT source AS scope, count(*) AS n_docs,
+                   count(DISTINCT sha256(text)) AS n_unique,
+                   count(*) - count(DISTINCT sha256(text)) AS n_removed
+            FROM documents GROUP BY source ORDER BY scope""",
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id AS id, source AS scope,
+                     substr(substr(text, 1, 512), CAST(i AS INT), 3) AS g
+              FROM documents, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(substr(text, 1, 512)) - 2, 1)
+            ), sz AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b
+                ON a.scope = b.scope AND a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+            WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
+            ORDER BY id_a, id_b""",
+        "dedup_embedding_cosine": """
+            WITH n AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS scope,
+                     list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, scope, round(c, 6) AS cosine
+            FROM p WHERE round(c, 6) >= 0.35 ORDER BY id_a, id_b""",
+        "ann_brute_topk": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), q AS (
+              SELECT * FROM n WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), s AS (
+              SELECT q.vec_id AS qid, n.vec_id AS nid,
+                     list_inner_product(q.v, n.v) / (q.nrm * n.nrm) AS c,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, n.v)
+                                / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+              FROM q JOIN n ON n.vec_id <> q.vec_id
+            )
+            SELECT qid, rank, nid, round(c, 6) AS cosine
+            FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "multimodal_meta": """
+            WITH ch AS (
+              SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
+              FROM documents, range(1, 600) r(i)
+              WHERE i <= strlen(text)
+            ), m AS (
+              SELECT doc_id, floor(avg(b) * 1e6) / 1e6 AS mean FROM ch
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'image/synthetic'
+                        ELSE 'audio/synthetic' END AS media_type,
+                   12 + strlen(d.text) AS n_bytes,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'SIMG'
+                        ELSE 'SAUD' END AS magic,
+                   CASE WHEN d.doc_id % 2 = 0
+                        THEN least(strlen(d.text), 64)
+                        ELSE strlen(d.text) END AS dim1,
+                   CASE WHEN d.doc_id % 2 = 0
+                        THEN CAST(ceil(strlen(d.text) * 1.0
+                                  / least(strlen(d.text), 64)) AS BIGINT)
+                        ELSE 16000 END AS dim2,
+                   m.mean AS body_mean
+            FROM documents d JOIN m ON d.doc_id = m.doc_id""",
     }

@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, matching what a 100 TB training-data pipeline needs:
+
+- :func:`brute_topk` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, dot products in SQL higher-order functions
+  (zip_with/aggregate, JVM-side), window rank per query. The baseline and
+  the correctness oracle.
+- :func:`lsh_topk` — the scale path: deterministic random-hyperplane LSH
+  buckets (sign bits of seeded projections, computed in ONE numpy matmul
+  per Arrow batch), multi-probe (flip each bit once) so a query scans
+  ~(planes+1)/2**planes of the corpus instead of all of it. Same ranking
+  semantics within the probed candidate set.
+
+Recall of the LSH path vs the exact path is measured in
+tests/test_similarity.py rather than asserted here — at production scale
+you'd tune planes/probes per corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm_df(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (emb.select(F.col(id_col).alias("id"), v.alias("v"))
+            .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))))
+
+
+def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast — at 100 TB the corpus never shuffles;
+    each executor ranks its partition and the final top-k per query is a
+    tiny shuffle of k*queries rows."""
+    base = _norm_df(emb, id_col, vec_col)
+    q = base.filter(F.col("id").isin(query_ids)) \
+            .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("nrm").alias("qnrm"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (base.crossJoin(F.broadcast(q))
+              .filter(F.col("id") != F.col("qid"))
+              .select("qid", F.col("id").alias("nid"),
+                      cos.alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", F.round("cosine", 6).alias("cosine"))
+            .orderBy("qid", "rank"))
+
+
+def _planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, planes))
+
+
+def bucket_ids(emb: DataFrame, planes: int = 6, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
+    """(id, bucket) via sign bits of seeded random projections.
+
+    One numpy matmul per Arrow batch — no per-row Python."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+    nplanes = planes
+    the_seed = seed
+
+    def kernel(batches):
+        proj = None
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())     # (rows, dim) float32
+            if proj is None:
+                proj = _planes(m.shape[1], nplanes, the_seed)
+            bits = (m.astype(np.float64) @ proj) > 0  # (rows, planes)
+            bucket = (bits.astype(np.int64)
+                      << np.arange(nplanes, dtype=np.int64)[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(dtype=np.int64),
+                                "bucket": bucket.astype(np.int32)})
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             planes: int = 6, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: rank only candidates that share (or are one bit-flip
+    away from) the query's LSH bucket."""
+    base = _norm_df(emb, id_col, vec_col)
+    buckets = bucket_ids(emb, planes, seed, id_col, vec_col)
+    corpus = base.join(buckets, "id")
+    qb = buckets.filter(F.col("id").isin(query_ids))
+    # multi-probe: the query's bucket plus every single-bit flip
+    probes = qb.select(
+        F.col("id").alias("qid"),
+        F.explode(F.array(*([F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+        ]))).alias("bucket"))
+    q = base.filter(F.col("id").isin(query_ids)) \
+            .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("nrm").alias("qnrm"))
+    cand = (corpus.join(F.broadcast(probes), "bucket")
+            .filter(F.col("id") != F.col("qid"))
+            .join(F.broadcast(q), "qid"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (cand.select("qid", F.col("id").alias("nid"), cos.alias("cosine"))
+            .distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", F.round("cosine", 6).alias("cosine"))
+            .orderBy("qid", "rank"))

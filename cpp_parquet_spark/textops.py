@@ -1,0 +1,135 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is **pure built-in Spark SQL expressions** — no Python
+UDFs, so the whole operator stays inside whole-stage codegen and scales
+linearly with executors (no JVM<->Python boundary at all). Each operator
+has a DuckDB-equivalent oracle in ``__spark_entry__.py``.
+
+Operators (over the ``documents`` table — (doc_id, text, lang, source,
+n_chars)):
+
+- :func:`token_stats` — whitespace + BPE-ish regex token counting
+- :func:`quality` — length / punctuation / stopword-ratio quality score
+- :func:`lang_id` — marker-word n-gram language-ID heuristic
+- :func:`fingerprint` — md5 full-document + min/max-shingle-hash
+  (winnowing-style) fingerprints
+
+At 100 TB these are narrow, shuffle-free map-side projections — the only
+wide operation a caller might add is a groupBy on the outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+#: (kept to a Java/RE2-compatible subset so the DuckDB oracle matches)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny English stopword list used for the quality heuristic
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+#: language marker words for the lang-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+
+def _ws_tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens and BPE-ish regex
+    tokens, plus average whitespace-token length."""
+    t = F.col(text_col)
+    ws = F.size(_ws_tokens(text_col))
+    non_ws_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_m"),
+        ws.alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_RE)).alias("bpe_tokens"),
+        F.round(non_ws_chars / ws, 6).alias("avg_ws_token_len"),
+    )
+
+
+def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: alpha/punct ratios, stopword ratio, a combined
+    [0,1] score and a high/medium/low bucket.
+
+    The score is a deterministic linear blend — the exact weights are the
+    operator's contract (the oracle recomputes them), not a claim about
+    what "quality" means for any given corpus."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    toks = _ws_tokens(text_col)
+    ws = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = F.size(F.filter(F.transform(toks, F.lower),
+                            lambda x: F.array_contains(stop_arr, x)))
+    alpha_ratio = alpha / n
+    punct_ratio = punct / n
+    stop_ratio = stops / ws
+    score = (F.lit(0.4) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.3) * F.least(F.lit(1.0), ws / F.lit(50.0)))
+    return df.select(
+        "doc_id",
+        n.alias("n_chars_m"),
+        ws.alias("ws_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        F.when(score >= 0.8, "high").when(score >= 0.5, "medium")
+         .otherwise("low").alias("quality_bucket"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: count marker-word hits per
+    language over lowercased whitespace tokens; argmax wins,
+    'und' (undetermined) when no marker hits at all.
+
+    Deterministic tie-break: language order as in LANG_MARKERS."""
+    toks = F.transform(_ws_tokens(text_col), F.lower)
+    def _contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores = {}
+    for lg, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lg] = F.size(F.filter(toks, _contains(arr)))
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lg in LANG_MARKERS:          # first max wins (insertion order)
+        pred = pred.when(scores[lg] == best, lg)
+    return df.select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_MARKERS],
+        pred.otherwise("und").alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                shingle: int = 4, prefix: int = 512) -> DataFrame:
+    """Document fingerprints: full-text md5 plus min- and max-shingle-hash
+    over character ``shingle``-grams of the first ``prefix`` chars — the
+    min-hash end of a winnowing scheme, built entirely from SQL
+    expressions (sequence/transform/md5)."""
+    t = F.substring(F.col(text_col), 1, prefix)
+    npos = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.md5(t.substr(i, F.lit(shingle)).cast("binary")))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col).cast("binary")).alias("md5_full"),
+        F.array_min(hashes).alias("min_shingle_md5"),
+        F.array_max(hashes).alias("max_shingle_md5"),
+    )

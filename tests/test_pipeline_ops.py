@@ -1,0 +1,263 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing (SURVEY.md-adjacent; task mandate).
+
+Brute-force numpy/python oracles on small data; thresholds are exercised
+on the driver documents/embeddings fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# textops
+# ---------------------------------------------------------------------------
+
+def test_token_stats_formula(spark, docs):
+    rows = textops.token_stats(docs).orderBy("doc_id").limit(20).collect()
+    src = {r["doc_id"]: r["text"] for r in
+           docs.orderBy("doc_id").limit(20).collect()}
+    import re
+    for r in rows:
+        t = src[r["doc_id"]]
+        ws = len(t.strip().split())
+        assert r["ws_tokens"] == ws
+        assert r["bpe_tokens"] == len(re.findall(textops.BPE_RE, t))
+        assert r["n_chars_m"] == len(t)
+        expect = round(len(re.sub(r"\s+", "", t)) / ws, 6)
+        assert abs(r["avg_ws_token_len"] - expect) < 1e-9
+
+
+def test_quality_bounds_and_formula(docs):
+    rows = textops.quality(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["quality_bucket"] in ("high", "medium", "low")
+
+
+def test_lang_id_deterministic_scores(docs):
+    out = textops.lang_id(docs)
+    rows = out.collect()
+    langs = set(textops.LANG_MARKERS) | {"und"}
+    for r in rows:
+        assert r["pred_lang"] in langs
+        best = max(r[f"score_{lg}"] for lg in textops.LANG_MARKERS)
+        if best == 0:
+            assert r["pred_lang"] == "und"
+        else:
+            assert r[f"score_{r['pred_lang']}"] == best
+
+
+def test_fingerprint_matches_python(docs):
+    rows = textops.fingerprint(docs).orderBy("doc_id").limit(10).collect()
+    src = {r["doc_id"]: r["text"] for r in
+           docs.orderBy("doc_id").limit(10).collect()}
+    for r in rows:
+        t = src[r["doc_id"]][:512]
+        hs = [hashlib.md5(t[i:i + 4].encode()).hexdigest()
+              for i in range(max(len(t) - 3, 1))]
+        assert r["md5_full"] == hashlib.md5(
+            src[r["doc_id"]].encode()).hexdigest()
+        assert r["min_shingle_md5"] == min(hs)
+        assert r["max_shingle_md5"] == max(hs)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _with_dupes(spark, docs):
+    """documents plus two exact copies and one near-copy of doc 0."""
+    base = docs.select("doc_id", "text", "lang", "source")
+    r0 = base.filter(F.col("doc_id") == 0).collect()[0]
+    extra = spark.createDataFrame(
+        [(9001, r0["text"], r0["lang"], r0["source"]),
+         (9002, r0["text"], r0["lang"], r0["source"]),
+         (9003, r0["text"] + " tail", r0["lang"], r0["source"])],
+        "doc_id long, text string, lang string, source string")
+    return base.unionByName(extra)
+
+
+def test_exact_dedup(spark, docs):
+    df = _with_dupes(spark, docs)
+    total = df.count()
+    surv = dedup.exact_survivors(df)
+    assert surv.count() == total - 2          # two exact copies removed
+    assert surv.filter(F.col("doc_id").isin(9001, 9002)).count() == 0
+    assert surv.filter(F.col("doc_id") == 9003).count() == 1
+    st = dedup.exact_stats(df).agg(F.sum("n_removed")).collect()[0][0]
+    assert st == 2
+
+
+def _brute_jaccard(a: str, b: str, n: int = 3, prefix: int = 512) -> float:
+    sa = {a[:prefix][i:i + n] for i in range(max(len(a[:prefix]) - n + 1, 1))}
+    sb = {b[:prefix][i:i + n] for i in range(max(len(b[:prefix]) - n + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_vs_brute(spark, docs):
+    df = _with_dupes(spark, docs)
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.6).collect()
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # the injected pairs must be found with the exact brute-force value
+    for pair in [(0, 9001), (0, 9002), (0, 9003), (9001, 9002)]:
+        assert pair in got
+        assert abs(got[pair] -
+                   _brute_jaccard(texts[pair[0]], texts[pair[1]])) < 1e-6
+    # and every reported value is the true jaccard
+    for (ia, ib), j in got.items():
+        assert abs(j - _brute_jaccard(texts[ia], texts[ib])) < 1e-6
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    df = _with_dupes(spark, docs)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.7, num_perm=64,
+                                      bands=16, n=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 9001) in got and (0, 9002) in got and (9001, 9002) in got
+    assert (0, 9003) in got                   # near-copy caught too
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for r in pairs:                           # verify step is exact
+        bj = _brute_jaccard(texts[r["id_a"]], texts[r["id_b"]], n=4)
+        assert abs(r["jaccard"] - bj) < 1e-6
+        assert r["jaccard"] >= 0.7
+
+
+def test_simhash_near_dup_property(spark, docs):
+    df = _with_dupes(spark, docs)
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sh[0] == sh[9001] == sh[9002]      # identical text -> same hash
+    ham_near = bin((sh[0] ^ sh[9003]) & (2**64 - 1)).count("1")
+    assert ham_near <= 8                      # one extra token
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 9001) in got and (9001, 9002) in got
+    for r in pairs:
+        true_ham = bin((sh[r["id_a"]] ^ sh[r["id_b"]]) & (2**64 - 1)).count("1")
+        assert r["hamming"] == true_ham <= 3
+
+
+def test_embedding_cosine_pairs_vs_numpy(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
+                          r["label"]) for r in rows}
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           dedup.embedding_cosine_pairs(emb, threshold=0.3).collect()}
+    brute = {}
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j and vecs[i][1] == vecs[j][1]:
+                a, b = vecs[i][0], vecs[j][0]
+                c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if round(c, 6) >= 0.3:
+                    brute[(i, j)] = c
+    assert set(got) == set(brute)
+    for k in got:
+        assert abs(got[k] - brute[k]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _brute_topk_numpy(rows, qids, k):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    out = {}
+    for q in qids:
+        sims = []
+        for i, v in vecs.items():
+            if i == q:
+                continue
+            c = float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+            sims.append((-c, i))
+        sims.sort()
+        out[q] = [i for _, i in sims[:k]]
+    return out
+
+
+def test_brute_topk_vs_numpy(emb):
+    qids = [0, 1, 2]
+    got = similarity.brute_topk(emb, qids, k=5).collect()
+    brute = _brute_topk_numpy(emb.collect(), qids, 5)
+    for q in qids:
+        mine = [r["nid"] for r in got if r["qid"] == q]
+        assert mine == brute[q]
+
+
+def test_lsh_topk_recall_and_validity(emb):
+    qids = [0, 1, 2, 3, 4]
+    brute = _brute_topk_numpy(emb.collect(), qids, 10)
+    got = similarity.lsh_topk(emb, qids, k=10, planes=6).collect()
+    hits = total = 0
+    for q in qids:
+        mine = {r["nid"] for r in got if r["qid"] == q}
+        assert q not in mine
+        hits += len(mine & set(brute[q]))
+        total += len(brute[q])
+    assert hits / total >= 0.2  # multi-probe over 1/64 buckets; see module doc
+    # determinism
+    again = similarity.lsh_topk(emb, qids, k=10, planes=6).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_synth_media_and_meta(spark, docs):
+    media = multimodal.synth_media(docs).cache()
+    meta = {r["doc_id"]: r for r in multimodal.extract_meta(media).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(meta) == set(src)
+    for did, t in list(src.items())[:20]:
+        m = meta[did]
+        body = t.encode()
+        assert m["n_bytes"] == 12 + len(body)
+        assert m["magic"] == ("SIMG" if did % 2 == 0 else "SAUD")
+        expect = np.floor(float(np.frombuffer(body, np.uint8).mean()) * 1e6) / 1e6
+        assert abs(m["body_mean"] - expect) < 1e-9
+        if did % 2 == 0:
+            w = min(len(body), 64)
+            assert m["dim1"] == w
+            assert m["dim2"] == -(-len(body) // w)
+        else:
+            assert m["dim1"] == len(body) and m["dim2"] == 16000
+    media.unpersist()
+
+
+def test_decode_stubs(spark, docs):
+    media = multimodal.synth_media(docs)
+    img_row = media.filter(F.col("media_type") == "image/synthetic") \
+                   .limit(1).collect()[0]
+    arr = multimodal.decode_image(bytes(img_row["payload"]))
+    assert arr.ndim == 2 and arr.dtype == np.uint8
+    aud_row = media.filter(F.col("media_type") == "audio/synthetic") \
+                   .limit(1).collect()[0]
+    samples, rate = multimodal.decode_audio(bytes(aud_row["payload"]))
+    assert rate == 16000 and samples.dtype == np.uint8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG1234567890")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF1234567890")
