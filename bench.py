@@ -86,7 +86,9 @@ def _repofiles_parquet() -> str:
             os.makedirs(cache, exist_ok=True)
             p = os.path.join(cache, f"repofiles_n{REPO_ROWS}.parquet")
             if not os.path.exists(p):
-                pq.write_table(repofiles(REPO_ROWS, seed=42), p)
+                # small row groups => parallel scan (see synth.fixture_path)
+                pq.write_table(repofiles(REPO_ROWS, seed=42), p,
+                               row_group_size=8192)
             _REPO_PATH = p
     return _REPO_PATH
 
@@ -143,6 +145,32 @@ def q_join_agg(spark: SparkSession) -> None:
             .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total")))
 
 
+def q_dedup_minhash(spark: SparkSession) -> None:
+    """MinHash+LSH near-dup over the north-rule content column."""
+    from cpp_parquet_spark.dedup import minhash_dedup_pairs
+    df = _repofiles_df(spark).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"))
+    _force(minhash_dedup_pairs(df, threshold=0.8, prefix=1024))
+
+
+def q_text_pipeline(spark: SparkSession) -> None:
+    """Quality + fingerprint over the north-rule content (pure built-ins)."""
+    from cpp_parquet_spark.textops import fingerprint, quality
+    df = _repofiles_df(spark).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"), F.col("lang"))
+    _force(quality(df))
+    _force(fingerprint(df, prefix=256))
+
+
+def q_ann_topk(spark: SparkSession) -> None:
+    from cpp_parquet_spark.similarity import brute_topk, lsh_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _force(brute_topk(emb, [0, 1, 2, 3, 4], k=10))
+    _force(lsh_topk(emb, [0, 1, 2, 3, 4], k=10))
+
+
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
     "roundtrip_repofiles": q_roundtrip_repofiles,
@@ -150,6 +178,9 @@ QUERIES = {
     "encode_documents": q_encode_documents,
     "encode_lineitem": q_encode_lineitem,
     "join_agg": q_join_agg,
+    "dedup_minhash": q_dedup_minhash,
+    "text_pipeline": q_text_pipeline,
+    "ann_topk": q_ann_topk,
 }
 
 
@@ -157,12 +188,14 @@ def main() -> None:
     only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
     names = only or list(QUERIES)
     spark = get_spark(f"local[{CPUS}]")
-    # warm up JVM + Python workers so timings measure the kernels, not startup
-    warm = spark.createDataFrame([(i, "warm" * 10) for i in range(512)],
+    # warm up JVM + Python workers so timings measure the kernels, not
+    # startup; enough parts that every worker slot spawns and imports
+    warm = spark.createDataFrame([(str(i), "warm" * 10) for i in range(4096)],
                                  "repo string, content string") \
         .withColumn("path", F.lit("p")).withColumn("commit", F.lit("c")) \
         .withColumn("lang", F.lit("txt"))
-    _force(encode_table(warm, EncodeConfig(keys=("repo",), num_parts=4,
+    _force(encode_table(warm, EncodeConfig(keys=("repo",), salt_from=(),
+                                           num_parts=4 * CPUS,
                                            table_name="warm")))
 
     content_bytes = _repofiles_df(spark).agg(

@@ -82,9 +82,15 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
     return [int(c) for c in cuts]
 
 
-def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig):
-    """Returns a mapInArrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch]."""
+def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
+                       plan: dict[tuple[int, str], str] | None = None):
+    """Returns a mapInArrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch].
+
+    ``plan`` maps (part_id, column) -> codec from the cluster-level
+    sampling pass (stats.plan_decisions); unplanned chunks fall back to
+    page-local measurement (select.choose_codec_arrow)."""
     overrides = dict(cfg.codec_overrides)
+    plan = plan or {}
     page_bytes, rows_max = cfg.page_bytes, cfg.page_rows_max
     table_name = cfg.table_name
 
@@ -131,12 +137,18 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig):
                         if codec is None:
                             dec = decisions.get((part, col))
                             if dec is None:
-                                codec0, ftab0 = choose_codec_arrow(piece, tag)
-                                if codec0 == "fsst":
-                                    # selection trained on a ~16 KiB sample;
-                                    # retrain once on the first page (64 KiB
-                                    # cap) for a better chunk-wide table
-                                    ftab0 = fsst.train(piece) or ftab0
+                                planned = plan.get((part, col))
+                                if planned in pagecodec.LEGAL[tag]:
+                                    codec0, ftab0 = planned, None
+                                else:
+                                    codec0, ftab0 = choose_codec_arrow(piece, tag)
+                                if codec0 == "fsst" and ftab0 is None:
+                                    # train the chunk-wide table once on the
+                                    # first page (64 KiB cap); selection's
+                                    # ~16 KiB sample table is only a probe
+                                    ftab0 = fsst.train(piece)
+                                    if ftab0 is None:   # untrainable page
+                                        codec0 = "plain"
                                 dec = (codec0, ftab0)
                                 decisions[(part, col)] = dec
                             codec, ftab = dec
@@ -177,13 +189,18 @@ def encodable_columns(df: DataFrame) -> tuple[list[str], list[str]]:
     return cols, tags
 
 
-def encode_table(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
-    """DataFrame -> pages DataFrame (pure transformation, no writes)."""
+def encode_table(df: DataFrame, cfg: EncodeConfig,
+                 plan: dict[tuple[int, str], str] | None = None) -> DataFrame:
+    """DataFrame -> pages DataFrame (pure transformation, no writes).
+
+    ``plan``: optional (part_id, column) -> codec decisions from
+    stats.plan_decisions (the sampling pass); without it each column
+    chunk self-selects on its first page."""
     cols, tags = encodable_columns(df)
     if not cols:
         raise ValueError("no encodable columns")
     prepared = cluster_by_part(with_part_id(df.select(*cols), cfg), cfg)
-    kernel = make_encode_kernel(cols, tags, cfg)
+    kernel = make_encode_kernel(cols, tags, cfg, plan)
     pages = prepared.mapInArrow(kernel, PAGES_SCHEMA)
     # column layout rides along so decode_table needn't run a discovery job
     pages._cps_columns = list(zip(cols, tags))  # type: ignore[attr-defined]
@@ -275,8 +292,13 @@ def manifest_from_pages(pages_meta: DataFrame, run_id: str,
 
 
 def run_encode(spark: SparkSession, df: DataFrame, dst: str,
-               cfg: EncodeConfig, run_id: str | None = None) -> dict:
-    """Durable, resumable encode. Returns summary stats (driver-side)."""
+               cfg: EncodeConfig, run_id: str | None = None,
+               plan: dict[tuple[int, str], str] | None = None) -> dict:
+    """Durable, resumable encode. Returns summary stats (driver-side).
+
+    ``plan``: stats-pass codec decisions (stats.plan_decisions); must be
+    identical across resume attempts for bit-stable reruns — it is, given
+    the same input + fraction + seed (deterministic sample and kernel)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     pages_dir = os.path.join(dst, "pages")
     manifest_dir = os.path.join(dst, "manifest")
@@ -289,7 +311,8 @@ def run_encode(spark: SparkSession, df: DataFrame, dst: str,
                        src["__part_id"] == done["part_id"], "left_anti")
     cols, tags = encodable_columns(df)
     prepared = cluster_by_part(src, cfg)
-    pages = prepared.mapInArrow(make_encode_kernel(cols, tags, cfg), PAGES_SCHEMA)
+    pages = prepared.mapInArrow(make_encode_kernel(cols, tags, cfg, plan),
+                                PAGES_SCHEMA)
     pages = pages.withColumn("run_id", F.lit(run_id))
     pages.write.mode("append").parquet(pages_dir)
     # manifest from the just-committed pages (column pruning: the heavy

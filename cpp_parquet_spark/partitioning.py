@@ -43,6 +43,10 @@ def with_part_id(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """
     key_cols = [F.col(k) for k in cfg.keys if k in df.columns]
     salt_cols = [F.col(c) for c in cfg.salt_from if c in df.columns]
+    if not key_cols and not salt_cols:
+        # none of the configured columns exist on this table: spread by a
+        # hash of the whole row rather than collapsing into one part
+        key_cols = [F.col(c) for c in df.columns]
     if salt_cols:
         salt = F.pmod(F.xxhash64(*salt_cols), F.lit(cfg.salt_buckets))
     else:

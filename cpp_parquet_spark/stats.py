@@ -1,0 +1,179 @@
+"""Cluster-level sampling stats pass + codec decisions (E8/S6, north
+rule: "a sampling-based codec-selection pass computes per-partition column
+statistics (cardinality, run-length histograms, byte-frequency tables)
+and auto-picks dict vs RLE vs FSST vs bit-pack vs FOR per column chunk").
+
+Pipeline shape (SURVEY.md §3.3)::
+
+    df.sample(fraction, seed)                  # narrow
+      -> with_part_id + cluster_by_part        # ONE shuffle; each part_id
+                                               # lands whole in one task
+      -> mapInArrow(stats kernel)              # per (part, column) stats
+      -> decide_codecs (pure expression)       # deterministic thresholds
+      -> small decisions table -> driver dict  # fed to the encode kernel
+
+Because parts are clustered before the kernel runs, each task sees every
+sampled row of its parts, so per-(part, column) statistics are final — no
+merge aggregation needed afterwards. Determinism: seeded sample, seeded
+nothing-else; identical input -> identical decisions (resume-stable,
+SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .codecs import pagecodec
+from .codecs.bitpack import bit_width_for
+from .partitioning import EncodeConfig, cluster_by_part, with_part_id
+
+STATS_SCHEMA = T.StructType([
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("column", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("n_values", T.LongType()),
+    T.StructField("n_nulls", T.LongType()),
+    T.StructField("total_bytes", T.LongType()),
+    T.StructField("ndv", T.LongType()),          # exact on the sample
+    T.StructField("mean_run", T.DoubleType()),   # run-length histogram mean
+    T.StructField("byte_entropy", T.DoubleType()),  # bits/byte (strings)
+    T.StructField("min_v", T.DoubleType()),
+    T.StructField("max_v", T.DoubleType()),
+])
+
+_STATS_ARROW = pa.schema([
+    ("part_id", pa.int32()), ("column", pa.string()), ("type", pa.string()),
+    ("n_values", pa.int64()), ("n_nulls", pa.int64()),
+    ("total_bytes", pa.int64()), ("ndv", pa.int64()),
+    ("mean_run", pa.float64()), ("byte_entropy", pa.float64()),
+    ("min_v", pa.float64()), ("max_v", pa.float64()),
+])
+
+
+def _col_stats(arr: pa.Array, tag: str) -> dict:
+    n = len(arr)
+    nulls = arr.null_count
+    work = arr.drop_null() if nulls else arr
+    out = {"n_values": n, "n_nulls": nulls, "ndv": 0, "mean_run": 1.0,
+           "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0}
+    if len(work) == 0:
+        return out
+    if tag in pagecodec.STR_TAGS:
+        la = work.cast(pa.large_binary())
+        offs = np.frombuffer(la.buffers()[1], np.int64, count=len(la) + 1,
+                             offset=la.offset * 8)
+        data = np.frombuffer(la.buffers()[2], np.uint8,
+                             count=int(offs[-1]))[int(offs[0]):]
+        out["total_bytes"] = int(data.shape[0])
+        freq = np.bincount(data, minlength=256)   # the byte-frequency table
+        p = freq[freq > 0] / max(data.shape[0], 1)
+        out["byte_entropy"] = float(-(p * np.log2(p)).sum())
+        out["ndv"] = int(pa.compute.count_distinct(work).as_py())
+        # run lengths over the value sequence (dictionary codes)
+        codes = work.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        runs = int((codes[1:] != codes[:-1]).sum()) + 1
+        out["mean_run"] = float(codes.shape[0] / runs)
+        lens = np.diff(offs)
+        out["min_v"], out["max_v"] = float(lens.min()), float(lens.max())
+    else:
+        if tag in ("ts", "tsn"):
+            work = work.cast(pa.int64())
+        v = work.to_numpy(zero_copy_only=False)
+        if tag == "bool":
+            v = v.astype(np.int64)
+        out["total_bytes"] = int(v.shape[0] * v.dtype.itemsize)
+        runs = int((v[1:] != v[:-1]).sum()) + 1
+        out["mean_run"] = float(v.shape[0] / runs)
+        out["ndv"] = int(np.unique(v).shape[0])
+        out["min_v"], out["max_v"] = float(v.min()), float(v.max())
+    return out
+
+
+def column_stats(df: DataFrame, cfg: EncodeConfig, fraction: float = 0.05,
+                 seed: int = 42) -> DataFrame:
+    """Per-(part_id, column) statistics over a seeded sample."""
+    cols, tags = [], []
+    for f in df.schema.fields:
+        tag = pagecodec.spark_type_tag(f.dataType)
+        if tag is not None:
+            cols.append(f.name), tags.append(tag)
+    # hash-based sampling, NOT df.sample(): Spark 4.1's Sample re-salts its
+    # seed per query execution (verified: spark.range(...).sample(0.5, 42)
+    # differs across two collects), which would break decision determinism
+    # and resume-stable reruns. xxhash64 of the row is exactly reproducible.
+    sampled = df.select(*cols)
+    if fraction < 1.0:
+        keep = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
+                      F.lit(1_000_000)) < int(fraction * 1_000_000)
+        sampled = sampled.filter(keep)
+    prepared = cluster_by_part(with_part_id(sampled, cfg), cfg)
+
+    def kernel(batches):
+        acc: dict[tuple[int, str], list] = {}
+        for batch in batches:
+            pids = batch.column("__part_id").to_numpy(zero_copy_only=False)
+            if pids.shape[0] == 0:
+                continue
+            bounds = np.flatnonzero(np.diff(pids)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [pids.shape[0]]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                part = int(pids[s])
+                for col, tag in zip(cols, tags):
+                    arr = pagecodec.to_arrow(batch.column(col).slice(s, e - s),
+                                             tag)
+                    acc.setdefault((part, col), []).append((tag, arr))
+        rows = {k: [] for k in _STATS_ARROW.names}
+        for (part, col), chunks in sorted(acc.items()):
+            tag = chunks[0][0]
+            merged = pa.chunked_array([a for _, a in chunks]).combine_chunks()
+            st = _col_stats(merged, tag)
+            rows["part_id"].append(part)
+            rows["column"].append(col)
+            rows["type"].append(tag)
+            for k in ("n_values", "n_nulls", "total_bytes", "ndv",
+                      "mean_run", "byte_entropy", "min_v", "max_v"):
+                rows[k].append(st[k])
+        if rows["part_id"]:
+            yield pa.RecordBatch.from_pydict(rows, schema=_STATS_ARROW)
+
+    return prepared.mapInArrow(kernel, STATS_SCHEMA)
+
+
+def decide_codecs(stats: DataFrame) -> DataFrame:
+    """Deterministic decision expression over the stats table — the
+    plan-level mirror of select.choose_codec's page-level measurement.
+
+    Thresholds: RLE when runs dominate; dict when the sampled cardinality
+    is low relative to count; FOR/bit-pack for narrow int ranges; FSST for
+    compressible text (entropy under ~6.2 bits/byte — source code sits
+    around 4-5); PLAIN otherwise."""
+    nd, n = F.col("ndv"), F.col("n_values")
+    span_bits = F.ceil(F.log2(F.greatest(F.col("max_v") - F.col("min_v") + 1,
+                                         F.lit(2.0))))
+    is_int = F.col("type").isin("i64", "i32", "ts", "tsn")
+    is_str = F.col("type").isin("str", "bin")
+    decision = (
+        F.when(F.col("type") == "bool", "rle")
+        .when(F.col("mean_run") >= 4.0, "rle")
+        .when(is_int & (nd <= F.greatest(n / 2, F.lit(1))) & (nd <= 65536)
+              & (span_bits > 20), "dict")
+        .when(is_int & (span_bits <= 20), "for")
+        .when(is_int, "for")
+        .when(is_str & (nd <= n / 2) & (nd <= 65536), "dict")
+        .when(is_str & (F.col("byte_entropy") <= 6.2), "fsst")
+        .when(F.col("type").isin("f64", "f32") & (nd <= n / 8), "dict")
+        .otherwise("plain"))
+    return stats.select("part_id", "column", decision.alias("codec"))
+
+
+def plan_decisions(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
+                   fraction: float = 0.05, seed: int = 42
+                   ) -> dict[tuple[int, str], str]:
+    """Run the sampling pass and collect the (small) decisions table into
+    the dict the encode kernel consumes. Size = num_parts * n_columns."""
+    dec = decide_codecs(column_stats(df, cfg, fraction, seed))
+    return {(r["part_id"], r["column"]): r["codec"] for r in dec.collect()}

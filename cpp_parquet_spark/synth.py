@@ -139,5 +139,8 @@ def fixture_path(sf: str, skew: bool = False) -> str:
     path = os.path.join(cache, name)
     if not os.path.exists(path):
         tbl = repofiles(SF_ROWS[sf], seed=42, skew=skew)
-        pq.write_table(tbl, path)
+        # small row groups: a parquet file is split at row-group boundaries,
+        # so this is what makes the Spark scan (and the shuffle write that
+        # follows it) parallel instead of one fat task
+        pq.write_table(tbl, path, row_group_size=8192)
     return path

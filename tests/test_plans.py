@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2-4.3).
+
+The scale story rests on plan properties, not vibes: one exchange in the
+encode pass, broadcast joins where a side is small, column pruning into
+the parquet scan. These tests pin them so a refactor can't silently
+regress the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.engine import encode_table, run_encode
+from cpp_parquet_spark.partitioning import EncodeConfig
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+CFG = EncodeConfig(keys=("source",), salt_from=("doc_id",), num_parts=8,
+                   order_keys=("doc_id",), table_name="documents")
+
+
+def test_encode_has_exactly_one_exchange(docs):
+    plan = _plan(encode_table(docs, CFG))
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+
+
+def test_encode_scan_prunes_to_encodable_columns(spark, sf_dir):
+    # pages-side aggregations must not read the heavy `data` blob column
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        run_encode(spark, df, d, CFG)
+        pages = spark.read.parquet(os.path.join(d, "pages"))
+        agg = pages.groupBy("column").agg(F.sum("enc_bytes").alias("b"))
+        plan = _plan(agg)
+        scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+        assert "data" not in scan_line.split("ReadSchema")[1], scan_line
+
+
+def test_broadcast_join_on_small_dim(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey) \
+         .groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_resume_antijoin_is_broadcast(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "enc")
+    run_encode(spark, df, dst, CFG)
+    # second run: the anti-join against the manifest must broadcast the
+    # (tiny) done-parts side, not shuffle the source
+    from cpp_parquet_spark.partitioning import with_part_id
+    done = spark.read.parquet(f"{dst}/manifest").select("part_id").distinct()
+    src = with_part_id(df.select("doc_id", "text"), CFG)
+    anti = src.join(F.broadcast(done),
+                    src["__part_id"] == done["part_id"], "left_anti")
+    plan = _plan(anti)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "LessThanOrEqual(l_shipdate" in plan, plan
+    scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    read = scan_line.split("ReadSchema")[1]
+    assert "l_quantity" in read and "l_extendedprice" not in read

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the encode pipeline (north rule:
+"run via spark-submit --py-files on multi-executor clusters").
+
+Cluster usage (production, Iceberg source)::
+
+    zip -r engine.zip cpp_parquet_spark
+    spark-submit \\
+        --master yarn --deploy-mode cluster \\
+        --num-executors $N --executor-cores 8 --executor-memory 16g \\
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.8.0 \\
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+        --conf spark.sql.catalog.lake.type=rest \\
+        --py-files engine.zip \\
+        tools/submit_encode.py \\
+        --src lake.db.repo_files --dst s3://bucket/encoded --parts 4096
+
+Sandbox usage (parquet source, no Iceberg jar present — verified absent
+from pyspark/jars; same DataFrame code either way)::
+
+    python tools/submit_encode.py --src /root/testdata/sf0.01 --table documents \\
+        --dst /tmp/enc_out --parts 32
+
+The job is resumable: rerunning with the same --dst anti-joins the
+manifest and encodes only missing partitions (engine.run_encode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True,
+                    help="Iceberg table name or parquet dir")
+    ap.add_argument("--table", default=None,
+                    help="table file name when --src is a fixtures dir")
+    ap.add_argument("--dst", required=True, help="output dir (pages+manifest)")
+    ap.add_argument("--parts", type=int, default=None,
+                    help="explicit part count; default: planned from bytes")
+    ap.add_argument("--keys", default="repo", help="comma-separated skew keys")
+    ap.add_argument("--salt-from", default="path")
+    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--order-keys", default="path")
+    ap.add_argument("--decode-verify", action="store_true",
+                    help="decode + sha256-verify after encode (2x cost)")
+    args = ap.parse_args(argv)
+
+    # imports deferred so --help works without a JVM
+    from pyspark.sql import SparkSession, functions as F
+
+    from cpp_parquet_spark.engine import (decode_dataset, run_encode,
+                                          verify_roundtrip)
+    from cpp_parquet_spark.partitioning import EncodeConfig, plan_num_parts
+
+    spark = SparkSession.builder.appName("cpp_parquet_spark.encode") \
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.table:
+        df = spark.read.parquet(f"{args.src.rstrip('/')}/{args.table}.parquet")
+        name = args.table
+    elif "/" in args.src:
+        df = spark.read.parquet(args.src)
+        name = args.src.rstrip("/").rsplit("/", 1)[-1]
+    else:
+        df = spark.read.table(args.src)     # Iceberg catalog table
+        name = args.src.rsplit(".", 1)[-1]
+
+    parts = args.parts
+    if parts is None:
+        # sample-based bytes estimate -> bytes-per-part plan (SURVEY.md §4.3)
+        sample = df.sample(0.01, seed=42).agg(
+            F.sum(F.octet_length(F.col(df.columns[-1]).cast("string")))
+        ).collect()[0][0] or 0
+        parts = plan_num_parts(int(sample * 100))
+
+    cfg = EncodeConfig(
+        keys=tuple(k for k in args.keys.split(",") if k),
+        salt_from=tuple(k for k in args.salt_from.split(",") if k),
+        salt_buckets=args.salt_buckets,
+        num_parts=parts,
+        order_keys=tuple(k for k in args.order_keys.split(",") if k),
+        table_name=name)
+
+    t0 = time.monotonic()
+    summary = run_encode(spark, df, args.dst, cfg)
+    summary["encode_wall_s"] = round(time.monotonic() - t0, 2)
+
+    if args.decode_verify:
+        decoded = decode_dataset(spark, args.dst)
+        content_col = df.columns[-1]
+        summary["verify"] = verify_roundtrip(df, decoded, content_col)
+
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
