@@ -15,9 +15,9 @@ rounds (3), never over values or bytes (BASELINE.json:15).
 
 Hot-path representation: the working array ``a`` is uint8 (codes 0..253;
 254 = SENT, a string-boundary sentinel; 255 = ESC); each round's merge
-table is a flat 65536-entry int16 LUT indexed by ``(left << 8) | right``
-so no bounds masking is needed, and the ESC/SENT rows/columns stay -1 by
-construction. The sentinel makes cross-string merges impossible without
+table is an int16[256, 256] LUT storing ``code + 1`` (0 = no merge), so
+the pair gather is one 2-D C-level pass and the ESC/SENT rows/columns
+stay 0 by construction. The sentinel makes cross-string merges impossible without
 carrying a per-position string-id array through the passes, and because
 merges never touch ESC positions, the out-of-vocabulary raw bytes can be
 recovered *in original order* from the source data at the end — so the
@@ -56,7 +56,7 @@ class SymbolTable:
     def __init__(self, base_lut, expansions, round_luts):
         self.base_lut = base_lut          # uint8->code (int16, -1 = OOV)
         self.expansions = expansions      # list[bytes], index = code
-        self.round_luts = round_luts      # list of int16[65536] pair LUTs
+        self.round_luts = round_luts      # list of int16[256,256] (code+1) LUTs
 
 
 def _flatten(values) -> tuple[np.ndarray, np.ndarray]:
@@ -86,29 +86,32 @@ def _pair_keys(a: np.ndarray) -> np.ndarray:
     return k
 
 
-def _sub_pass(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
+def _sub_pass(a: np.ndarray, lut2d: np.ndarray) -> np.ndarray:
     """One greedy non-overlapping pair-substitution pass (all numpy).
 
-    a: uint8 codes (SENT breaks strings, ESC marks OOV); lut: int16[65536],
-    -1 = no merge (ESC/SENT rows and columns are -1 by construction, so no
-    merge can cross a string boundary or swallow an escape).
+    a: uint8 codes (SENT breaks strings, ESC marks OOV);
+    lut2d: int16[256, 256] merge table storing ``code + 1`` (0 = no merge;
+    ESC/SENT rows and columns are 0 by construction, so no merge can cross
+    a string boundary or swallow an escape). The 2-D gather
+    ``lut2d[a[:-1], a[1:]]`` is a single C pass — no uint16 key
+    temporaries — and the +1 bias lets flatnonzero skip a compare.
     """
     n = a.shape[0]
     if n < 2:
         return a
-    z = lut[_pair_keys(a)]
-    p = np.flatnonzero(z >= 0).astype(np.int32)
+    z = lut2d[a[:-1], a[1:]]
+    p = np.flatnonzero(z)
     if p.size == 0:
         return a
     # greedy left-to-right non-overlap: in each chain of consecutive match
     # positions, keep even offsets
-    idx = np.arange(p.size, dtype=np.int32)
+    idx = np.arange(p.size, dtype=np.int64)
     new_chain = np.empty(p.size, dtype=bool)
     new_chain[0] = True
     np.greater(np.diff(p), 1, out=new_chain[1:])
     chain_first = np.maximum.accumulate(np.where(new_chain, idx, 0))
     sel = p[((idx - chain_first) & 1) == 0]
-    a[sel] = z[sel].astype(np.uint8)
+    a[sel] = (z[sel] - 1).astype(np.uint8)
     alive = np.ones(n, dtype=bool)
     alive[sel + 1] = False
     return a[alive]
@@ -163,8 +166,9 @@ def train(values) -> SymbolTable | None:
         order = order[freq[order] >= MIN_PAIR_FREQ]
         if order.shape[0] == 0:
             break
-        lut = np.full(65536, -1, dtype=np.int16)
-        lut[order] = np.arange(vocab, vocab + order.shape[0], dtype=np.int16)
+        lut = np.zeros((256, 256), dtype=np.int16)   # code+1; 0 = no merge
+        lut.ravel()[order] = np.arange(vocab + 1, vocab + 1 + order.shape[0],
+                                       dtype=np.int16)
         for pair_key in order.tolist():
             x, y = pair_key >> 8, pair_key & 0xFF
             expansions.append(expansions[x] + expansions[y])

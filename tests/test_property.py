@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the codec kernels (SURVEY.md §5.2 item 2).
+
+Pure numpy/Arrow — no Spark session, so the whole file runs in seconds
+and explores the input space far beyond the hand-written cases: extreme
+int64s, unicode/empty/huge strings, null patterns, every legal
+(tag, codec) combination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cpp_parquet_spark.codecs import pagecodec
+from cpp_parquet_spark.select import choose_codec_arrow
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+SMALL = st.integers(min_value=-1000, max_value=1000)
+
+texty = st.text(max_size=200)
+bin_ = st.binary(max_size=200)
+
+
+def _roundtrip(arr: pa.Array, tag: str, codec: str):
+    row = pagecodec.encode_page(arr, tag, codec)
+    out = pagecodec.decode_page(row["data"], row["params"], row["codec"],
+                                tag, row["num_values"], row["null_count"])
+    want = pagecodec.to_arrow(arr, tag)
+    got = out.cast(want.type) if out.type != want.type else out
+    assert got.to_pylist() == want.to_pylist(), (tag, codec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(I64, SMALL, st.just(0)), max_size=300))
+@pytest.mark.parametrize("codec", ["plain", "for", "rle", "dict", "bitpack"])
+def test_int64_roundtrip_all_codecs(codec, xs):
+    _roundtrip(pa.array(xs, pa.int64()), "i64", codec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(texty, st.just(""), st.just("x" * 5000)),
+                max_size=200))
+@pytest.mark.parametrize("codec", ["plain", "dict", "fsst"])
+def test_string_roundtrip_all_codecs(codec, xs):
+    arr = pa.array(xs, pa.large_string())
+    if codec == "fsst":
+        from cpp_parquet_spark.codecs import fsst
+        if fsst.train(arr) is None:
+            return  # untrainable page: selection would never pick fsst
+    _roundtrip(arr, "str", codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(bin_, st.none()), max_size=200))
+def test_binary_with_nulls_roundtrip(xs):
+    arr = pa.array(xs, pa.large_binary())
+    for codec in ("plain", "dict"):
+        _roundtrip(arr, "bin", codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(I64, st.none()), max_size=200))
+def test_int_nulls_roundtrip(xs):
+    arr = pa.array(xs, pa.int64())
+    for codec in ("plain", "for", "rle", "dict"):
+        _roundtrip(arr, "i64", codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.booleans(), max_size=500))
+def test_bool_roundtrip(xs):
+    arr = pa.array(xs, pa.bool_())
+    for codec in ("rle", "plain"):
+        _roundtrip(arr, "bool", codec)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(allow_nan=False), max_size=200))
+def test_float_roundtrip(xs):
+    arr = pa.array(xs, pa.float64())
+    for codec in ("plain", "dict"):
+        _roundtrip(arr, "f64", codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(texty, min_size=1, max_size=150))
+def test_auto_selection_always_roundtrips_sha256(xs):
+    """Whatever the selector picks, the decoded values must be
+    byte-identical (the BASELINE.json:15 invariant, per value)."""
+    arr = pa.array(xs, pa.large_string())
+    codec, ftab = choose_codec_arrow(arr, "str")
+    row = pagecodec.encode_page(arr, "str", codec, ftab)
+    out = pagecodec.decode_page(row["data"], row["params"], row["codec"],
+                                "str", row["num_values"], row["null_count"])
+    for a, b in zip(xs, out.to_pylist()):
+        assert hashlib.sha256(a.encode()).digest() == \
+            hashlib.sha256(b.encode()).digest()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(I64, min_size=1, max_size=300))
+def test_selection_never_loses_to_plain_badly(xs):
+    """The chosen int codec's size must be <= PLAIN + small framing slack
+    (auto-selection exists to not regress the baseline)."""
+    arr = pa.array(xs, pa.int64())
+    codec, _ = choose_codec_arrow(arr, "i64")
+    row = pagecodec.encode_page(arr, "i64", codec)
+    plain_row = pagecodec.encode_page(arr, "i64", "plain")
+    assert row["enc_bytes"] <= plain_row["enc_bytes"] + 64
