@@ -94,11 +94,15 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     page_bytes, rows_max = cfg.page_bytes, cfg.page_rows_max
     table_name = cfg.table_name
 
+    prof_dir = os.environ.get("CPS_KERNEL_PROF")
+
     def kernel(batches):
         counters: dict[tuple[int, str], int] = {}
         part_rows: dict[int, int] = {}
         part_t0: dict[int, float] = {}
         out_rows: list[dict] = []
+        prof = {"encode_s": 0.0, "select_s": 0.0, "pages": 0, "bytes": 0,
+                "wall_t0": time.monotonic()}
         # codec decision per (part, column): chosen on the first page, reused
         # for the rest — selection + FSST training amortize over the whole
         # column chunk instead of repeating per page (deterministic: parts
@@ -137,6 +141,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                         if codec is None:
                             dec = decisions.get((part, col))
                             if dec is None:
+                                t_sel = time.monotonic()
                                 planned = plan.get((part, col))
                                 if planned in pagecodec.LEGAL[tag]:
                                     codec0, ftab0 = planned, None
@@ -144,15 +149,20 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                                     codec0, ftab0 = choose_codec_arrow(piece, tag)
                                 if codec0 == "fsst" and ftab0 is None:
                                     # train the chunk-wide table once on the
-                                    # first page (64 KiB cap); selection's
+                                    # first page (256 KiB cap); selection's
                                     # ~16 KiB sample table is only a probe
                                     ftab0 = fsst.train(piece)
                                     if ftab0 is None:   # untrainable page
                                         codec0 = "plain"
                                 dec = (codec0, ftab0)
                                 decisions[(part, col)] = dec
+                                prof["select_s"] += time.monotonic() - t_sel
                             codec, ftab = dec
+                        t_enc = time.monotonic()
                         row = pagecodec.encode_page(piece, tag, codec, ftab)
+                        prof["encode_s"] += time.monotonic() - t_enc
+                        prof["pages"] += 1
+                        prof["bytes"] += row["raw_bytes"]
                         pid = counters.get((part, col), 0)
                         counters[(part, col)] = pid + 1
                         row.update(table=table_name, part_id=part, column=col,
@@ -175,6 +185,14 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
         b = flush()
         if b is not None:
             yield b
+        if prof_dir:
+            prof["wall_s"] = time.monotonic() - prof.pop("wall_t0")
+            with open(os.path.join(prof_dir,
+                                   f"kprof-{os.getpid()}-"
+                                   f"{int(time.monotonic()*1e6)}.json"),
+                      "w") as f:
+                json.dump({k: round(v, 3) if isinstance(v, float) else v
+                           for k, v in prof.items()}, f)
 
     return kernel
 
