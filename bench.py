@@ -190,7 +190,9 @@ QUERIES = {
 def main() -> None:
     only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
     names = only or list(QUERIES)
-    spark = get_spark(f"local[{CPUS}]")
+    # hybrid JVM+Python encode stages: 2-core task slots stop the 2x
+    # thread oversubscription (serde thread + Python worker per task)
+    spark = get_spark(f"local[{CPUS}]", task_cpus=2 if CPUS >= 16 else 1)
     # warm up JVM + Python workers so timings measure the kernels, not
     # startup; enough parts that every worker slot spawns and imports
     warm = spark.createDataFrame([(str(i), "warm" * 10) for i in range(4096)],
