@@ -279,6 +279,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                [0, 1, 2, 3, 4], k=10, planes=6)
 
 
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<float> encode (listf composite codec) -> decode -> per-vector
+    dim + L2 norm. The oracle computes the same from the SOURCE table, so
+    matching rows prove the decoded floats are bit-identical."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cfg = EncodeConfig(keys=("label",), salt_from=("vec_id",), num_parts=4,
+                       order_keys=("vec_id",), table_name="embeddings")
+    decoded = decode_table(encode_table(emb, cfg))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return decoded.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2norm"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -321,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (LSH)
+        # array<float> codec roundtrip (listf)
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
     }
@@ -422,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             WITH b AS (
               SELECT doc_id, strlen(text) AS n,
+                     greatest(strlen(text), 1) AS nz,
                      strlen(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                      strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
                      len(string_split_regex(trim(text), '\\s+')) AS ws,
@@ -437,8 +457,8 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT doc_id, n AS n_chars_m, ws AS ws_tokens,
-                   round(alpha / n, 6) AS alpha_ratio,
-                   round(punct / n, 6) AS punct_ratio,
+                   round(alpha / nz, 6) AS alpha_ratio,
+                   round(punct / nz, 6) AS punct_ratio,
                    round(stops / ws, 6) AS stop_ratio,
                    round(score, 6) AS quality_score,
                    CASE WHEN score >= 0.8 THEN 'high'
@@ -544,6 +564,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rank, nid, round(c, 6) AS cosine
             FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "roundtrip_embeddings": """
+            SELECT vec_id, len(embedding) AS dim,
+                   round(sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))), 6) AS l2norm
+            FROM embeddings""",
         "multimodal_meta": """
             WITH ch AS (
               SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b

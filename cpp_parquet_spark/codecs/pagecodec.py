@@ -29,6 +29,7 @@ from . import for_ as forc
 INT_TAGS = {"i64", "i32", "ts", "tsn"}
 FLOAT_TAGS = {"f64", "f32"}
 STR_TAGS = {"str", "bin"}
+ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
 
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
@@ -36,6 +37,7 @@ LEGAL = {
     **{t: ("plain", "dict") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
     **{t: ("plain", "dict", "fsst") for t in STR_TAGS},
+    **{t: ("listf",) for t in ARR_TAGS},
 }
 
 _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
@@ -44,7 +46,9 @@ _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
 ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
               "f32": pa.float32(), "bool": pa.bool_(),
               "str": pa.large_string(), "bin": pa.large_binary(),
-              "ts": pa.timestamp("us"), "tsn": pa.timestamp("us")}
+              "ts": pa.timestamp("us"), "tsn": pa.timestamp("us"),
+              "arrf32": pa.list_(pa.float32()),
+              "arrf64": pa.list_(pa.float64())}
 
 
 def spark_type_tag(dt) -> str | None:
@@ -54,6 +58,12 @@ def spark_type_tag(dt) -> str | None:
          T.FloatType: "f32", T.BooleanType: "bool", T.StringType: "str",
          T.BinaryType: "bin", T.TimestampType: "ts",
          T.TimestampNTZType: "tsn"}
+    if isinstance(dt, T.ArrayType):
+        if isinstance(dt.elementType, T.FloatType):
+            return "arrf32"
+        if isinstance(dt.elementType, T.DoubleType):
+            return "arrf64"
+        return None
     return m.get(type(dt))
 
 
@@ -62,7 +72,9 @@ def spark_type_for(tag: str):
     return {"i64": T.LongType(), "i32": T.IntegerType(), "f64": T.DoubleType(),
             "f32": T.FloatType(), "bool": T.BooleanType(),
             "str": T.StringType(), "bin": T.BinaryType(),
-            "ts": T.TimestampType(), "tsn": T.TimestampNTZType()}[tag]
+            "ts": T.TimestampType(), "tsn": T.TimestampNTZType(),
+            "arrf32": T.ArrayType(T.FloatType()),
+            "arrf64": T.ArrayType(T.DoubleType())}[tag]
 
 
 def to_arrow(values, tag: str) -> pa.Array:
@@ -75,6 +87,8 @@ def to_arrow(values, tag: str) -> pa.Array:
     elif not isinstance(values, pa.Array):
         values = pa.array(values)
     want = ARROW_TYPE[tag]
+    if tag in ARR_TAGS:
+        return values if values.type == want else values.cast(want)
     if tag in ("ts", "tsn") and pa.types.is_timestamp(values.type):
         values = values.cast(pa.timestamp("us", tz=values.type.tz))
         if values.type.tz is not None:
@@ -97,12 +111,32 @@ def _arr_split(arr: pa.Array, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarr
         return work.to_numpy(zero_copy_only=False), valid
     if tag == "bool":
         return work.to_numpy(zero_copy_only=False), valid
-    if tag in STR_TAGS:
+    if tag in STR_TAGS or tag in ARR_TAGS:
         return work, valid
     raise ValueError(f"unsupported tag {tag}")
 
 
 def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, dict]:
+    if codec == "listf":
+        # array<float>/<double>: list lengths through the FOR-framed RLE
+        # int path (constant embedding dims collapse to a few bytes),
+        # child values PLAIN little-endian
+        if tag not in ARR_TAGS:
+            raise ValueError("listf is for array<float>/array<double>")
+        arr = vals
+        want = ARROW_TYPE[tag]
+        if arr.type != want:
+            arr = arr.cast(want)
+        offs = np.frombuffer(arr.buffers()[1], np.int32,
+                             count=len(arr) + 1, offset=arr.offset * 4)
+        lens = np.diff(offs).astype(np.int64)
+        ldata, lp = _encode_values(lens, "i64", "rle")
+        child = arr.flatten()
+        dt = np.float32 if tag == "arrf32" else np.float64
+        vbytes = np.ascontiguousarray(
+            child.to_numpy(zero_copy_only=False), dtype=dt).tobytes()
+        body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
+        return body, {"lens": lp}
     if codec == "plain":
         return plain.encode(vals, tag)
     if codec == "dict":
@@ -136,6 +170,18 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
 
 
 def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
+    if codec == "listf":
+        llen = int(np.frombuffer(data[:4], np.uint32)[0])
+        lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
+                                         "rle", "i64", k))
+        offs = np.zeros(k + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(lens).astype(np.int32)
+        dt = pa.float32() if tag == "arrf32" else pa.float64()
+        npdt = np.float32 if tag == "arrf32" else np.float64
+        child = np.frombuffer(data[4 + llen:], dtype=npdt,
+                              count=int(offs[-1]))
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                        pa.array(child, dt))
     if codec == "plain":
         return plain.decode(data, params, k, tag)
     if codec == "dict":
@@ -161,6 +207,10 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
 
 def raw_size(vals, tag: str, n_present: int) -> int:
     """PLAIN-equivalent byte size (the 'uncoded' baseline for ratios)."""
+    if tag in ARR_TAGS:
+        w = 4 if tag == "arrf32" else 8
+        nvals = len(vals.flatten()) if isinstance(vals, pa.Array) else             sum(len(x) for x in vals)
+        return nvals * w + 4 * n_present
     if tag in ("i64", "f64", "ts", "tsn"):
         return 8 * n_present
     if tag in ("i32", "f32"):
@@ -220,7 +270,7 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
     arrow_type = ARROW_TYPE[tag]
     if k == 0:
         return pa.nulls(n, arrow_type)
-    if tag in STR_TAGS:
+    if tag in STR_TAGS or tag in ARR_TAGS:
         arr = vals
         if null_count:
             idx = np.cumsum(valid, dtype=np.int64) - 1

@@ -66,11 +66,17 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
     if n == 0:
         return []
     if tag in ("str", "bin"):
-        off = np.zeros(1, dtype=np.int64)
         a = arr.cast(pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
         buf_off = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1,
                                 offset=a.offset * 8)
         cum = buf_off - buf_off[0]
+        targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
+        cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
+    elif tag in pagecodec.ARR_TAGS:
+        w = 4 if tag == "arrf32" else 8
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
+                             offset=arr.offset * 4).astype(np.int64)
+        cum = (offs - offs[0]) * w
         targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
     else:

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 from .codecs import dictionary, fsst, plain
 from .codecs.bitpack import bit_width_for
+from .codecs.pagecodec import ARR_TAGS as pagecodec_ARR_TAGS
 from .codecs.pagecodec import INT_TAGS, STR_TAGS
 
 SAMPLE_VALUES = 512          # stride-sampled values for string estimation
@@ -148,6 +149,8 @@ def choose_codec_arrow(arr: pa.Array, tag: str):
         return choose_float_codec(work.to_numpy(zero_copy_only=False)), None
     if tag in STR_TAGS:
         return choose_string_codec(work)
+    if tag in pagecodec_ARR_TAGS:
+        return "listf", None
     return "plain", None
 
 

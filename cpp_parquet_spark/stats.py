@@ -61,6 +61,16 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
            "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0}
     if len(work) == 0:
         return out
+    if tag in pagecodec.ARR_TAGS:
+        w = 4 if tag == "arrf32" else 8
+        offs = np.frombuffer(work.buffers()[1], np.int32,
+                             count=len(work) + 1,
+                             offset=work.offset * 4).astype(np.int64)
+        lens = np.diff(offs)
+        out["total_bytes"] = int(lens.sum()) * w
+        out["ndv"] = int(np.unique(lens).shape[0])   # distinct dims
+        out["min_v"], out["max_v"] = float(lens.min()), float(lens.max())
+        return out
     if tag in pagecodec.STR_TAGS:
         la = work.cast(pa.large_binary())
         offs = np.frombuffer(la.buffers()[1], np.int64, count=len(la) + 1,
@@ -157,7 +167,8 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
     is_int = F.col("type").isin("i64", "i32", "ts", "tsn")
     is_str = F.col("type").isin("str", "bin")
     decision = (
-        F.when(F.col("type") == "bool", "rle")
+        F.when(F.col("type").isin("arrf32", "arrf64"), "listf")
+        .when(F.col("type") == "bool", "rle")
         .when(F.col("mean_run") >= 4.0, "rle")
         .when(is_int & (nd <= F.greatest(n / 2, F.lit(1))) & (nd <= 65536)
               & (span_bits > 20), "dict")

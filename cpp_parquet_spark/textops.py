@@ -73,9 +73,10 @@ def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stops = F.size(F.filter(F.transform(toks, F.lower),
                             lambda x: F.array_contains(stop_arr, x)))
-    alpha_ratio = alpha / n
-    punct_ratio = punct / n
-    stop_ratio = stops / ws
+    nz = F.greatest(n, F.lit(1))          # empty text: all ratios -> 0
+    alpha_ratio = alpha / nz
+    punct_ratio = punct / nz
+    stop_ratio = stops / ws               # split('') == [''] so ws >= 1
     score = (F.lit(0.4) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
              + F.lit(0.3) * F.least(F.lit(1.0), ws / F.lit(50.0)))
     return df.select(

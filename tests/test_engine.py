@@ -120,13 +120,24 @@ def test_codec_selection_signals(spark, sf_dir):
     assert chosen["n_chars"] <= {"for", "rle", "dict", "bitpack"}
 
 
-def test_embeddings_rejected_cleanly(spark, sf_dir):
-    """Nested ArrayType columns are out of codec scope v1 (FIXTURES.md A);
-    the engine must skip them, not crash."""
+def test_embeddings_roundtrip(spark, sf_dir):
+    """array<float> columns encode via the listf composite codec (list
+    lengths through FOR-framed RLE, child floats PLAIN) and must decode
+    bit-identically."""
+    import math
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cfg = EncodeConfig(keys=("label",), salt_from=("vec_id",), num_parts=2,
-                       table_name="embeddings")
+                       order_keys=("vec_id",), table_name="embeddings")
     pages = encode_table(df, cfg)
     cols = {r["column"] for r in pages.select("column").distinct().collect()}
-    assert "embedding" not in cols          # nested column skipped
-    assert {"vec_id", "label"} <= cols      # scalars still encoded
+    assert "embedding" in cols
+    decoded = decode_table(pages, columns=[("vec_id", "i64"),
+                                           ("embedding", "arrf32"),
+                                           ("label", "i32")])
+    src = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    got = {r["vec_id"]: r["embedding"] for r in decoded.collect()}
+    assert set(src) == set(got)
+    for k in src:
+        assert len(src[k]) == len(got[k])
+        for a, b in zip(src[k], got[k]):
+            assert math.isclose(a, b, rel_tol=0.0, abs_tol=0.0) or a == b
