@@ -146,15 +146,13 @@ def q_join_agg(spark: SparkSession) -> None:
 
 
 def q_dedup_minhash(spark: SparkSession) -> None:
-    """MinHash+LSH near-dup over a ~20% hash-slice of the north-rule
-    content (the exact-Jaccard verify explodes shingles, so the bench
-    bounds its input deterministically)."""
+    """MinHash+LSH near-dup over the documents fixture. (The synthetic
+    north-rule content is pool-generated, so same-language files collide
+    in nearly every LSH band and the candidate set goes quadratic — real
+    corpora and the driver fixture have selective bands.)"""
     from cpp_parquet_spark.dedup import minhash_dedup_pairs
-    df = _repofiles_df(spark) \
-        .filter(F.pmod(F.xxhash64("path"), F.lit(5)) == 0) \
-        .select(F.xxhash64("repo", "path").alias("doc_id"),
-                F.col("content").alias("text"))
-    _force(minhash_dedup_pairs(df, threshold=0.8, prefix=1024))
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _force(minhash_dedup_pairs(df, threshold=0.7))
 
 
 def q_text_pipeline(spark: SparkSession) -> None:
