@@ -99,6 +99,20 @@ def q_encode_repofiles(spark: SparkSession) -> None:
     _force(encode_table(df, REPO_CFG))
 
 
+def q_encode_repofiles_plain(spark: SparkSession) -> None:
+    """Apples-to-apples vs the stand-in reference writer: PLAIN-only
+    encode (the toy cpp-parquet writes PLAIN, UNCOMPRESSED) — measures
+    the pipeline ceiling without FSST's compression work."""
+    df = _repofiles_df(spark)
+    cfg = EncodeConfig(keys=("repo",), salt_from=("path",), salt_buckets=32,
+                       num_parts=REPO_CFG.num_parts, order_keys=("path",),
+                       codec_overrides={c: "plain" for c in
+                                        ("repo", "path", "commit", "lang",
+                                         "content")},
+                       table_name="repofiles_plain")
+    _force(encode_table(df, cfg))
+
+
 def q_roundtrip_repofiles(spark: SparkSession) -> None:
     """Encode -> decode -> per-value sha256 verify on content.
 
@@ -174,6 +188,7 @@ def q_ann_topk(spark: SparkSession) -> None:
 
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
+    "encode_repofiles_plain": q_encode_repofiles_plain,
     "roundtrip_repofiles": q_roundtrip_repofiles,
     "stats_select": q_stats_select,
     "encode_documents": q_encode_documents,
