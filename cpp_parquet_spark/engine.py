@@ -317,17 +317,21 @@ def manifest_from_pages(pages_meta: DataFrame, run_id: str,
 
 def run_encode(spark: SparkSession, df: DataFrame, dst: str,
                cfg: EncodeConfig, run_id: str | None = None,
-               plan: dict[tuple[int, str], str] | None = None) -> dict:
+               plan: dict[tuple[int, str], str] | None = None,
+               resume: bool = True) -> dict:
     """Durable, resumable encode. Returns summary stats (driver-side).
 
     ``plan``: stats-pass codec decisions (stats.plan_decisions); must be
     identical across resume attempts for bit-stable reruns — it is, given
-    the same input + fraction + seed (deterministic sample and kernel)."""
+    the same input + fraction + seed (deterministic sample and kernel).
+
+    ``resume=False`` skips the done-parts anti-join (streaming
+    micro-batches append new rows to parts that already exist)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     pages_dir = os.path.join(dst, "pages")
     manifest_dir = os.path.join(dst, "manifest")
     done = None
-    if _exists(spark, manifest_dir):
+    if resume and _exists(spark, manifest_dir):
         done = spark.read.parquet(manifest_dir).select("part_id").distinct()
     src = with_part_id(df.select(*encodable_columns(df)[0]), cfg)
     if done is not None:
