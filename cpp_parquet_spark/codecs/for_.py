@@ -33,3 +33,29 @@ def decode(data: bytes, params: dict, n: int) -> np.ndarray:
     lo = int(params["frame"])
     residuals = unpack_bits_le(data, bw, n)
     return (residuals + np.uint64(lo & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+
+def encode_delta(values: np.ndarray) -> tuple[bytes, dict]:
+    """Delta variant (Parquet's DELTA_BINARY_PACKED relative): wrap-safe
+    uint64 first differences, FOR-framed + bit-packed. Sorted or
+    near-sorted columns pack at the bit width of the *step*, not the
+    value span."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", {"frame": 0, "bw": 0, "first": 0}
+    u = v.view(np.uint64)
+    d = np.empty(v.size - 1, dtype=np.uint64)
+    np.subtract(u[1:], u[:-1], out=d)          # mod 2^64: exact on decode
+    body, p = encode(d.view(np.int64))
+    return body, {**p, "first": int(v[0])}
+
+
+def decode_delta(data: bytes, params: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    d = decode(data, params, n - 1).view(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(int(params["first"]) & 0xFFFFFFFFFFFFFFFF)
+    np.cumsum(d, out=out[1:])                  # wraps mod 2^64
+    out[1:] += out[0]
+    return out.view(np.int64)

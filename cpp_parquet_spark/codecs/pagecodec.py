@@ -33,7 +33,7 @@ ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
 
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
-    **{t: ("plain", "for", "rle", "dict", "bitpack") for t in INT_TAGS},
+    **{t: ("plain", "for", "delta", "rle", "dict", "bitpack") for t in INT_TAGS},
     **{t: ("plain", "dict") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
     **{t: ("plain", "dict", "fsst") for t in STR_TAGS},
@@ -154,6 +154,8 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
         v = np.ascontiguousarray(vals, dtype=np.int64)
         if codec == "for":
             return forc.encode(v)
+        if codec == "delta":
+            return forc.encode_delta(v)
         if codec == "rle":
             # FOR-framed residuals through the RLE/bit-packed hybrid: runs in
             # the raw values survive framing, and the frame bounds bit width.
@@ -193,6 +195,8 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
     if tag in INT_TAGS:
         if codec == "for":
             return forc.decode(data, params, k)
+        if codec == "delta":
+            return forc.decode_delta(data, params, k)
         if codec == "rle":
             lo = int(params["frame"])
             r = rle.decode(data, params, k)

@@ -66,6 +66,11 @@ def choose_int_codec(v: np.ndarray) -> str:
     bw = bit_width_for(span)
     vb = (bw + 7) // 8
     est = {"plain": 8 * n, "for": (n * bw) // 8 + 16}
+    if n > 1:
+        u = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+        d = (u[1:] - u[:-1]).view(np.int64)
+        dspan = (int(d.max()) - int(d.min())) & 0xFFFFFFFFFFFFFFFF
+        est["delta"] = ((n - 1) * bit_width_for(dspan)) // 8 + 24
     if st["mean_run"] >= 4:
         # repeated runs dominate: headers + byte-padded values per run
         est["rle"] = int(n / st["mean_run"]) * (2 + max(vb, 1)) + 16
@@ -75,7 +80,7 @@ def choose_int_codec(v: np.ndarray) -> str:
         est["dict"] = nd * 8 + (n * cw) // 8 + 24
     if st["lo"] >= 0:
         est["bitpack"] = (n * bit_width_for(st["hi"])) // 8 + 8
-    order = ("rle", "dict", "for", "bitpack", "plain")
+    order = ("rle", "delta", "dict", "for", "bitpack", "plain")
     return min(order, key=lambda c: est.get(c, float("inf")))
 
 

@@ -42,6 +42,7 @@ STATS_SCHEMA = T.StructType([
     T.StructField("byte_entropy", T.DoubleType()),  # bits/byte (strings)
     T.StructField("min_v", T.DoubleType()),
     T.StructField("max_v", T.DoubleType()),
+    T.StructField("delta_bits", T.DoubleType()),   # bit width of diff span
 ])
 
 _STATS_ARROW = pa.schema([
@@ -50,6 +51,7 @@ _STATS_ARROW = pa.schema([
     ("total_bytes", pa.int64()), ("ndv", pa.int64()),
     ("mean_run", pa.float64()), ("byte_entropy", pa.float64()),
     ("min_v", pa.float64()), ("max_v", pa.float64()),
+    ("delta_bits", pa.float64()),
 ])
 
 
@@ -58,7 +60,8 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
     nulls = arr.null_count
     work = arr.drop_null() if nulls else arr
     out = {"n_values": n, "n_nulls": nulls, "ndv": 0, "mean_run": 1.0,
-           "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0}
+           "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0,
+           "delta_bits": 64.0}
     if len(work) == 0:
         return out
     if tag in pagecodec.ARR_TAGS:
@@ -99,6 +102,11 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
         out["mean_run"] = float(v.shape[0] / runs)
         out["ndv"] = int(np.unique(v).shape[0])
         out["min_v"], out["max_v"] = float(v.min()), float(v.max())
+        if v.shape[0] > 1 and np.issubdtype(v.dtype, np.integer):
+            uu = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+            d = (uu[1:] - uu[:-1]).view(np.int64)
+            dspan = (int(d.max()) - int(d.min())) & 0xFFFFFFFFFFFFFFFF
+            out["delta_bits"] = float(dspan.bit_length())
     return out
 
 
@@ -145,7 +153,8 @@ def column_stats(df: DataFrame, cfg: EncodeConfig, fraction: float = 0.05,
             rows["column"].append(col)
             rows["type"].append(tag)
             for k in ("n_values", "n_nulls", "total_bytes", "ndv",
-                      "mean_run", "byte_entropy", "min_v", "max_v"):
+                      "mean_run", "byte_entropy", "min_v", "max_v",
+                      "delta_bits"):
                 rows[k].append(st[k])
         if rows["part_id"]:
             yield pa.RecordBatch.from_pydict(rows, schema=_STATS_ARROW)
@@ -172,6 +181,7 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
         .when(F.col("mean_run") >= 4.0, "rle")
         .when(is_int & (nd <= F.greatest(n / 2, F.lit(1))) & (nd <= 65536)
               & (span_bits > 20), "dict")
+        .when(is_int & (F.col("delta_bits") + 2 < span_bits), "delta")
         .when(is_int & (span_bits <= 20), "for")
         .when(is_int, "for")
         .when(is_str & (nd <= n / 2) & (nd <= 65536), "dict")

@@ -80,7 +80,7 @@ def test_int_decisions_on_lineitem(spark, sf_dir):
     for (_, col), codec in plan.items():
         by_col.setdefault(col, set()).add(codec)
     # narrow int ranges must never pick plain
-    assert by_col["l_linenumber"] <= {"for", "rle", "dict"}
-    assert by_col["l_quantity"] <= {"for", "rle", "dict"}
+    assert by_col["l_linenumber"] <= {"for", "rle", "dict", "delta"}
+    assert by_col["l_quantity"] <= {"for", "rle", "dict", "delta"}
     # sorted-within-part orderkey: FOR/delta-friendly narrow span
     assert "plain" not in by_col["l_orderkey"]
