@@ -29,8 +29,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# also importable without --py-files when run from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -48,6 +52,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--order-keys", default="path")
     ap.add_argument("--decode-verify", action="store_true",
                     help="decode + sha256-verify after encode (2x cost)")
+    ap.add_argument("--stats-pass", action="store_true",
+                    help="run the sampling stats pass and drive codec "
+                         "selection from its per-(part, column) decisions")
+    ap.add_argument("--stats-fraction", type=float, default=0.05)
     args = ap.parse_args(argv)
 
     # imports deferred so --help works without a JVM
@@ -87,9 +95,16 @@ def main(argv: list[str] | None = None) -> None:
         order_keys=tuple(k for k in args.order_keys.split(",") if k),
         table_name=name)
 
+    plan = None
+    if args.stats_pass:
+        from cpp_parquet_spark.stats import plan_decisions
+        plan = plan_decisions(spark, df, cfg, fraction=args.stats_fraction)
+
     t0 = time.monotonic()
-    summary = run_encode(spark, df, args.dst, cfg)
+    summary = run_encode(spark, df, args.dst, cfg, plan=plan)
     summary["encode_wall_s"] = round(time.monotonic() - t0, 2)
+    if plan is not None:
+        summary["stats_pass_decisions"] = len(plan)
 
     if args.decode_verify:
         decoded = decode_dataset(spark, args.dst)
