@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from . import bitpack, dictionary, fsst, levels, plain, rle
+from . import bitpack, dfloat, dictionary, fsst, levels, plain, rle
 from . import for_ as forc
 
 INT_TAGS = {"i64", "i32", "ts", "tsn"}
@@ -34,7 +34,7 @@ ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
     **{t: ("plain", "for", "delta", "rle", "dict", "bitpack") for t in INT_TAGS},
-    **{t: ("plain", "dict") for t in FLOAT_TAGS},
+    **{t: ("plain", "dict", "dfloat") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
     **{t: ("plain", "dict", "fsst") for t in STR_TAGS},
     **{t: ("listf",) for t in ARR_TAGS},
@@ -137,6 +137,10 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
             child.to_numpy(zero_copy_only=False), dtype=dt).tobytes()
         body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
         return body, {"lens": lp}
+    if codec == "dfloat":
+        if tag not in FLOAT_TAGS:
+            raise ValueError("dfloat is float-only")
+        return dfloat.encode(np.asarray(vals, dtype=np.float64))
     if codec == "plain":
         return plain.encode(vals, tag)
     if codec == "dict":
@@ -172,6 +176,8 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
 
 
 def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
+    if codec == "dfloat":
+        return dfloat.decode(data, params, k)
     if codec == "listf":
         llen = int(np.frombuffer(data[:4], np.uint32)[0])
         lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
@@ -243,7 +249,15 @@ def encode_page(values, tag: str, codec: str, fsst_table=None) -> dict:
         body, params = b"", {}
         codec = "plain"
     else:
-        body, params = _encode_values(vals, tag, codec, fsst_table)
+        try:
+            body, params = _encode_values(vals, tag, codec, fsst_table)
+        except ValueError:
+            if codec != "dfloat":
+                raise
+            # parquet-style per-page fallback: this page isn't exactly
+            # scaled-decimal even though the chunk decision said dfloat
+            codec = "plain"
+            body, params = _encode_values(vals, tag, codec, fsst_table)
     data = np.uint32(len(def_stream)).tobytes() + def_stream + body
     return {
         "codec": codec,

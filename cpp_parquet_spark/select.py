@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import dictionary, fsst, plain
+from .codecs import dfloat, dictionary, fsst, plain
 from .codecs.bitpack import bit_width_for
 from .codecs.pagecodec import ARR_TAGS as pagecodec_ARR_TAGS
 from .codecs.pagecodec import INT_TAGS, STR_TAGS
@@ -89,6 +89,13 @@ def choose_float_codec(v: np.ndarray) -> str:
     if n == 0:
         return "plain"
     idx = _stride_sample(n, 1024)
+    sample = np.asarray(v[idx], dtype=np.float64)
+    scale = dfloat.find_scale(sample)
+    if scale is not None:
+        i = np.rint(sample * scale).astype(np.int64)
+        span = (int(i.max()) - int(i.min())) & 0xFFFFFFFFFFFFFFFF
+        if bit_width_for(span) <= 48:       # beats 64-bit plain w/ headroom
+            return "dfloat"
     nd = len(np.unique(v[idx]))
     return "dict" if nd <= max(16, idx.shape[0] // 10) else "plain"
 

@@ -43,6 +43,7 @@ STATS_SCHEMA = T.StructType([
     T.StructField("min_v", T.DoubleType()),
     T.StructField("max_v", T.DoubleType()),
     T.StructField("delta_bits", T.DoubleType()),   # bit width of diff span
+    T.StructField("dec_scale", T.DoubleType()),    # 10^e decimal scale, 0=no
 ])
 
 _STATS_ARROW = pa.schema([
@@ -51,7 +52,7 @@ _STATS_ARROW = pa.schema([
     ("total_bytes", pa.int64()), ("ndv", pa.int64()),
     ("mean_run", pa.float64()), ("byte_entropy", pa.float64()),
     ("min_v", pa.float64()), ("max_v", pa.float64()),
-    ("delta_bits", pa.float64()),
+    ("delta_bits", pa.float64()), ("dec_scale", pa.float64()),
 ])
 
 
@@ -61,7 +62,7 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
     work = arr.drop_null() if nulls else arr
     out = {"n_values": n, "n_nulls": nulls, "ndv": 0, "mean_run": 1.0,
            "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0,
-           "delta_bits": 64.0}
+           "delta_bits": 64.0, "dec_scale": 0.0}
     if len(work) == 0:
         return out
     if tag in pagecodec.ARR_TAGS:
@@ -98,6 +99,10 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
         if tag == "bool":
             v = v.astype(np.int64)
         out["total_bytes"] = int(v.shape[0] * v.dtype.itemsize)
+        if np.issubdtype(v.dtype, np.floating) and v.shape[0]:
+            from .codecs.dfloat import find_scale
+            sc = find_scale(np.asarray(v, dtype=np.float64))
+            out["dec_scale"] = float(sc) if sc is not None else 0.0
         runs = int((v[1:] != v[:-1]).sum()) + 1
         out["mean_run"] = float(v.shape[0] / runs)
         out["ndv"] = int(np.unique(v).shape[0])
@@ -154,7 +159,7 @@ def column_stats(df: DataFrame, cfg: EncodeConfig, fraction: float = 0.05,
             rows["type"].append(tag)
             for k in ("n_values", "n_nulls", "total_bytes", "ndv",
                       "mean_run", "byte_entropy", "min_v", "max_v",
-                      "delta_bits"):
+                      "delta_bits", "dec_scale"):
                 rows[k].append(st[k])
         if rows["part_id"]:
             yield pa.RecordBatch.from_pydict(rows, schema=_STATS_ARROW)
@@ -186,6 +191,8 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
         .when(is_int, "for")
         .when(is_str & (nd <= n / 2) & (nd <= 65536), "dict")
         .when(is_str & (F.col("byte_entropy") <= 6.2), "fsst")
+        .when(F.col("type").isin("f64", "f32") & (F.col("dec_scale") > 0),
+              "dfloat")
         .when(F.col("type").isin("f64", "f32") & (nd <= n / 8), "dict")
         .otherwise("plain"))
     return stats.select("part_id", "column", decision.alias("codec"))

@@ -81,6 +81,6 @@ def test_int_decisions_on_lineitem(spark, sf_dir):
         by_col.setdefault(col, set()).add(codec)
     # narrow int ranges must never pick plain
     assert by_col["l_linenumber"] <= {"for", "rle", "dict", "delta"}
-    assert by_col["l_quantity"] <= {"for", "rle", "dict", "delta"}
+    assert by_col["l_quantity"] <= {"for", "rle", "dict", "delta", "dfloat"}
     # sorted-within-part orderkey: FOR/delta-friendly narrow span
     assert "plain" not in by_col["l_orderkey"]
