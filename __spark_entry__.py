@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
     enc = (pages.filter(F.col("col_idx") >= 0)
            .groupBy("column")
            .agg(F.count("*").alias("num_pages"),
-                F.array_sort(F.collect_set("codec")).alias("codecs"),
+                F.concat_ws(",", F.array_sort(F.collect_set("codec")))
+                 .alias("codecs"),
                 F.sum("raw_bytes").alias("raw_bytes"),
                 F.sum("enc_bytes").alias("enc_bytes")))
 
@@ -110,7 +111,10 @@ def _pages_summary(table: str, cfg: EncodeConfig):
                      F.sum("num_values").alias("num_values"),
                      F.sum("raw_bytes").alias("raw_bytes"),
                      F.sum("enc_bytes").alias("enc_bytes"),
-                     F.array_sort(F.collect_set("codec")).alias("codecs"))
+                     # string, not array: the driver's canonicalizer sorts
+                     # result columns and can't hash list cells
+                     F.concat_ws(",", F.array_sort(F.collect_set("codec")))
+                      .alias("codecs"))
                 .orderBy("column"))
     return q
 
@@ -377,14 +381,14 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
             )
             SELECT count(*) AS n,
-                   sum(CASE WHEN prev_rf IS NULL OR prev_rf <> l_returnflag
-                       THEN 1 ELSE 0 END) AS runs_returnflag,
-                   sum(CASE WHEN prev_ls IS NULL OR prev_ls <> l_linestatus
-                       THEN 1 ELSE 0 END) AS runs_linestatus
+                   CAST(sum(CASE WHEN prev_rf IS NULL OR prev_rf <> l_returnflag
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs_returnflag,
+                   CAST(sum(CASE WHEN prev_ls IS NULL OR prev_ls <> l_linestatus
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs_linestatus
             FROM ordered""",
         "stats_bytes_by_group": """
             SELECT lang, count(*) AS n,
-                   sum(strlen(text)) AS text_bytes,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang""",
         "codec_decision_sql": """
@@ -407,7 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "dict_domain":
             "SELECT DISTINCT lang FROM documents ORDER BY lang",
         "groupby_topk_sources": """
-            SELECT source, count(*) AS n, sum(n_chars) AS chars
+            SELECT source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY source
             ORDER BY chars DESC, source LIMIT 5""",
         "join_orders_customer": """

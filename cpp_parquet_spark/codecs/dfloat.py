@@ -27,6 +27,13 @@ SCALES = (1, 100, 10, 1000, 10000)
 MAX_ABS = float(1 << 53)
 
 
+def _bit_exact(a: np.ndarray, b: np.ndarray) -> bool:
+    """float64 equality at the BIT level: == treats -0.0 == 0.0, so a page
+    holding -0.0 would pass a value compare yet decode to +0.0 and break
+    the sha256 round-trip. Comparing the int64 bit patterns closes that."""
+    return np.array_equal(a.view(np.int64), b.view(np.int64))
+
+
 def find_scale(v: np.ndarray) -> int | None:
     """Smallest-index scale for which every value is an exact scaled
     integer (None when the page isn't decimal-like)."""
@@ -38,8 +45,11 @@ def find_scale(v: np.ndarray) -> int | None:
         x = v * s
         if np.abs(x).max() >= MAX_ABS:
             continue
-        i = np.rint(x)
-        if np.array_equal(i / s, v):
+        # verify through the ACTUAL storage path (int64), not float rint:
+        # rint(-0.0) is still -0.0 as a float, but int64 storage drops the
+        # sign, so the decode would yield +0.0 — the int trip catches it
+        i = np.rint(x).astype(np.int64)
+        if _bit_exact(np.asarray(i.astype(np.float64) / s, np.float64), v):
             return s
     return None
 
@@ -51,7 +61,7 @@ def encode(values: np.ndarray, scale: int | None = None) -> tuple[bytes, dict]:
         raise ValueError("dfloat: page is not exactly scaled-decimal "
                          "(caller should fall back to plain)")
     i = np.rint(v * s).astype(np.int64)
-    if not np.array_equal(i.astype(np.float64) / s, v):
+    if not _bit_exact(np.asarray(i.astype(np.float64) / s, np.float64), v):
         raise ValueError("dfloat: exactness verification failed")
     body, p = forc.encode(i)
     return body, {"scale": s, **p}

@@ -103,39 +103,65 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.7,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_P61 = (1 << 61) - 1  # Mersenne prime for the permutation family
+_P31 = (1 << 31) - 1  # Mersenne prime: a,b,h < 2^31 so a*h+b < 2^63 — the
+#                       Carter-Wegman multiply is EXACT in uint64 (no wrap,
+#                       so collision probability really tracks Jaccard)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _P61, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _P61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _P31, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _P31, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _shingle_hashes(texts: pd.Series, n: int, prefix: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its distinct char n-grams (vectorized:
-    one polynomial-hash pass over the concatenated bytes of the batch)."""
+def _shingle_hashes_flat(texts: pd.Series, n: int,
+                         prefix: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-flat distinct char-n-gram hashes: (hashes uint64[total],
+    counts int64[ndocs]) where doc i owns hashes[sum(counts[:i]):...].
+
+    Fully vectorized — one rolling polynomial-hash pass over the batch's
+    concatenated bytes, one lexsort for per-doc dedup; docs shorter than
+    ``n`` get a single sentinel hash 0 so every doc has >= 1 entry
+    (np.minimum.reduceat needs non-empty segments)."""
     clipped = texts.fillna("").str.slice(0, prefix)
     data = clipped.str.encode("utf-8")
     lens = data.str.len().to_numpy(dtype=np.int64)
+    ndocs = lens.shape[0]
     flat = np.frombuffer(b"".join(data.tolist()), dtype=np.uint8)
-    # rolling polynomial hash of width n at every byte offset
-    h = np.zeros(max(flat.shape[0] - n + 1, 0), dtype=np.uint64)
-    if h.shape[0]:
+    nh = max(flat.shape[0] - n + 1, 0)
+    h = np.zeros(nh, dtype=np.uint64)
+    if nh:
         mul = np.uint64(1099511628211)        # FNV-ish odd multiplier
-        acc = np.zeros_like(h)
+        acc = np.zeros(nh, dtype=np.uint64)
         for k in range(n):                     # loop over n (tiny), not rows
-            acc = acc * mul + flat[k: k + h.shape[0]].astype(np.uint64)
+            acc = acc * mul + flat[k: k + nh].astype(np.uint64)
         h = acc
-    out: list[np.ndarray] = []
-    offs = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    offs = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    for i in range(lens.shape[0]):
-        lo, hi = offs[i], max(offs[i + 1] - n + 1, offs[i])
-        out.append(np.unique(h[lo:hi]) if hi > lo else
-                   np.zeros(1, dtype=np.uint64))
-    return out
+    npos = np.maximum(lens - (n - 1), 0)       # shingle positions per doc
+    cum = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(npos, out=cum[1:])
+    # gather each doc's in-bounds positions (boundary-crossing hashes skipped)
+    idx = (np.arange(cum[-1], dtype=np.int64)
+           - np.repeat(cum[:-1], npos) + np.repeat(offs[:-1], npos))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), npos)
+    hs = h[idx]
+    # per-doc distinct: sort by (doc, hash), keep first occurrences
+    order = np.lexsort((hs, doc_idx))
+    hs, ds = hs[order], doc_idx[order]
+    if hs.shape[0]:
+        keep = np.ones(hs.shape[0], dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        hs, ds = hs[keep], ds[keep]
+    counts = np.bincount(ds, minlength=ndocs).astype(np.int64)
+    empty = np.flatnonzero(counts == 0)
+    if empty.shape[0]:
+        pos = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(counts, out=pos[1:])
+        hs = np.insert(hs, pos[empty], np.uint64(0))
+        counts[empty] = 1
+    return hs, counts
 
 
 def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 4,
@@ -143,40 +169,70 @@ def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 4,
                        id_col: str = "doc_id", prefix: int = 512,
                        seed: int = 42) -> DataFrame:
     """(id, band, sig) rows: the banded MinHash signature, one row per
-    band — ready for the LSH bucket join. numpy-vectorized mapInPandas."""
+    band, ``sig`` a 64-bit mix of the band's minima — ready for the LSH
+    bucket join as a pure numeric key (no strings, no per-row Python).
+
+    Kernel shape: per Arrow batch, ONE flat shingle-hash pass, then per
+    band (a constant-count loop) one broadcast multiply + one
+    ``np.minimum.reduceat`` segmented min over the whole batch. Peak temp
+    memory is shingles x rows_per_band x 8B, independent of num_perm."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     a, b = _perm_coeffs(num_perm, seed)
-    p = np.uint64(_P61)
+    p = np.uint64(_P31)
+    mix = np.uint64(0x9E3779B97F4A7C15)       # odd constant: band-key mixer
 
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("band", T.IntegerType()),
-        T.StructField("sig", T.StringType()),
+        T.StructField("sig", T.LongType()),
     ])
 
     def kernel(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            per_doc = _shingle_hashes(pdf[text_col], n, prefix)
-            recs = {"id": [], "band": [], "sig": []}
-            for i, hs in enumerate(per_doc):
-                # minhash: min over shingles of (a*h + b) mod p, per perm
-                v = (hs[:, None] * a[None, :] + b[None, :]) % p
-                sig = v.min(axis=0)            # uint64[num_perm]
-                sb = sig.astype("<u8").tobytes()
-                step = 8 * rows_per_band
-                for bi in range(bands):
-                    recs["id"].append(int(ids[i]))
-                    recs["band"].append(bi)
-                    recs["sig"].append(sb[bi * step:(bi + 1) * step].hex())
-            yield pd.DataFrame(recs)
+            ndocs = ids.shape[0]
+            if ndocs == 0:
+                continue
+            hs, counts = _shingle_hashes_flat(pdf[text_col], n, prefix)
+            hp = hs % p
+            starts = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            keys = np.empty((ndocs, bands), dtype=np.uint64)
+            for bi in range(bands):
+                sl = slice(bi * rows_per_band, (bi + 1) * rows_per_band)
+                v = (hp[:, None] * a[None, sl] + b[None, sl]) % p
+                sig = np.minimum.reduceat(v, starts, axis=0)
+                acc = np.full(ndocs, np.uint64(bi + 1), dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = acc * mix + sig[:, j]
+                keys[:, bi] = acc
+            yield pd.DataFrame({
+                "id": np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
+                "sig": keys.reshape(-1).view(np.int64),
+            })
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from the band-bucket equi-join."""
+def lsh_candidates(sigs: DataFrame, max_bucket: int | None = 128) -> DataFrame:
+    """Distinct candidate pairs from the band-bucket equi-join.
+
+    ``max_bucket`` drops buckets with more members than the bound before
+    the self-join: one degenerate band value (empty/boilerplate docs that
+    hash identically) would otherwise produce a quadratic candidate set.
+    A pair lost to one overfull bucket still surfaces through any of its
+    other bands; content duplicated > max_bucket times corpus-wide is
+    exact-dedup's job (:func:`exact_survivors`), not LSH's. The size agg
+    and the semi-join shuffle on the same (band, sig) key as the
+    self-join, so AQE co-partitions all three."""
+    if max_bucket is not None:
+        ok = (sigs.groupBy("band", "sig")
+              .agg(F.count("*").alias("__bn"))
+              .filter(F.col("__bn") <= max_bucket)
+              .drop("__bn"))
+        sigs = sigs.join(ok, ["band", "sig"], "left_semi")
     a, b = sigs.alias("a"), sigs.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.sig") == F.col("b.sig"),
@@ -188,14 +244,16 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
 def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.7,
                         num_perm: int = 64, n: int = 4, bands: int = 16,
                         text_col: str = "text", id_col: str = "doc_id",
-                        prefix: int = 512, seed: int = 42) -> DataFrame:
+                        prefix: int = 512, seed: int = 42,
+                        max_bucket: int | None = 128) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard.
 
     Scale shape: signatures are linear in input, the bucket join touches
-    only colliding bands, and the exact verify runs on candidates only."""
+    only colliding bands (bounded by ``max_bucket``), and the exact
+    verify runs on candidates only."""
     sigs = minhash_signatures(df, num_perm, n, bands, text_col, id_col,
                               prefix, seed)
-    cand = lsh_candidates(sigs)
+    cand = lsh_candidates(sigs, max_bucket)
     sh = shingles(df, n, text_col, id_col, scope=id_col, prefix=prefix) \
         .drop("scope")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
@@ -247,18 +305,30 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                   seed: int = 42) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Block-LSH prefilter: split the 64-bit hash into 4 16-bit blocks; any
-    pair within hamming <= 3 shares a block exactly (pigeonhole), and for
-    larger budgets the block join is still the candidate generator that
-    keeps the compare sub-quadratic at scale."""
+    Block-LSH prefilter, COMPLETE by construction: the 64-bit hash is
+    split into ``max_hamming + 1`` blocks, so by pigeonhole any pair
+    within the hamming budget agrees exactly on at least one block — the
+    block equi-join generates every qualifying pair (no silent misses at
+    any budget), and the bit_count compare rejects false candidates."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    nblk = max_hamming + 1
+    base_w, extra = divmod(64, nblk)           # block widths differ by <= 1
+    widths = [base_w + (1 if i < extra else 0) for i in range(nblk)]
+    lows = [sum(widths[:i]) for i in range(nblk)]
     sh = simhash(df, text_col, id_col, seed)
+
+    def _block_key(i: int):
+        if widths[i] >= 64:                    # max_hamming=0: exact match
+            return F.col("simhash")
+        return (F.shiftright("simhash", lows[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)))
+
     blocks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", 16 * i)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)])).alias("bk"))
+            F.struct(F.lit(i).alias("blk"), _block_key(i).alias("key"))
+            for i in range(nblk)])).alias("bk"))
     blocks = blocks.select("id", "simhash", "bk.blk", "bk.key")
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -183,7 +183,11 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
     decision = (
         F.when(F.col("type").isin("arrf32", "arrf64"), "listf")
         .when(F.col("type") == "bool", "rle")
-        .when(F.col("mean_run") >= 4.0, "rle")
+        # rle is only legal for int/bool tags (pagecodec.LEGAL); gating the
+        # run rule keeps run-heavy float/string chunks flowing to their own
+        # dfloat/dict/fsst branches instead of an illegal plan the kernel
+        # would discard
+        .when(is_int & (F.col("mean_run") >= 4.0), "rle")
         .when(is_int & (nd <= F.greatest(n / 2, F.lit(1))) & (nd <= 65536)
               & (span_bits > 20), "dict")
         .when(is_int & (F.col("delta_bits") + 2 < span_bits), "delta")

@@ -157,6 +157,46 @@ def test_simhash_near_dup_property(spark, docs):
         assert r["hamming"] == true_ham <= 3
 
 
+def test_simhash_blocks_complete_at_k8(spark):
+    """Block prefilter must be COMPLETE for the requested budget: with
+    max_hamming=8 the hash splits into 9 blocks, and every true pair with
+    hamming <= 8 must be returned (pigeonhole — no silent misses)."""
+    base_tokens = [f"tok{i}" for i in range(40)]
+    rows = []
+    for d in range(24):
+        toks = list(base_tokens)
+        for j in range(d % 6):            # graded similarity ladder
+            toks[j] = f"alt{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    ids = sorted(sh)
+    expected = {(i, j) for i in ids for j in ids if i < j and
+                bin((sh[i] ^ sh[j]) & (2 ** 64 - 1)).count("1") <= 8}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_pairs(df, max_hamming=8).collect()}
+    assert expected            # non-vacuous: the ladder produces near pairs
+    assert got == expected
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A boilerplate-heavy corpus (one text duplicated 300x) must not go
+    quadratic in the LSH candidate join when max_bucket is set."""
+    boiler = [(i, "the same boilerplate text repeated everywhere " * 8)
+              for i in range(300)]
+    uniq = [(1000 + i, f"unique document number {i} words {i * 7} {i * 13}")
+            for i in range(20)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df).cache()
+    try:
+        n_uncapped = dedup.lsh_candidates(sigs, max_bucket=None).count()
+        assert n_uncapped >= 300 * 299 // 2      # quadratic without the cap
+        n_capped = dedup.lsh_candidates(sigs, max_bucket=16).count()
+        assert n_capped <= 4 * df.count()        # linear-bounded with it
+    finally:
+        sigs.unpersist()
+
+
 def test_embedding_cosine_pairs_vs_numpy(emb):
     rows = emb.collect()
     vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),

@@ -72,6 +72,23 @@ def test_resume_antijoin_is_broadcast(spark, sf_dir, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_brute_topk_reduces_before_exchange(spark, sf_dir):
+    """Two-phase top-k: the scored corpus must flow into the per-partition
+    Python reducer with NO prior exchange; only the (k x parts) survivors
+    hit the rank window's shuffle."""
+    from cpp_parquet_spark.similarity import brute_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(brute_topk(emb, [0, 1, 2], k=5))
+    py = next(i for i, ln in enumerate(plan.splitlines())
+              if "MapInPandas" in ln or "PythonMapIn" in ln or "MapIn" in ln)
+    upstream = plan.splitlines()[py:]          # operators BELOW the reducer
+    # broadcast of the tiny query side is fine; a hash/range repartition of
+    # the scored corpus is the regression this test guards against
+    assert not any(("Exchange hashpartitioning" in ln or
+                    "Exchange rangepartitioning" in ln) for ln in upstream), plan
+    assert "Window" in plan, plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     q = df.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
