@@ -18,6 +18,7 @@ epoch-microseconds; the tag restores the logical type on decode).
 from __future__ import annotations
 
 import json
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -233,11 +234,19 @@ def raw_size(vals, tag: str, n_present: int) -> int:
     return sum(len(x) for x in vals) + 4 * n_present
 
 
-def encode_page(values, tag: str, codec: str, fsst_table=None) -> dict:
+def encode_page(values, tag: str, codec: str, fsst_table=None,
+                block: str | None = None) -> dict:
     """Encode one page; returns the pages-table row fields (sans ids).
 
     ``values`` may be a pa.Array (canonical, zero-copy path), pd.Series,
     or a plain sequence.
+
+    ``block`` (E9, SURVEY.md §2.1): optional outer block compression over
+    the framed page bytes — legal for every tag because it wraps the blob
+    AFTER the lightweight codec. ``"zlib"`` is kept only when it actually
+    shrinks the page; the ``blk`` params key tells decode to unwrap.
+    Off by default: the engine's identity is lightweight codecs, and the
+    ≤-reference size bar is met without it (BASELINE.md).
     """
     arr = to_arrow(values, tag)
     n = len(arr)
@@ -259,6 +268,13 @@ def encode_page(values, tag: str, codec: str, fsst_table=None) -> dict:
             codec = "plain"
             body, params = _encode_values(vals, tag, codec, fsst_table)
     data = np.uint32(len(def_stream)).tobytes() + def_stream + body
+    if block == "zlib" and len(data) > 64:
+        comp = zlib.compress(data, 6)
+        if len(comp) < len(data):
+            data = comp
+            params = {**params, "blk": "zlib"}
+    elif block not in (None, "zlib"):
+        raise ValueError(f"unsupported block codec {block}")
     return {
         "codec": codec,
         "type": tag,
@@ -274,6 +290,10 @@ def encode_page(values, tag: str, codec: str, fsst_table=None) -> dict:
 def decode_page(data: bytes, params_json: str, codec: str, tag: str,
                 num_values: int, null_count: int) -> pa.Array:
     """Decode one page back to an Arrow array (nulls restored)."""
+    if '"blk"' in params_json:     # cheap probe before the JSON parse
+        p = json.loads(params_json)
+        if p.get("blk") == "zlib":
+            data = zlib.decompress(data)
     def_len = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
     body = data[4 + def_len :]
     n = num_values

@@ -99,6 +99,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     plan = plan or {}
     page_bytes, rows_max = cfg.page_bytes, cfg.page_rows_max
     table_name = cfg.table_name
+    block = cfg.block_codec
 
     prof_dir = os.environ.get("CPS_KERNEL_PROF")
 
@@ -165,7 +166,8 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                                 prof["select_s"] += time.monotonic() - t_sel
                             codec, ftab = dec
                         t_enc = time.monotonic()
-                        row = pagecodec.encode_page(piece, tag, codec, ftab)
+                        row = pagecodec.encode_page(piece, tag, codec, ftab,
+                                                    block)
                         prof["encode_s"] += time.monotonic() - t_enc
                         prof["pages"] += 1
                         prof["bytes"] += row["raw_bytes"]
@@ -342,10 +344,15 @@ def run_encode(spark: SparkSession, df: DataFrame, dst: str,
     pages = prepared.mapInArrow(make_encode_kernel(cols, tags, cfg, plan),
                                 PAGES_SCHEMA)
     pages = pages.withColumn("run_id", F.lit(run_id))
-    pages.write.mode("append").parquet(pages_dir)
+    # pages land under pages/run_id=<id>/ so every later read that filters
+    # on run_id PRUNES FILES: manifest building and resume attempts never
+    # rescan prior runs' page files (at 100 TB re-listing old runs'
+    # footers per attempt would dominate resume cost)
+    pages.write.mode("append").partitionBy("run_id").parquet(pages_dir)
     # manifest from the just-committed pages (column pruning: the heavy
-    # `data` column is never read here)
-    written = (spark.read.parquet(pages_dir)
+    # `data` column is never read here; partition pruning: only this
+    # run's directory is listed)
+    written = (_read_pages(spark, pages_dir)
                .filter(F.col("run_id") == run_id).drop("data", "run_id"))
     manifest = manifest_from_pages(written, run_id, cfg)
     manifest.write.mode("append").parquet(manifest_dir)
@@ -354,21 +361,96 @@ def run_encode(spark: SparkSession, df: DataFrame, dst: str,
                          F.sum("num_rows").alias("rows"),
                          F.sum("raw_bytes").alias("raw_bytes"),
                          F.sum("enc_bytes").alias("enc_bytes")).collect()[0])
-    return {"run_id": run_id, "parts": summary["parts"],
-            "rows": summary["rows"], "raw_bytes": summary["raw_bytes"],
-            "enc_bytes": summary["enc_bytes"]}
+    out = {"run_id": run_id, "parts": summary["parts"],
+           "rows": summary["rows"], "raw_bytes": summary["raw_bytes"],
+           "enc_bytes": summary["enc_bytes"]}
+    _write_run_sidecar(df, dst, cfg, run_id, resume, out)
+    return out
+
+
+def _read_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """Read a run_id-partitioned pages dir with run_id pinned to string.
+
+    Partition-value inference could type an all-digit run_id as a number,
+    which would break the string equi-joins against the manifest."""
+    df = spark.read.parquet(pages_dir)
+    if "run_id" in df.columns:
+        df = df.withColumn("run_id", F.col("run_id").cast("string"))
+    return df
 
 
 def read_committed_pages(spark: SparkSession, dst: str) -> DataFrame:
     """Pages joined against the manifest — orphans from crashed runs drop out."""
-    pages = spark.read.parquet(os.path.join(dst, "pages"))
+    pages = _read_pages(spark, os.path.join(dst, "pages"))
     manifest = spark.read.parquet(os.path.join(dst, "manifest"))
     committed = manifest.select("part_id", "run_id")
     return pages.join(F.broadcast(committed), ["part_id", "run_id"], "left_semi")
 
 
+def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
+                       run_id: str, resume: bool, summary: dict) -> None:
+    """S5 job-level lineage sidecar (SURVEY.md §2.2): one JSON per run
+    under ``runs/``, plus ``RUN.json`` pointing at the latest — input
+    snapshot (schema + file sample), config, code version, totals."""
+    try:
+        import subprocess
+        sha = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=5).stdout.strip() or None
+    except Exception:
+        sha = None
+    try:
+        in_files = df.inputFiles()
+    except Exception:
+        in_files = []
+    doc = {
+        "run_id": run_id,
+        "table": cfg.table_name,
+        "resume": resume,
+        "config": {
+            "keys": list(cfg.keys), "salt_from": list(cfg.salt_from),
+            "salt_buckets": cfg.salt_buckets, "num_parts": cfg.num_parts,
+            "order_keys": list(cfg.order_keys),
+            "page_bytes": cfg.page_bytes,
+            "codec_overrides": dict(cfg.codec_overrides),
+        },
+        "input": {"schema": df.schema.simpleString(),
+                  "num_files": len(in_files), "files_sample": in_files[:3]},
+        "summary": {k: (int(v) if v is not None else None)
+                    for k, v in summary.items() if k != "run_id"},
+        "git_sha": sha,
+        "committed_at_epoch_s": int(time.time()),
+    }
+    runs_dir = os.path.join(dst, "runs")
+    try:
+        os.makedirs(runs_dir, exist_ok=True)
+        with open(os.path.join(runs_dir, f"{run_id}.json"), "w") as f:
+            json.dump(doc, f, indent=1)
+        with open(os.path.join(dst, "RUN.json"), "w") as f:
+            json.dump(doc, f, indent=1)
+    except OSError:
+        pass    # non-local dst (e.g. object store): sidecar is best-effort
+
+
 def decode_dataset(spark: SparkSession, dst: str) -> DataFrame:
     return decode_table(read_committed_pages(spark, dst), spark)
+
+
+def reconcile_manifests(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cross-attempt set-op audit (SURVEY.md §2.3): manifest rows on which
+    two encode attempts DISAGREE, over the deterministic fields only
+    (run_id / committed_at / wall time legitimately differ per attempt).
+
+    ``exceptAll`` both ways + ``unionByName`` with a ``side`` tag; an
+    empty result proves the attempts produced identical logical output —
+    the production-side check of the determinism guarantee that pytest
+    pins in tests/test_resume.py (SURVEY.md §7 M5)."""
+    keys = ["table", "part_id", "num_pages", "num_rows",
+            "raw_bytes", "enc_bytes", "codecs", "columns"]
+    da, db = a.select(*keys), b.select(*keys)
+    return (da.exceptAll(db).withColumn("side", F.lit("a"))
+            .unionByName(db.exceptAll(da).withColumn("side", F.lit("b"))))
 
 
 def verify_roundtrip(orig: DataFrame, decoded: DataFrame, col: str) -> dict:

@@ -31,6 +31,8 @@ class EncodeConfig:
     page_bytes: int = 1 << 20                # ~1 MiB pages (parquet default-ish)
     page_rows_max: int = 1 << 16
     codec_overrides: dict = field(default_factory=dict)  # col -> codec
+    block_codec: str | None = None           # E9 outer page compression
+    #                                          ("zlib" | None); default off
     table_name: str = "t"
 
 

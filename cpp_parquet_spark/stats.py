@@ -202,6 +202,21 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
     return stats.select("part_id", "column", decision.alias("codec"))
 
 
+def suggest_block_codec(stats: DataFrame,
+                        entropy_max: float = 6.5) -> str | None:
+    """E9 stats-pass trigger: recommend outer zlib when the sampled string
+    bytes still carry slack (byte entropy under ``entropy_max`` bits/byte
+    — above that, general-purpose compression mostly spins). Returns
+    "zlib" or None; the caller feeds it to ``EncodeConfig.block_codec``.
+    Deterministic over the same (seeded) stats sample."""
+    row = (stats.filter(F.col("type").isin("str", "bin"))
+           .agg((F.sum(F.col("byte_entropy") * F.col("total_bytes"))
+                 / F.sum("total_bytes")).alias("w_entropy"))
+           .collect()[0])
+    w = row["w_entropy"]
+    return "zlib" if w is not None and w <= entropy_max else None
+
+
 def plan_decisions(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                    fraction: float = 0.05, seed: int = 42
                    ) -> dict[tuple[int, str], str]:

@@ -141,3 +141,36 @@ def test_embeddings_roundtrip(spark, sf_dir):
         assert len(src[k]) == len(got[k])
         for a, b in zip(src[k], got[k]):
             assert math.isclose(a, b, rel_tol=0.0, abs_tol=0.0) or a == b
+
+
+def test_block_zlib_end_to_end(spark, sf_dir):
+    """E9 through the full pipeline: block-compressed pages decode to
+    sha256-identical values and shrink compressible text columns."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_cfg = TABLES["documents"]
+    from dataclasses import replace
+    cfg = replace(base_cfg, block_codec="zlib",
+                  codec_overrides={"text": "plain"})
+    pages = encode_table(df, cfg).cache()
+    try:
+        dec = decode_table(pages)
+        r = verify_roundtrip(df, dec, "text")
+        assert r["mismatched_hashes"] == 0
+        plain_cfg = replace(base_cfg, codec_overrides={"text": "plain"})
+        sz = lambda p: (p.filter(F.col("column") == "text")
+                        .agg(F.sum("enc_bytes")).collect()[0][0])
+        assert sz(pages) < sz(encode_table(df, plain_cfg))
+    finally:
+        pages.unpersist()
+
+
+def test_suggest_block_codec(spark, sf_dir):
+    from cpp_parquet_spark.stats import column_stats, suggest_block_codec
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = column_stats(df, TABLES["documents"], fraction=1.0).cache()
+    try:
+        # natural-language text sits well under 6.5 bits/byte
+        assert suggest_block_codec(st) == "zlib"
+        assert suggest_block_codec(st, entropy_max=0.5) is None
+    finally:
+        st.unpersist()

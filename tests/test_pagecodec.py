@@ -88,3 +88,35 @@ def test_raw_bytes_accounting():
     row = pc.encode_page(s, "str", "plain")
     assert row["raw_bytes"] == 6 + 12  # payload + 4B lengths
     assert row["enc_bytes"] == len(row["data"])
+
+
+@pytest.mark.parametrize("tag,codec,s", CASES,
+                         ids=[f"blk-{t}-{c}" for t, c, _ in CASES])
+def test_page_roundtrip_with_block_zlib(tag, codec, s):
+    """E9: outer zlib wraps every (tag, codec) page and round-trips."""
+    s = s.reset_index(drop=True)
+    row = pc.encode_page(s, tag, codec, block="zlib")
+    assert row["enc_bytes"] == len(row["data"])
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    expect = pa.Array.from_pandas(s)
+    if tag == "ts":
+        expect = expect.cast(pa.timestamp("us"))
+    elif tag == "str":
+        expect = expect.cast(pa.large_string())
+    assert arr.cast(expect.type).equals(expect), f"{tag}/{codec} blk mismatch"
+
+
+def test_block_zlib_only_kept_when_smaller():
+    import json
+    # highly repetitive plain text: zlib wins, blk marker present
+    s = pd.Series(["aaaa bbbb cccc " * 40] * 200)
+    row = pc.encode_page(s, "str", "plain", block="zlib")
+    assert json.loads(row["params"]).get("blk") == "zlib"
+    base = pc.encode_page(s, "str", "plain")
+    assert row["enc_bytes"] < base["enc_bytes"]
+    # incompressible bytes: zlib would grow the page -> marker absent
+    rng = np.random.default_rng(7)
+    blob = pd.Series([rng.bytes(4096)])
+    row2 = pc.encode_page(blob, "bin", "plain", block="zlib")
+    assert "blk" not in json.loads(row2["params"])

@@ -80,11 +80,54 @@ def test_orphan_pages_ignored(spark, repofiles, tmp_path):
     # forge an orphan: append pages with a run_id absent from the manifest
     pages = encode_table(repofiles.limit(50), CFG) \
         .withColumn("run_id", F.lit("orphan"))
-    pages.write.mode("append").parquet(os.path.join(dst, "pages"))
+    pages.write.mode("append").partitionBy("run_id") \
+        .parquet(os.path.join(dst, "pages"))
     committed = read_committed_pages(spark, dst)
     assert committed.filter(F.col("run_id") == "orphan").count() == 0
     dec = decode_dataset(spark, dst)
     assert dec.count() == repofiles.count()
+
+
+def test_pages_partitioned_by_run_prunes_files(spark, repofiles, tmp_path):
+    """Resume attempts must not relist prior runs' page files: the sink is
+    partitioned by run_id, so a run_id filter prunes at the directory
+    level (the 100 TB resume-cost guarantee)."""
+    dst = str(tmp_path / "enc")
+    subset = with_part_id(repofiles, CFG).filter(F.col("__part_id") < 3) \
+        .drop("__part_id")
+    run_encode(spark, subset, dst, CFG, run_id="attempt1")
+    run_encode(spark, repofiles, dst, CFG, run_id="attempt2")
+    pages_dir = os.path.join(dst, "pages")
+    assert sorted(d for d in os.listdir(pages_dir)
+                  if d.startswith("run_id=")) == \
+        ["run_id=attempt1", "run_id=attempt2"]
+    only2 = (spark.read.parquet(pages_dir)
+             .filter(F.col("run_id") == "attempt2"))
+    plan = only2._jdf.queryExecution().executedPlan().toString()
+    # run_id is a directory partition column => the filter lands in
+    # PartitionFilters (file-level pruning), not as a data filter
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "run_id" in pf.split("PartitionFilters")[1].split("]")[0], plan
+    # and the pruned scan really only touches attempt2's directory
+    assert only2.count() > 0
+    rows = only2.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("run_id=attempt2" in r["f"] for r in rows), rows[:3]
+
+
+def test_run_sidecar_written(spark, repofiles, tmp_path):
+    """S5: per-run lineage sidecar with config + input snapshot + totals."""
+    import json
+    dst = str(tmp_path / "enc")
+    run_encode(spark, repofiles, dst, CFG, run_id="r1")
+    for p in [os.path.join(dst, "RUN.json"),
+              os.path.join(dst, "runs", "r1.json")]:
+        with open(p) as f:
+            doc = json.load(f)
+        assert doc["run_id"] == "r1"
+        assert doc["table"] == "repofiles"
+        assert doc["config"]["num_parts"] == 8
+        assert doc["summary"]["rows"] == repofiles.count()
+        assert doc["input"]["schema"].startswith("struct<")
 
 
 def test_manifest_lineage_fields(spark, repofiles, tmp_path):
@@ -99,3 +142,23 @@ def test_manifest_lineage_fields(spark, repofiles, tmp_path):
     assert row["num_rows"] > 0 and row["encode_wall_s"] is not None
     total = m.agg(F.sum("num_rows")).collect()[0][0]
     assert total == repofiles.count()
+
+
+def test_reconcile_manifests_setops(spark, repofiles, tmp_path):
+    """Set-op audit: two deterministic attempts reconcile to empty; a
+    divergent attempt (different page size => different page counts)
+    surfaces rows from both sides."""
+    from cpp_parquet_spark.engine import reconcile_manifests
+    from dataclasses import replace
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    run_encode(spark, repofiles, a, CFG, run_id="x")
+    run_encode(spark, repofiles, b, CFG, run_id="y")
+    run_encode(spark, repofiles, c, replace(CFG, page_bytes=4096),
+               run_id="z")
+    ma, mb, mc = (spark.read.parquet(os.path.join(d, "manifest"))
+                  for d in (a, b, c))
+    assert reconcile_manifests(ma, mb).count() == 0
+    div = reconcile_manifests(ma, mc)
+    assert div.count() > 0
+    assert {r["side"] for r in div.select("side").distinct().collect()} \
+        == {"a", "b"}
