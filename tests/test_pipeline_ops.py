@@ -67,18 +67,27 @@ def test_lang_id_deterministic_scores(docs):
             assert r[f"score_{r['pred_lang']}"] == best
 
 
+def _py_shingle_hash(s: str, width: int = 4) -> int:
+    # out-of-range positions contribute ascii('') == 0, like the SQL
+    h = ord(s[0]) if s else 0
+    for j in range(1, width):
+        h = (h * textops.FP_BASE
+             + (ord(s[j]) if j < len(s) else 0)) % textops.FP_MOD
+    return h
+
+
 def test_fingerprint_matches_python(docs):
     rows = textops.fingerprint(docs).orderBy("doc_id").limit(10).collect()
     src = {r["doc_id"]: r["text"] for r in
            docs.orderBy("doc_id").limit(10).collect()}
     for r in rows:
         t = src[r["doc_id"]][:512]
-        hs = [hashlib.md5(t[i:i + 4].encode()).hexdigest()
+        hs = [_py_shingle_hash(t[i:i + 4])
               for i in range(max(len(t) - 3, 1))]
         assert r["md5_full"] == hashlib.md5(
             src[r["doc_id"]].encode()).hexdigest()
-        assert r["min_shingle_md5"] == min(hs)
-        assert r["max_shingle_md5"] == max(hs)
+        assert r["min_shingle_h"] == min(hs)
+        assert r["max_shingle_h"] == max(hs)
 
 
 # ---------------------------------------------------------------------------
