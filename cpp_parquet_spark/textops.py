@@ -64,10 +64,17 @@ def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     The score is a deterministic linear blend — the exact weights are the
     operator's contract (the oracle recomputes them), not a claim about
     what "quality" means for any given corpus."""
+    import string
     t = F.col(text_col)
     n = F.length(t)
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    # char-class counts via translate (a char map) instead of
+    # regexp_replace: same ASCII-class semantics, no regex engine, no
+    # full-string rewrite allocation — ~2x faster on 2.5 KB docs.
+    # Java regex \s is exactly [ \t\n\x0B\f\r].
+    _ws_chars = " \t\n\x0b\x0c\r"
+    alpha = n - F.length(F.translate(t, string.ascii_letters, ""))
+    punct = F.length(F.translate(
+        t, string.ascii_letters + string.digits + _ws_chars, ""))
     toks = _ws_tokens(text_col)
     ws = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -126,17 +133,88 @@ FP_MOD = (1 << 31) - 1
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
-                shingle: int = 4, prefix: int = 512) -> DataFrame:
+                shingle: int = 4, prefix: int = 512,
+                impl: str = "numpy") -> DataFrame:
     """Document fingerprints: full-text md5 plus min- and max-shingle-hash
     over character ``shingle``-grams of the first ``prefix`` chars — the
-    min-hash end of a winnowing scheme, built entirely from SQL
-    expressions.
+    min-hash end of a winnowing scheme.
 
     The shingle hash is an integer codepoint polynomial (base 2^21 mod
-    2^31-1) rather than one md5 per position: pure BIGINT arithmetic in
-    whole-stage codegen, no per-position digest + hex-string allocation
-    (~2x cheaper end to end), and still exactly reproducible by the SQL
-    oracle."""
+    2^31-1): every value < 2^52, exact in BIGINT for Spark, DuckDB and
+    numpy uint64 alike, so all three implementations agree bit-for-bit.
+
+    ``impl="numpy"`` (default): md5 stays JVM-side (``F.md5``), the
+    shingle minima/maxima come from ONE vectorized Arrow pass — the
+    batch's texts are decoded to a flat UTF-32 codepoint array (so
+    ``ord(char)`` semantics match SQL ``ascii(substr(...))`` exactly),
+    the polynomial is a constant-count loop of broadcast multiplies, and
+    per-doc min/max are segmented ``np.minimum/maximum.reduceat``. The
+    SQL form (``impl="sql"``) evaluates ``prefix * shingle`` substr calls
+    per document, each an O(prefix) UTF-8 scan — O(prefix^2) per doc,
+    measured ~10x slower at 100k docs; it is kept as the oracle-shaped
+    reference implementation (equality pinned by pytest)."""
+    if impl == "sql":
+        return _fingerprint_sql(df, text_col, shingle, prefix)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = np.uint64(FP_BASE)
+    mod = np.uint64(FP_MOD)
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("md5_full", T.StringType()),
+        T.StructField("min_shingle_h", T.LongType()),
+        T.StructField("max_shingle_h", T.LongType()),
+    ])
+
+    def kernel(batches):
+        # `shingle` zero codepoints between docs: a doc shorter than the
+        # shingle width still has one position, which reads up to
+        # `shingle` pad chars (ascii('') == 0 semantics)
+        pad = shingle
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ndocs = ids.shape[0]
+            if ndocs == 0:
+                continue
+            clipped = pdf[text_col].fillna("").str.slice(0, prefix)
+            lens = clipped.str.len().to_numpy(dtype=np.int64)
+            # flat codepoint array, `pad` zero codepoints between docs:
+            # position i of a doc reads chars i..i+pad with ascii('')=0
+            # padding semantics, and can never reach the next doc
+            joined = ("\0" * pad).join(clipped.tolist()) + "\0" * pad
+            cp = np.frombuffer(joined.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.uint64)
+            offs = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(lens + pad, out=offs[1:])
+            npos = np.maximum(lens - (shingle - 1), 1)
+            cum = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(npos, out=cum[1:])
+            idx = (np.arange(cum[-1], dtype=np.int64)
+                   - np.repeat(cum[:-1], npos) + np.repeat(offs[:-1], npos))
+            h = cp[idx]
+            for j in range(1, shingle):
+                h = (h * base + cp[idx + j]) % mod
+            mins = np.minimum.reduceat(h, cum[:-1])
+            maxs = np.maximum.reduceat(h, cum[:-1])
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "md5_full": pdf["__md5"].to_numpy(),
+                "min_shingle_h": mins.view(np.int64),
+                "max_shingle_h": maxs.view(np.int64),
+            })
+
+    src = df.select("doc_id", F.col(text_col),
+                    F.md5(F.col(text_col).cast("binary")).alias("__md5"))
+    return src.mapInPandas(kernel, out_schema)
+
+
+def _fingerprint_sql(df: DataFrame, text_col: str, shingle: int,
+                     prefix: int) -> DataFrame:
+    """SQL-expression fingerprint (the oracle-shaped reference path)."""
     t = F.substring(F.col(text_col), 1, prefix)
     npos = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
 

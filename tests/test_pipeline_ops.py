@@ -90,6 +90,26 @@ def test_fingerprint_matches_python(docs):
         assert r["max_shingle_h"] == max(hs)
 
 
+def test_fingerprint_numpy_equals_sql(spark):
+    """The vectorized Arrow kernel and the SQL-expression reference path
+    must agree bit-for-bit — including empty, shorter-than-shingle,
+    multibyte and codepoint-boundary texts."""
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "abc"), (4, "abcd"),
+            (5, "héllo wörld ÿĀ ünïcode"), (6, "日本語テキスト"),
+            (7, "x" * 600), (8, "the quick brown fox " * 40),
+            (9, "\t\n mixed \x0b ws \r\f"), (10, "߿ࠀ￿")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r for r in
+         textops.fingerprint(df, impl="numpy").collect()}
+    b = {r["doc_id"]: r for r in
+         textops.fingerprint(df, impl="sql").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["md5_full"] == b[k]["md5_full"], k
+        assert a[k]["min_shingle_h"] == b[k]["min_shingle_h"], k
+        assert a[k]["max_shingle_h"] == b[k]["max_shingle_h"], k
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -136,6 +156,41 @@ def test_ngram_jaccard_vs_brute(spark, docs):
     # and every reported value is the true jaccard
     for (ia, ib), j in got.items():
         assert abs(j - _brute_jaccard(texts[ia], texts[ib])) < 1e-6
+
+
+def test_ngram_df_cap_drops_boilerplate(spark):
+    """A corpus-wide boilerplate prefix (license header) shared by every
+    doc must not drive the intersect join quadratic: with max_gram_df set,
+    its grams are dropped from every shingle set, the true near-dup pair
+    is still found, and unrelated docs that share ONLY boilerplate stop
+    surfacing as candidates at all."""
+    boiler = "// SPDX-License-Identifier: MIT * copyright (c) 2026 " * 4
+    uniq = [f"def fn_{i}(x): return x * {i} + {i * 7} # {i}~uniq" * 4
+            for i in range(40)]
+    rows = [(i, boiler + u, "s") for i, u in enumerate(uniq)]
+    rows.append((1000, boiler + uniq[0] + "tail", "s"))  # near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                       max_gram_df=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (0, 1000) in got                  # true pair survives the cap
+    assert got[(0, 1000)] > 0.5
+    # brute-force check of the capped semantics: Jaccard over the grams
+    # retained after the document-frequency filter
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    sets = {i: {t[:512][p:p + 3]
+                for p in range(max(len(t[:512]) - 2, 1))}
+            for i, t in texts.items()}
+    from collections import Counter
+    dfreq = Counter(g for s in sets.values() for g in s)
+    kept = {i: {g for g in s if dfreq[g] <= 5} for i, s in sets.items()}
+    for (ia, ib), j in got.items():
+        expect = len(kept[ia] & kept[ib]) / len(kept[ia] | kept[ib])
+        assert abs(j - expect) < 1e-6
+    # scale guard: the boilerplate-only pairs are gone (uncapped would
+    # emit O(n^2) candidate rows through the shared grams)
+    assert all(ib == 1000 and ia == 0 for ia, ib in got)
 
 
 def test_minhash_lsh_finds_near_dupes(spark, docs):
