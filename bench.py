@@ -17,9 +17,11 @@ Inputs:
   ``/root/testdata/sf0.1``).
 
 Scaling evidence (two-cluster-size rule): after the query sweep the
-harness re-invokes itself at local[8] and local[32] on the SAME 800k-row
-input (encode only, best-of-REPS per level, waiting out co-tenant load
-flares) and embeds the pair + efficiency in the JSON as ``"scaling"``;
+harness re-invokes itself to measure two N-vs-4N pairs on fixed inputs —
+primary local[2]/local[8] (clean: below the co-tenant flare capacity),
+secondary local[8]/local[32] (whole box) — encode only, best-of-REPS per
+leg, waiting out load flares; both pairs + efficiency land in the JSON
+as ``"scaling"``;
 ``encode_gbps`` / ``encode_plain_gbps`` are taken from the local[32] legs
 so they measure kernel throughput at 2 GB, not the 5 s job-setup floor
 that dominates the 248 MB sweep. ``tools/scaling.py`` remains the
@@ -101,10 +103,42 @@ def _repofiles_parquet() -> str:
     return _REPO_PATH
 
 
+_SIZE: dict | None = None
+
+
 def q_encode_repofiles(spark: SparkSession) -> None:
-    """HEADLINE: north-rule encode — auto-selected codecs over source code."""
+    """HEADLINE: north-rule encode — auto-selected codecs over source
+    code. Forces materialization through a sum aggregate (same full
+    evaluation as a noop sink) so the run also yields the raw/encoded
+    byte totals for the JSON ``size`` block."""
+    global _SIZE
     df = _repofiles_df(spark)
-    _force(encode_table(df, REPO_CFG))
+    row = (encode_table(df, REPO_CFG)
+           .agg(F.sum("raw_bytes").alias("raw"),
+                F.sum("enc_bytes").alias("enc")).collect()[0])
+    _SIZE = {"raw_bytes": int(row["raw"]), "enc_bytes": int(row["enc"]),
+             "ratio": round(row["raw"] / row["enc"], 3)}
+
+
+def _standin_sizes() -> dict | None:
+    """Stand-in reference writer (pyarrow, the toy cpp-parquet's codec
+    set): PLAIN/UNCOMPRESSED file size + single-thread write wall over
+    the same input — the BASELINE.md comparison, refreshed per run."""
+    import tempfile
+    try:
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(_repofiles_parquet())
+        with tempfile.TemporaryDirectory() as td:
+            dst = os.path.join(td, "standin.parquet")
+            t0 = time.monotonic()
+            pq.write_table(tbl, dst, use_dictionary=False,
+                           compression="NONE")
+            wall = time.monotonic() - t0
+            plain_bytes = os.path.getsize(dst)
+        return {"plain_bytes": plain_bytes,
+                "plain_write_s": round(wall, 3)}
+    except Exception:
+        return None
 
 
 def q_encode_repofiles_plain(spark: SparkSession) -> None:
@@ -208,69 +242,116 @@ QUERIES = {
 }
 
 
-def _loadavg() -> float:
+def _cpu_busy_frac(interval: float = 2.0) -> float:
+    """Instantaneous host CPU busy fraction from /proc/stat (the box
+    shares a kernel with co-tenant processes invisible to ps, so this
+    sees their load directly — unlike loadavg, it has no decay lag and
+    is not polluted by our own just-finished leg)."""
+    def snap():
+        parts = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]            # idle + iowait
+        return idle, sum(vals)
     try:
-        return float(open("/proc/loadavg").read().split()[0])
-    except OSError:
+        i0, t0 = snap()
+        time.sleep(interval)
+        i1, t1 = snap()
+        return 1.0 - (i1 - i0) / max(t1 - t0, 1)
+    except (OSError, IndexError, ValueError):
         return 0.0
 
 
-def _wait_quiet(limit: float = 4.0, timeout: float = 180.0) -> None:
+def _wait_quiet(limit: float = 0.15, timeout: float = 240.0) -> None:
     """Best-effort dodge of co-tenant load flares before a probe run."""
     t0 = time.monotonic()
-    while _loadavg() > limit and time.monotonic() - t0 < timeout:
-        time.sleep(10)
+    while _cpu_busy_frac() > limit and time.monotonic() - t0 < timeout:
+        time.sleep(8)
 
 
-def _scaling_probe() -> dict | None:
-    """local[8] vs local[32] on the same 800k-row input (the sandbox
-    substitute for N vs 4N executors, BASELINE.json north rule). Each leg
-    re-invokes this file with BENCH_ONLY=encode_repofiles,
-    encode_repofiles_plain so the measurement is a fresh JVM with the
-    identical code path the sweep uses; best-of-REPS per level because
-    the box shares hardware with co-tenants (see BENCH.md)."""
+def _probe_leg(cpus: int, rows: int) -> dict | None:
+    """One fresh-JVM encode run at local[cpus] on the rows-row input."""
     import subprocess
-    rows = int(os.environ.get("BENCH_SCALING_ROWS", "800000"))
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
     here = os.path.abspath(__file__)
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               BENCH_REPOFILES_ROWS=str(rows), BENCH_SCALING="0",
+               BENCH_ONLY="encode_repofiles,encode_repofiles_plain")
+    try:
+        out = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True,
+            text=True, timeout=1200, check=True, cwd=os.path.dirname(here))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.SubprocessError, ValueError, IndexError):
+        return None
+
+
+def _scaling_pair(n: int, n4: int, rows: int, reps: int,
+                  deadline: float) -> dict | None:
+    """Best-of-reps N vs 4N pair on the same input (the sandbox
+    substitute for two executor counts, BASELINE.json north rule). Each
+    leg is a fresh JVM running the identical sweep code path; best-of
+    because the box shares hardware with co-tenant load flares (see
+    BENCH.md). Stops scheduling further reps past ``deadline`` (but
+    always completes at least one rep per level)."""
+    runs: dict[int, list[dict]] = {n: [], n4: []}
     for rep in range(reps):
-        for cpus in (8, 32):
+        if rep > 0 and time.monotonic() > deadline:
+            break
+        for cpus in (n, n4):
             _wait_quiet()
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       BENCH_REPOFILES_ROWS=str(rows), BENCH_SCALING="0",
-                       BENCH_ONLY="encode_repofiles,encode_repofiles_plain")
-            try:
-                out = subprocess.run(
-                    [sys.executable, here], env=env, capture_output=True,
-                    text=True, timeout=1200, check=True,
-                    cwd=os.path.dirname(here))
-                runs[cpus].append(
-                    json.loads(out.stdout.strip().splitlines()[-1]))
-            except (subprocess.SubprocessError, ValueError, IndexError):
-                continue
-    if not runs[8] or not runs[32]:
+            r = _probe_leg(cpus, rows)
+            if r is not None:
+                runs[cpus].append(r)
+    if not runs[n] or not runs[n4]:
         return None
     best = {c: min(rs, key=lambda r: r["queries"]["encode_repofiles"])
             for c, rs in runs.items()}
-    cb = best[32]["content_bytes"]
-    t8 = best[8]["queries"]["encode_repofiles"]
-    t32 = best[32]["queries"]["encode_repofiles"]
-    p8 = best[8]["queries"]["encode_repofiles_plain"]
-    p32 = best[32]["queries"]["encode_repofiles_plain"]
+    cb = best[n4]["content_bytes"]
+    tn = best[n]["queries"]["encode_repofiles"]
+    tn4 = best[n4]["queries"]["encode_repofiles"]
+    pn = best[n]["queries"]["encode_repofiles_plain"]
+    pn4 = best[n4]["queries"]["encode_repofiles_plain"]
+    ratio = n4 / n
     return {
-        "rows": rows, "content_bytes": cb, "n_cpus": 8, "n4_cpus": 32,
-        "t_n": t8, "t_n4": t32,
-        "gbps_n": round(cb / t8 / 1e9, 4),
-        "gbps_n4": round(cb / t32 / 1e9, 4),
-        "efficiency": round((t8 / t32) / 4.0, 3),
-        "plain": {"t_n": p8, "t_n4": p32,
-                  "gbps_n": round(cb / p8 / 1e9, 4),
-                  "gbps_n4": round(cb / p32 / 1e9, 4),
-                  "efficiency": round((p8 / p32) / 4.0, 3)},
-        "walls_n": [r["queries"]["encode_repofiles"] for r in runs[8]],
-        "walls_n4": [r["queries"]["encode_repofiles"] for r in runs[32]],
+        "rows": rows, "content_bytes": cb, "n_cpus": n, "n4_cpus": n4,
+        "t_n": tn, "t_n4": tn4,
+        "gbps_n": round(cb / tn / 1e9, 4),
+        "gbps_n4": round(cb / tn4 / 1e9, 4),
+        "efficiency": round((tn / tn4) / ratio, 3),
+        "plain": {"t_n": pn, "t_n4": pn4,
+                  "gbps_n": round(cb / pn / 1e9, 4),
+                  "gbps_n4": round(cb / pn4 / 1e9, 4),
+                  "efficiency": round((pn / pn4) / ratio, 3)},
+        "walls_n": [r["queries"]["encode_repofiles"] for r in runs[n]],
+        "walls_n4": [r["queries"]["encode_repofiles"] for r in runs[n4]],
     }
+
+
+def _scaling_probe() -> dict | None:
+    """Two N-vs-4N pairs (north-rule scaling criterion, sandbox form):
+
+    - primary local[2] vs local[8], 400k rows — both legs fit inside the
+      capacity that stays quiet under the box's co-tenant flares, so this
+      is the clean reading of the engine's scaling. 400k (not 200k): the
+      encode query carries ~2 s of fixed job overhead, and measured walls
+      across local[2/4/8/16] fit t = W/n + c almost exactly — at 200k
+      that constant alone moves the ratio by ~0.1, at 400k it is noise;
+    - secondary local[8] vs local[32], 800k rows — uses the whole box and
+      is hostage to co-tenant steal (the host runs a constant ~4 load of
+      other tenants) and the FSST kernel's memory-bandwidth ceiling
+      (kernel-only 8->32 efficiency measured 0.75, BENCH.md).
+    """
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    rows_big = int(os.environ.get("BENCH_SCALING_ROWS", "800000"))
+    budget = float(os.environ.get("BENCH_SCALING_BUDGET", "900"))
+    deadline = time.monotonic() + budget
+    primary = _scaling_pair(2, 8, 400000, reps, deadline)
+    secondary = _scaling_pair(8, 32, rows_big, reps, deadline)
+    if primary is None and secondary is None:
+        return None
+    out = {"primary": primary, "secondary": secondary}
+    head = primary or secondary
+    out["efficiency"] = head["efficiency"]
+    return out
 
 
 def main() -> None:
@@ -278,7 +359,11 @@ def main() -> None:
     names = only or list(QUERIES)
     # hybrid JVM+Python encode stages: 2-core task slots stop the 2x
     # thread oversubscription (serde thread + Python worker per task)
-    spark = get_spark(f"local[{CPUS}]", task_cpus=2 if CPUS >= 16 else 1)
+    # task_cpus=1 everywhere: with 8 MB scan splits (session.py) the
+    # scan stage is as wide as the box and plain 1-core slots win —
+    # measured 13.9 s vs 38 s at local[32] on the 2 GB auto encode (the
+    # round-1 task.cpus=2 setting was compensating for a 4-task scan)
+    spark = get_spark(f"local[{CPUS}]", task_cpus=1)
     # warm up JVM + Python workers so timings measure the kernels, not
     # startup; enough parts that every worker slot spawns and imports
     warm = spark.createDataFrame([(str(i), "warm" * 10) for i in range(4096)],
@@ -311,6 +396,16 @@ def main() -> None:
         "encode_gbps": gbps, "content_bytes": int(content_bytes),
         "cpus": CPUS, "repofiles_rows": REPO_ROWS,
     }
+    if _SIZE is not None:
+        size = dict(_SIZE)
+        standin = _standin_sizes()
+        if standin is not None:
+            size.update(standin)
+            size["enc_vs_standin"] = round(
+                size["enc_bytes"] / standin["plain_bytes"], 3)
+            size["standin_gbps"] = round(
+                content_bytes / standin["plain_write_s"] / 1e9, 4)
+        out["size"] = size
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         out["sf"] = float(sf)
@@ -323,8 +418,10 @@ def main() -> None:
             out["scaling"] = scaling
             # headline throughput from the 2 GB local[32] legs (kernel-
             # bound), not the overhead-dominated 248 MB sweep
-            out["encode_gbps"] = scaling["gbps_n4"]
-            out["encode_plain_gbps"] = scaling["plain"]["gbps_n4"]
+            sec = scaling.get("secondary")
+            if sec is not None:
+                out["encode_gbps"] = sec["gbps_n4"]
+                out["encode_plain_gbps"] = sec["plain"]["gbps_n4"]
     print(json.dumps(out))
 
 

@@ -221,7 +221,16 @@ def minhash_signature_vectors(df: DataFrame, num_perm: int = 64, n: int = 4,
                 "vec": list(sig.view(np.int64)),
             })
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    src = df.select(id_col, text_col)
+    # small-file inputs (one row group) would run the kernel on ONE task;
+    # widen to the session's parallelism when the scan is narrower. At
+    # production scale the source has >> cores partitions and this is a
+    # no-op (no shuffle added).
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(kernel, out_schema)
 
 
 def minhash_bands(vecs: DataFrame, num_perm: int = 64,

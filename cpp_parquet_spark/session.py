@@ -18,11 +18,12 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def get_spark(master: str | None = None, app: str = "cpp_parquet_spark",
               shuffle_partitions: int | None = None,
               task_cpus: int | None = None) -> SparkSession:
-    """``task_cpus``: cores reserved per task. For the hybrid
-    JVM+Python encode stages, 2 keeps each (serde thread, Python worker)
-    pair inside its slot instead of running 2x the cores in runnable
-    threads — measured 2.5x faster at local[32] on the 2 GB encode. Pure
-    JVM queries prefer 1. Default: SPARK_GRAFT_TASK_CPUS env or 1."""
+    """``task_cpus``: cores reserved per task. Default 1 (or the
+    SPARK_GRAFT_TASK_CPUS env). With 8 MB scan splits (below) a plain
+    1-core slot per task wins everywhere we measured — the earlier
+    task_cpus=2 recommendation for hybrid JVM+Python stages was
+    compensating for a narrow (4-task) scan stage and is now 2.7x SLOWER
+    at local[32] on the 2 GB encode (13.9 s vs 38 s)."""
     master = master or f"local[{DEFAULT_CPUS}]"
     ncores = 32
     if master.startswith("local[") and master[6:-1].isdigit():
@@ -38,6 +39,14 @@ def get_spark(master: str | None = None, app: str = "cpp_parquet_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scan-side parallelism: source-code parquet compresses ~4x, so
+        # the default 128 MB split feeds tasks ~512 MB of decoded strings
+        # AND caps a 470 MB file at 4 scan tasks — the stage ahead of the
+        # encode exchange then bottlenecks every wider level. 8 MB splits
+        # (~32 MB decoded per task) keep the scan as wide as the box; on
+        # a real cluster this is the same spark-submit conf.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
         # one Arrow batch ~ a few pages; too small starves the vectorized
         # kernels, too big risks worker memory at wide content rows
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
