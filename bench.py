@@ -378,12 +378,16 @@ def main() -> None:
         F.sum(F.octet_length("content"))).collect()[0][0]
 
     times: dict[str, float] = {}
-    t_all = time.monotonic()
     for name in names:
+        if not only:
+            # brief idle gate so a co-tenant flare doesn't inflate one
+            # query's wall by 3-7x (bounded: worst case +60 s per query;
+            # the wait itself is excluded from every reported number)
+            _wait_quiet(limit=0.2, timeout=60.0)
         t0 = time.monotonic()
         QUERIES[name](spark)
         times[name] = round(time.monotonic() - t0, 3)
-    total = round(time.monotonic() - t_all, 3)
+    total = round(sum(times.values()), 3)
 
     gbps = None
     if "encode_repofiles" in times and times["encode_repofiles"] > 0:
