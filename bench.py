@@ -261,9 +261,14 @@ def _cpu_busy_frac(interval: float = 2.0) -> float:
         return 0.0
 
 
-def _wait_quiet(limit: float = 0.15, timeout: float = 240.0) -> None:
-    """Best-effort dodge of co-tenant load flares before a probe run."""
+def _wait_quiet(limit: float = 0.15, timeout: float = 75.0,
+                deadline: float | None = None) -> None:
+    """Best-effort dodge of co-tenant load flares before a probe run.
+    Never waits past ``deadline`` (the probe's overall budget) — when the
+    box stays busy, best-of-reps is the fallback, not more waiting."""
     t0 = time.monotonic()
+    if deadline is not None:
+        timeout = max(0.0, min(timeout, deadline - t0))
     while _cpu_busy_frac() > limit and time.monotonic() - t0 < timeout:
         time.sleep(8)
 
@@ -297,7 +302,7 @@ def _scaling_pair(n: int, n4: int, rows: int, reps: int,
         if rep > 0 and time.monotonic() > deadline:
             break
         for cpus in (n, n4):
-            _wait_quiet()
+            _wait_quiet(deadline=deadline)
             r = _probe_leg(cpus, rows)
             if r is not None:
                 runs[cpus].append(r)
