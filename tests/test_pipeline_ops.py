@@ -97,7 +97,8 @@ def test_fingerprint_numpy_equals_sql(spark):
     rows = [(0, ""), (1, "a"), (2, "ab"), (3, "abc"), (4, "abcd"),
             (5, "héllo wörld ÿĀ ünïcode"), (6, "日本語テキスト"),
             (7, "x" * 600), (8, "the quick brown fox " * 40),
-            (9, "\t\n mixed \x0b ws \r\f"), (10, "߿ࠀ￿")]
+            (9, "\t\n mixed \x0b ws \r\f"), (10, "߿ࠀ￿"),
+            (11, "astral \U0001F600\U0001F680 pair \U00010000 end")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = {r["doc_id"]: r for r in
          textops.fingerprint(df, impl="numpy").collect()}
