@@ -57,11 +57,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPO_ROWS = int(os.environ.get("BENCH_REPOFILES_ROWS", "100000"))
 
-# north-rule config: salted repartition on (repo, path-bucket); enough parts
-# to keep every core busy at either parallelism level (8 or 32)
-REPO_CFG = EncodeConfig(keys=("repo",), salt_from=("path",), salt_buckets=32,
-                        num_parts=256, order_keys=("path",),
-                        table_name="repofiles")
+# north-rule config: salted repartition on (repo, path-bucket). num_parts
+# is bytes-planned per input (16 MiB target on this box vs the 64 MiB
+# production default: per-part FSST training already amortizes at 16 MiB,
+# and more, smaller parts smooth stragglers under co-tenant steal —
+# measured 11-14 s -> 6.7-8.3 s on the 2 GB encode), floored at 2 tasks
+# per core so every parallelism level stays busy.
+_CONTENT_BYTES: int | None = None
+
+
+def _repo_parts() -> int:
+    from cpp_parquet_spark.partitioning import plan_num_parts
+    return plan_num_parts(_CONTENT_BYTES or (248 << 20), target=16 << 20,
+                          min_parts=2 * CPUS)
+
+
+def _repo_cfg(table_name: str = "repofiles",
+              overrides: dict | None = None) -> EncodeConfig:
+    return EncodeConfig(keys=("repo",), salt_from=("path",), salt_buckets=32,
+                        num_parts=_repo_parts(), order_keys=("path",),
+                        codec_overrides=overrides or {},
+                        table_name=table_name)
+
+
 DOCS_CFG = EncodeConfig(keys=("source",), salt_from=("doc_id",), num_parts=16,
                         order_keys=("doc_id",), table_name="documents")
 LINEITEM_CFG = EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
@@ -113,7 +131,7 @@ def q_encode_repofiles(spark: SparkSession) -> None:
     byte totals for the JSON ``size`` block."""
     global _SIZE
     df = _repofiles_df(spark)
-    row = (encode_table(df, REPO_CFG)
+    row = (encode_table(df, _repo_cfg())
            .agg(F.sum("raw_bytes").alias("raw"),
                 F.sum("enc_bytes").alias("enc")).collect()[0])
     _SIZE = {"raw_bytes": int(row["raw"]), "enc_bytes": int(row["enc"]),
@@ -146,12 +164,9 @@ def q_encode_repofiles_plain(spark: SparkSession) -> None:
     encode (the toy cpp-parquet writes PLAIN, UNCOMPRESSED) — measures
     the pipeline ceiling without FSST's compression work."""
     df = _repofiles_df(spark)
-    cfg = EncodeConfig(keys=("repo",), salt_from=("path",), salt_buckets=32,
-                       num_parts=REPO_CFG.num_parts, order_keys=("path",),
-                       codec_overrides={c: "plain" for c in
-                                        ("repo", "path", "commit", "lang",
-                                         "content")},
-                       table_name="repofiles_plain")
+    cfg = _repo_cfg("repofiles_plain",
+                    {c: "plain" for c in
+                     ("repo", "path", "commit", "lang", "content")})
     _force(encode_table(df, cfg))
 
 
@@ -161,7 +176,7 @@ def q_roundtrip_repofiles(spark: SparkSession) -> None:
     Pages are cached between encode and decode, matching the real pipeline
     where pages land on disk before any decode reads them."""
     df = _repofiles_df(spark)
-    pages = encode_table(df, REPO_CFG)
+    pages = encode_table(df, _repo_cfg())
     cols = pages._cps_columns
     pages = pages.cache()
     try:
@@ -381,6 +396,8 @@ def main() -> None:
 
     content_bytes = _repofiles_df(spark).agg(
         F.sum(F.octet_length("content"))).collect()[0][0]
+    global _CONTENT_BYTES
+    _CONTENT_BYTES = int(content_bytes)
 
     times: dict[str, float] = {}
     for name in names:
