@@ -271,6 +271,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=0.7)
 
 
+def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact-verified MinHash pairs -> connected
+    components (min-label + pointer jumping, O(log diameter) rounds) —
+    the transitive-closure step that turns pairwise dedup output into
+    canonical-survivor clusters. Oracle: recursive CTE over the same
+    exact-Jaccard pair set."""
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.7)
+    return dedup.connected_components(pairs).orderBy("id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_read(spark, sf_dir, "documents"),
                                max_hamming=3)
@@ -359,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified, so the oracle's exact n=4 Jaccard pair set must match
         # row for row (recall measured 100% on the fixtures)
         "dedup_minhash_exact": q_dedup_minhash_lsh,
+        "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_simhash": q_dedup_simhash,               # rows-only (xxhash64)
         "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -619,6 +631,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
             WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
             ORDER BY id_a, id_b""",
+        "dedup_minhash_components": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id AS id,
+                     substr(substr(text, 1, 512), CAST(i AS INT), 4) AS g
+              FROM documents, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(substr(text, 1, 512)) - 3, 1)
+            ), sz AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT u AS id FROM edges
+            ), reach(id, x) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.x FROM reach r JOIN edges e ON e.u = r.id
+            )
+            SELECT id, min(x) AS component FROM reach
+            GROUP BY id ORDER BY id""",
         "dedup_ngram_capped": """
             WITH sh0 AS (
               SELECT DISTINCT doc_id AS id, source AS scope,

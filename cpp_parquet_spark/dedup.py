@@ -471,3 +471,86 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.35,
                     F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# connected components / canonical survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs`` — the
+    transitive closure that turns pairwise near-dup output into clusters;
+    ``component`` is the minimum id of the cluster.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    does (1) a neighbor-min step — every node takes the min of its own
+    label and its neighbors' labels (one shuffle join on the edge list)
+    — and (2) a pointer-jump step — every node replaces its label with
+    its label's label (a self-join of the label table). The jump doubles
+    the effective propagation distance per round, so convergence is
+    O(log(diameter)) rounds, not O(diameter): a 1,000-link chain of
+    near-dups converges in ~10 rounds where plain propagation needs
+    1,000. Each round is two shuffles over tables no larger than
+    (edges + nodes) — the shape that survives a 100 TB pair set.
+
+    The driver loop runs one tiny action per round (a change count) and
+    truncates each round's lineage with ``localCheckpoint`` — iterative
+    self-joins otherwise grow the logical plan each round and Catalyst
+    analysis time explodes long before the data does. Iteration stops at
+    fixpoint or ``max_iter`` (raises if not converged — a diameter bound
+    of 2**max_iter nodes makes that unreachable in practice).
+    """
+    from pyspark import StorageLevel
+
+    e = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                      F.col(id_b).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    edges = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"))) \
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (edges.groupBy("u")
+              .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+              .select(F.col("u").alias("id"), "lbl")
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        # (1) neighbor-min: min over own label and neighbors' labels
+        nbr = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+               .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+               .withColumnRenamed("u", "id"))
+        stepped = (labels.join(nbr, "id", "left")
+                   .select("id", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                           .alias("lbl")))
+        # (2) pointer jump: lbl <- lbl(lbl)  (labels are node ids, and
+        # every label is itself a node, so the lookup always hits)
+        tgt = stepped.select(F.col("id").alias("lbl"),
+                             F.col("lbl").alias("jlbl"))
+        jumped = (stepped.join(tgt, "lbl", "left")
+                  .select("id", F.least("lbl", F.coalesce("jlbl", "lbl"))
+                          .alias("lbl"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(labels.withColumnRenamed("lbl", "old"), "id")
+                   .filter(F.col("lbl") != F.col("old")).limit(1).count())
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in "
+                           f"{max_iter} rounds")
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def near_dup_survivors(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Canonical-survivor dedup: keep one doc (the min id) per near-dup
+    cluster, plus every doc that appears in no pair. The standard final
+    step of a near-dedup pipeline (pairs from MinHash/SimHash/cosine)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

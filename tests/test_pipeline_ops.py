@@ -262,6 +262,54 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
         sigs.unpersist()
 
 
+def _uf_components(edges):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random clusters + one 60-link chain (the pointer-jumping case:
+    plain min-propagation would need 60 rounds, the implementation must
+    converge within max_iter=10)."""
+    import random
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 160)]          # long chain
+    for _ in range(80):                                     # random blobs
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            edges.append((a, b))
+    edges.append((1000, 2000))                              # isolated pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in
+           dedup.connected_components(pairs, max_iter=10).collect()}
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_near_dup_survivors(spark, docs):
+    df = _with_dupes(spark, docs)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.7)
+    surv = dedup.near_dup_survivors(df, pairs)
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    # 9001/9002 (exact copies of 0) and 9003 (near copy) lose to doc 0
+    assert 0 in ids
+    assert not {9001, 9002, 9003} & ids
+    # survivors + losers partition the corpus
+    comp = dedup.connected_components(pairs).collect()
+    losers = {r["id"] for r in comp if r["id"] != r["component"]}
+    assert ids == {r["doc_id"] for r in df.collect()} - losers
+
+
 def test_embedding_cosine_pairs_vs_numpy(emb):
     rows = emb.collect()
     vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
