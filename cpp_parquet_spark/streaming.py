@@ -30,7 +30,9 @@ from .partitioning import EncodeConfig
 
 def stream_encode(spark: SparkSession, src_dir: str, schema, dst: str,
                   cfg: EncodeConfig, checkpoint: str | None = None,
-                  max_files_per_trigger: int = 16, **trigger_kwargs):
+                  max_files_per_trigger: int = 16,
+                  dedup_exact: bool = False, text_col: str = "content",
+                  **trigger_kwargs):
     """Start a file-source stream that encodes every micro-batch.
 
     Returns the StreamingQuery (caller stops/awaits it). Pages land under
@@ -39,12 +41,24 @@ def stream_encode(spark: SparkSession, src_dir: str, schema, dst: str,
     replays idempotent: a committed epoch is skipped (prefix match), and a
     crashed attempt's pages are orphans the manifest join drops
     (engine.read_committed_pages).
-    """
+
+    ``dedup_exact=True`` drops exact duplicates ACROSS micro-batches
+    before encoding: a stateful streaming ``dropDuplicates`` on
+    sha256(text) whose state lives in the query checkpoint, so a doc
+    ingested in batch 3 is recognized as a duplicate of batch 0's copy
+    (and across restarts of the same checkpoint). State grows with one
+    32-byte hash per distinct doc — at 10^12 docs pair it with a
+    retention policy (``dropDuplicatesWithinWatermark`` once the source
+    carries event time) or periodic state compaction."""
     checkpoint = checkpoint or os.path.join(dst, "_checkpoint")
 
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(src_dir))
+    if dedup_exact:
+        reader = (reader.withColumn(
+            "__h", F.sha2(F.col(text_col).cast("binary"), 256))
+            .dropDuplicates(["__h"]).drop("__h"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -74,4 +88,57 @@ def stream_encode(spark: SparkSession, src_dir: str, schema, dst: str,
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start())
+
+
+def running_ingest_stats(spark: SparkSession, src_dir: str, schema,
+                         group_col: str = "lang", text_col: str = "content",
+                         checkpoint: str | None = None,
+                         query_name: str = "ingest_stats",
+                         max_files_per_trigger: int = 16):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-group RUNNING ingest totals (docs, content bytes) maintained in
+    the state store across micro-batches — the monitoring feed a 100 TB
+    ingest wants alongside the encode (per-language volume, skew drift,
+    arrival-rate anomalies) without rescanning committed pages.
+
+    Emits one row per (group, micro-batch) to an in-memory sink named
+    ``query_name``: (g, batch_docs, total_docs, total_bytes) where the
+    totals are cumulative over the query's lifetime (checkpoint-backed —
+    they survive restarts). Returns the StreamingQuery.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    checkpoint = checkpoint or os.path.join(src_dir, "_stats_checkpoint")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(src_dir)
+           .select(F.col(group_col).alias("g"),
+                   F.octet_length(F.col(text_col)).alias("nb")))
+
+    def fn(key, pdfs, state):
+        docs = 0
+        nbytes = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            nbytes += int(pdf["nb"].sum())
+        td, tb = state.get if state.exists else (0, 0)
+        td, tb = td + docs, tb + nbytes
+        state.update((td, tb))
+        yield pd.DataFrame({"g": [key[0]], "batch_docs": [docs],
+                            "total_docs": [td], "total_bytes": [tb]})
+
+    out = src.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=("g string, batch_docs long, "
+                          "total_docs long, total_bytes long"),
+        stateStructType="docs long, bytes long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+    return (out.writeStream.format("memory").queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
             .start())

@@ -75,3 +75,75 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = decode_dataset(spark, dst).count()
     assert n1 == n2 == 200
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Cross-batch stateful dedup: the same content dropped as two files
+    (forced into separate micro-batches via maxFilesPerTrigger=1) must be
+    encoded exactly once — state in the checkpoint, not per-batch."""
+    from cpp_parquet_spark.streaming import stream_encode
+
+    src = str(tmp_path / "incoming")
+    dst = str(tmp_path / "enc")
+    _drop_files(src, [("a", 100)], 150)
+    _drop_files(src, [("b", 100)], 150)   # identical content, second file
+    _drop_files(src, [("c", 101)], 150)   # genuinely new content
+
+    q = stream_encode(spark, src, ("repo string, path string, commit "
+                                   "string, lang string, content string"),
+                      dst, CFG, dedup_exact=True, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    decoded = decode_dataset(spark, dst)
+    src_df = spark.read.parquet(f"{src}/*.parquet")
+    n_distinct = src_df.select("content").distinct().count()
+    # one survivor per distinct content corpus-wide: file b (an exact
+    # copy of file a) contributes nothing, and the synth pool's internal
+    # repeats collapse too
+    assert decoded.count() == n_distinct
+    assert n_distinct < src_df.count() - 150   # b was fully deduped
+    # surviving contents == the distinct source contents, byte-exact
+    dh = {r["h"] for r in decoded.select(
+        F.sha2(F.col("content").cast("binary"), 256).alias("h")).collect()}
+    sh = {r["h"] for r in src_df.select(
+        F.sha2(F.col("content").cast("binary"), 256).alias("h"))
+        .distinct().collect()}
+    assert dh == sh
+
+
+def test_running_ingest_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-group totals must accumulate ACROSS
+    micro-batches (cumulative, checkpoint-backed state)."""
+    from cpp_parquet_spark.streaming import running_ingest_stats
+
+    src = str(tmp_path / "incoming")
+    _drop_files(src, [("a", 100), ("b", 101), ("c", 102)], 200)
+
+    q = running_ingest_stats(
+        spark, src, ("repo string, path string, commit string, "
+                     "lang string, content string"),
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="ingest_stats_t", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    rows = spark.table("ingest_stats_t").collect()
+    src_df = spark.read.parquet(f"{src}/*.parquet")
+    want = {r["lang"]: (r["n"], r["b"]) for r in
+            src_df.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.octet_length("content")).alias("b")).collect()}
+    # final cumulative row per group == the batch ground truth
+    last = {}
+    for r in rows:
+        cur = last.get(r["g"])
+        if cur is None or r["total_docs"] > cur[0]:
+            last[r["g"]] = (r["total_docs"], r["total_bytes"])
+    assert last == want
+    # statefulness: some group saw >= 2 micro-batches with growing totals
+    from collections import Counter
+    per_group = Counter(r["g"] for r in rows)
+    assert max(per_group.values()) >= 2
+    for g in per_group:
+        tot = sorted(r["total_docs"] for r in rows if r["g"] == g)
+        bat = [r["batch_docs"] for r in rows if r["g"] == g]
+        assert tot[-1] == sum(bat)        # cumulative == sum of batches
