@@ -271,6 +271,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=0.7)
 
 
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical exact dedup: lowest doc_id per distinct text."""
+    df = _read(spark, sf_dir, "documents")
+    return (dedup.exact_survivors(df)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonical survivors: docs minus non-canonical cluster
+    members (connected components over the exact-verified MinHash
+    pairs)."""
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.7)
+    return (dedup.near_dup_survivors(df, pairs)
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact-verified MinHash pairs -> connected
     components (min-label + pointer jumping, O(log diameter) rounds) —
@@ -363,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,       # rows-only (LSH)
@@ -371,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row for row (recall measured 100% on the fixtures)
         "dedup_minhash_exact": q_dedup_minhash_lsh,
         "dedup_minhash_components": q_dedup_minhash_components,
+        "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "dedup_simhash": q_dedup_simhash,               # rows-only (xxhash64)
         "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -606,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
                    min(h) AS min_shingle_h, max(h) AS max_shingle_h
             FROM t JOIN sh ON t.doc_id = sh.doc_id
             GROUP BY t.doc_id, t.text""",
+        "dedup_exact_survivors": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+            ORDER BY doc_id""",
         "dedup_exact_stats": """
             SELECT source AS scope, count(*) AS n_docs,
                    count(DISTINCT sha256(text)) AS n_unique,
@@ -631,6 +655,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
             WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
             ORDER BY id_a, id_b""",
+        "dedup_minhash_survivors": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id AS id,
+                     substr(substr(text, 1, 512), CAST(i AS INT), 4) AS g
+              FROM documents, range(1, 513) r(i)
+              WHERE i <= greatest(strlen(substr(text, 1, 512)) - 3, 1)
+            ), sz AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.7
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT u AS id FROM edges
+            ), reach(id, x) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.x FROM reach r JOIN edges e ON e.u = r.id
+            ), comp AS (
+              SELECT id, min(x) AS component FROM reach GROUP BY id
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+            ORDER BY doc_id""",
         "dedup_minhash_components": """
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id AS id,
