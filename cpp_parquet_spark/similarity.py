@@ -13,8 +13,8 @@ Two paths, matching what a 100 TB training-data pipeline needs:
   semantics within the probed candidate set.
 
 Recall of the LSH path vs the exact path is measured in
-tests/test_similarity.py rather than asserted here — at production scale
-you'd tune planes/probes per corpus.
+tests/test_pipeline_ops.py rather than asserted here — at production
+scale you'd tune planes/probes per corpus.
 """
 
 from __future__ import annotations
