@@ -363,9 +363,15 @@ def _scaling_probe() -> dict | None:
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     rows_big = int(os.environ.get("BENCH_SCALING_ROWS", "800000"))
     budget = float(os.environ.get("BENCH_SCALING_BUDGET", "900"))
-    deadline = time.monotonic() + budget
-    primary = _scaling_pair(2, 8, 400000, reps, deadline)
-    secondary = _scaling_pair(8, 32, rows_big, reps, deadline)
+    # each pair gets its own half of the budget: under co-tenant flares
+    # the primary's idle-waits + reps would otherwise consume the whole
+    # budget and leave the secondary (which supplies the headline
+    # encode_gbps) a single, possibly contended rep
+    t0 = time.monotonic()
+    primary = _scaling_pair(2, 8, 400000, reps, t0 + budget / 2)
+    secondary = _scaling_pair(8, 32, rows_big, reps,
+                              max(time.monotonic(), t0 + budget / 2)
+                              + budget / 2)
     if primary is None and secondary is None:
         return None
     out = {"primary": primary, "secondary": secondary}
