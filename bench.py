@@ -423,9 +423,12 @@ def main() -> None:
     for name in names:
         if not only:
             # brief idle gate so a co-tenant flare doesn't inflate one
-            # query's wall by 3-7x (bounded: worst case +60 s per query;
-            # the wait itself is excluded from every reported number)
-            _wait_quiet(limit=0.2, timeout=60.0)
+            # query's wall by 3-7x (bounded: worst case +25 s per query;
+            # the wait itself is excluded from every reported number —
+            # kept short because on days with persistent ~0.3 background
+            # steal the gate never opens and waiting longer just delays
+            # the whole sweep)
+            _wait_quiet(limit=0.2, timeout=25.0)
         t0 = time.monotonic()
         QUERIES[name](spark)
         times[name] = round(time.monotonic() - t0, 3)
