@@ -349,12 +349,15 @@ def _scaling_pair(n: int, n4: int, rows: int, reps: int,
 def _scaling_probe() -> dict | None:
     """Two N-vs-4N pairs (north-rule scaling criterion, sandbox form):
 
-    - primary local[2] vs local[8], 400k rows — both legs fit inside the
-      capacity that stays quiet under the box's co-tenant flares, so this
-      is the clean reading of the engine's scaling. 400k (not 200k): the
-      encode query carries ~2 s of fixed job overhead, and measured walls
-      across local[2/4/8/16] fit t = W/n + c almost exactly — at 200k
-      that constant alone moves the ratio by ~0.1, at 400k it is noise;
+    - primary local[2] vs local[8], 800k rows (2 GB) — both legs fit
+      inside the capacity that stays quiet under the box's co-tenant
+      flares, so this is the clean reading of the engine's scaling. The
+      input must out-scale the ~2 s fixed job overhead: measured walls
+      across local[2/4/8/16] fit t = W/n + c almost exactly, and every
+      round-2 kernel/exchange speedup shrinks W against a constant c —
+      at 400k rows the snappy-codec pipeline measures 0.79 from the
+      constant alone, at 800k it is noise (and the input is shared with
+      the secondary pair, saving a synth);
     - secondary local[8] vs local[32], 800k rows — uses the whole box and
       is hostage to co-tenant steal (the host runs a constant ~4 load of
       other tenants) and the FSST kernel's memory-bandwidth ceiling
@@ -368,7 +371,7 @@ def _scaling_probe() -> dict | None:
     # budget and leave the secondary (which supplies the headline
     # encode_gbps) a single, possibly contended rep
     t0 = time.monotonic()
-    primary = _scaling_pair(2, 8, 400000, reps, t0 + budget / 2)
+    primary = _scaling_pair(2, 8, rows_big, reps, t0 + budget / 2)
     secondary = _scaling_pair(8, 32, rows_big, reps,
                               max(time.monotonic(), t0 + budget / 2)
                               + budget / 2)
