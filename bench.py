@@ -294,6 +294,8 @@ def _probe_leg(cpus: int, rows: int) -> dict | None:
     here = os.path.abspath(__file__)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                BENCH_REPOFILES_ROWS=str(rows), BENCH_SCALING="0",
+               BENCH_STANDIN="0",  # the stand-in write costs up to 40 s
+               # per leg under flares and nothing in the probe reads it
                BENCH_ONLY="encode_repofiles,encode_repofiles_plain")
     try:
         out = subprocess.run(
@@ -450,7 +452,8 @@ def main() -> None:
     }
     if _SIZE is not None:
         size = dict(_SIZE)
-        standin = _standin_sizes()
+        standin = (None if os.environ.get("BENCH_STANDIN", "1") == "0"
+                   else _standin_sizes())
         if standin is not None:
             size.update(standin)
             size["enc_vs_standin"] = round(
