@@ -2,9 +2,10 @@
 """Two-cluster-size scaling evidence (BASELINE.json north rule) — CLI.
 
 Thin wrapper over the probe embedded in ``bench.py`` (the same pairs the
-driver-recorded bench JSON carries): primary local[2] vs local[8] on a
-400k-row input, secondary local[8] vs local[32] on 800k rows, each leg a
-fresh JVM, best-of-reps, starts gated on a /proc/stat CPU-idle sample.
+driver-recorded bench JSON carries): primary local[2] vs local[8] and
+secondary local[8] vs local[32], both on the 800k-row (2 GB) input,
+each leg a fresh JVM, best-of-reps, starts gated on a /proc/stat
+CPU-idle sample.
 
 Prints the measured pairs as a markdown fragment plus one JSON line.
 BENCH.md is hand-curated — paste the fragment there if the numbers are
