@@ -297,11 +297,16 @@ def _probe_leg(cpus: int, rows: int) -> dict | None:
                BENCH_STANDIN="0",  # the stand-in write costs up to 40 s
                # per leg under flares and nothing in the probe reads it
                BENCH_ONLY="encode_repofiles,encode_repofiles_plain")
+    busy = round(_cpu_busy_frac(1.0), 2)  # ambient (co-tenant) load right
+    # before the leg launches — recorded so a contaminated wall is
+    # visible as such in the JSON
     try:
         out = subprocess.run(
             [sys.executable, here], env=env, capture_output=True,
             text=True, timeout=1200, check=True, cwd=os.path.dirname(here))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        leg = json.loads(out.stdout.strip().splitlines()[-1])
+        leg["host_busy_at_start"] = busy
+        return leg
     except (subprocess.SubprocessError, ValueError, IndexError):
         return None
 
@@ -345,6 +350,8 @@ def _scaling_pair(n: int, n4: int, rows: int, reps: int,
                   "efficiency": round((pn / pn4) / ratio, 3)},
         "walls_n": [r["queries"]["encode_repofiles"] for r in runs[n]],
         "walls_n4": [r["queries"]["encode_repofiles"] for r in runs[n4]],
+        "busy_n": [r.get("host_busy_at_start") for r in runs[n]],
+        "busy_n4": [r.get("host_busy_at_start") for r in runs[n4]],
     }
 
 
@@ -425,6 +432,7 @@ def main() -> None:
     _CONTENT_BYTES = int(content_bytes)
 
     times: dict[str, float] = {}
+    busy_at: dict[str, float] = {}
     for name in names:
         if not only:
             # brief idle gate so a co-tenant flare doesn't inflate one
@@ -434,6 +442,9 @@ def main() -> None:
             # steal the gate never opens and waiting longer just delays
             # the whole sweep)
             _wait_quiet(limit=0.2, timeout=25.0)
+            # ambient co-tenant load going into the query (our own job is
+            # idle here): lets a reader discount a flare-inflated wall
+            busy_at[name] = round(_cpu_busy_frac(1.0), 2)
         t0 = time.monotonic()
         QUERIES[name](spark)
         times[name] = round(time.monotonic() - t0, 3)
@@ -450,6 +461,8 @@ def main() -> None:
         "encode_gbps": gbps, "content_bytes": int(content_bytes),
         "cpus": CPUS, "repofiles_rows": REPO_ROWS,
     }
+    if busy_at:
+        out["host_busy_at_query_start"] = busy_at
     if _SIZE is not None:
         size = dict(_SIZE)
         standin = (None if os.environ.get("BENCH_STANDIN", "1") == "0"
