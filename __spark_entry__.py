@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cpp_parquet_spark import dedup, multimodal, similarity, textops
-from cpp_parquet_spark.engine import decode_table, encode_table
+from cpp_parquet_spark.engine import decode_table, decode_where, encode_table
 from cpp_parquet_spark.partitioning import EncodeConfig
 
 DOCS_CFG = EncodeConfig(keys=("source",), salt_from=("doc_id",), num_parts=4,
@@ -350,6 +350,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(media)
 
 
+def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map predicate-pushdown decode (engine.decode_where): encode
+    lineitem, skip whole parts via per-page min/max statistics, decode
+    the survivors, residual-filter. The oracle filters the SOURCE table,
+    so matching aggregates prove pruning dropped no qualifying row."""
+    df = _read(spark, sf_dir, "lineitem")
+    pages = encode_table(df, LINEITEM_CFG)
+    out = decode_where(pages, "l_quantity", lo=10.0, hi=20.0)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("nd_orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # roundtrip correctness (oracle = histogram over SOURCE => proves
@@ -400,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
+        # zone-map predicate-pushdown decode
+        "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
     }
 
 
@@ -801,4 +817,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 16000 END AS dim2,
                    m.mean AS body_mean
             FROM documents d JOIN m ON d.doc_id = m.doc_id""",
+        "decode_pushdown_lineitem": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10 AND 20""",
     }

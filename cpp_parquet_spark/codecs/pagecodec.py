@@ -287,6 +287,53 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
     }
 
 
+#: zone-map text length cap for string values — a min/max longer than
+#: this is dropped (None = "unknown", never prunes) rather than
+#: truncated, because a truncated upper bound is not a valid bound
+ZONE_STR_MAX = 64
+
+
+def page_minmax(arr: pa.Array, tag: str) -> tuple[str | None, str | None]:
+    """Zone-map [min, max] of one page in canonical text form.
+
+    The text forms cast back losslessly in Spark SQL: decimal text for
+    the int family (incl. timestamps as epoch microseconds, bools as
+    0/1), round-trippable repr for finite floats, the raw value for
+    short strings. ``(None, None)`` means "unknown" and must never
+    prune — returned for binary/list pages, all-null pages, NaN/inf
+    float bounds, and long strings (parquet ColumnMetaData min/max
+    statistics semantics, parquet.thrift:882-889)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    if tag in ARR_TAGS or tag == "bin":
+        return None, None
+    if len(arr) - arr.null_count == 0:
+        return None, None
+    if tag in ("ts", "tsn"):
+        arr = arr.cast(pa.int64())
+    elif tag == "bool":
+        arr = arr.cast(pa.int8())
+    elif tag in FLOAT_TAGS:
+        # pc.min_max SKIPS NaN, but Spark orders NaN above every number —
+        # a zone computed without the NaN would wrongly prune pages whose
+        # NaN rows match an upper-range predicate
+        if pc.any(pc.is_nan(arr)).as_py():
+            return None, None
+    mm = pc.min_max(arr)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if mn is None or mx is None:
+        return None, None
+    if tag in STR_TAGS:
+        if len(mn) > ZONE_STR_MAX or len(mx) > ZONE_STR_MAX:
+            return None, None
+        return mn, mx
+    if isinstance(mn, float) and not (math.isfinite(mn) and math.isfinite(mx)):
+        return None, None
+    return repr(mn), repr(mx)
+
+
 def decode_page(data: bytes, params_json: str, codec: str, tag: str,
                 num_values: int, null_count: int) -> pa.Array:
     """Decode one page back to an Arrow array (nulls restored)."""

@@ -47,6 +47,9 @@ PAGES_SCHEMA = T.StructType([
     T.StructField("null_count", T.LongType()),
     T.StructField("raw_bytes", T.LongType()),
     T.StructField("enc_bytes", T.LongType()),
+    # zone map (canonical text, see pagecodec.page_minmax); NULL = unknown
+    T.StructField("min_v", T.StringType()),
+    T.StructField("max_v", T.StringType()),
 ])
 
 _PAGES_ARROW = pa.schema([
@@ -55,6 +58,7 @@ _PAGES_ARROW = pa.schema([
     ("type", pa.string()), ("params", pa.string()), ("data", pa.binary()),
     ("num_values", pa.int64()), ("null_count", pa.int64()),
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+    ("min_v", pa.string()), ("max_v", pa.string()),
 ])
 
 META_COL = "__part_meta__"
@@ -173,8 +177,10 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                         prof["bytes"] += row["raw_bytes"]
                         pid = counters.get((part, col), 0)
                         counters[(part, col)] = pid + 1
+                        zmin, zmax = pagecodec.page_minmax(piece, tag)
                         row.update(table=table_name, part_id=part, column=col,
-                                   col_idx=ci, page_id=pid)
+                                   col_idx=ci, page_id=pid,
+                                   min_v=zmin, max_v=zmax)
                         out_rows.append(row)
             b = flush()
             if b is not None:
@@ -189,6 +195,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                 "params": json.dumps({"wall_s": round(wall, 4)}),
                 "data": b"", "num_values": nrows, "null_count": 0,
                 "raw_bytes": 0, "enc_bytes": 0,
+                "min_v": None, "max_v": None,
             })
         b = flush()
         if b is not None:
@@ -291,6 +298,78 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         return decode_part(tbl).to_pandas()
 
     return grouped.applyInPandas(decode_part_pandas, out_schema)
+
+
+# zone-map text -> SQL cast target per tag (see pagecodec.page_minmax);
+# strings compare as-is, the int family (incl. epoch-us timestamps and
+# 0/1 bools) as long, floats as double
+_ZONE_CAST = {"i32": "long", "i64": "long", "bool": "long", "ts": "long",
+              "tsn": "long", "f32": "double", "f64": "double"}
+
+
+def _column_tag(pages: DataFrame, column: str,
+                columns: list[tuple[str, str]] | None) -> str | None:
+    hint = dict(columns or getattr(pages, "_cps_columns", None) or [])
+    if column in hint:
+        return hint[column]
+    r = (pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+              .select("type").first())
+    return r["type"] if r else None
+
+
+def prune_parts(pages: DataFrame, column: str, lo=None, hi=None,
+                tag: str | None = None) -> DataFrame:
+    """part_ids whose zone maps for ``column`` may intersect [lo, hi].
+
+    The scan touches only page metadata — Catalyst prunes the ``data``
+    blob column (the analogue of parquet footer/row-group statistics
+    pruning, parquet.thrift:882-889). Conservative by construction: a
+    page with NULL min/max (binary/list column, all-null page, long
+    string, NaN float) keeps its part. ``lo``/``hi`` use the zone text
+    domain: numbers for numeric columns, epoch MICROseconds for
+    timestamps, 0/1 for bools, raw strings for string columns."""
+    tag = tag or _column_tag(pages, column, None)
+    cast = _ZONE_CAST.get(tag)
+    mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
+    mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
+    zones = (pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+                  .select("part_id", mn.alias("mn"), mx.alias("mx")))
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & F.coalesce(F.col("mx") >= F.lit(lo), F.lit(True))
+    if hi is not None:
+        keep = keep & F.coalesce(F.col("mn") <= F.lit(hi), F.lit(True))
+    # a part survives when ANY of its pages may intersect
+    return zones.filter(keep).select("part_id").distinct()
+
+
+def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
+                 spark: SparkSession | None = None,
+                 columns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Predicate-pushdown decode: skip whole parts via zone maps, then
+    apply the residual row filter after decoding the survivors.
+
+    Parts (not pages) are the pruning unit because page cuts are
+    per-column independent — dropping one column's page would misalign
+    row reassembly across columns. At 100 TB this is row-group-level
+    skipping: the pruning subquery reads only the small metadata
+    columns of the pages table, and the semi join broadcasts the
+    surviving part-id list."""
+    cols_hint = columns or getattr(pages, "_cps_columns", None)
+    tag = _column_tag(pages, column, cols_hint)
+    parts = prune_parts(pages, column, lo, hi, tag=tag)
+    pruned = pages.join(F.broadcast(parts), "part_id", "left_semi")
+    out = decode_table(pruned, spark, columns=cols_hint)
+    c = F.col(column)
+    if tag in ("ts", "tsn"):  # zone domain is epoch microseconds
+        c = F.unix_micros(c.cast("timestamp"))
+    elif tag == "bool":
+        c = c.cast("long")
+    if lo is not None:
+        out = out.filter(c >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(c <= F.lit(hi))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,135 @@
+"""Zone maps (per-page min/max) + predicate-pushdown decode.
+
+Parquet-statistics-style pruning (parquet.thrift:882-889 semantics):
+every page row carries a conservative [min_v, max_v] in canonical text
+form; `decode_where` skips whole parts whose zones cannot intersect the
+predicate and applies the residual filter post-decode. Correctness bar:
+decode_where == full decode + filter on every type family, including
+the conservative cases (nulls, long strings, binary) where pruning must
+not drop rows.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cpp_parquet_spark.codecs import pagecodec
+from cpp_parquet_spark.engine import (decode_table, decode_where,
+                                      encode_table, prune_parts)
+from cpp_parquet_spark.partitioning import EncodeConfig
+
+
+# ---------------------------------------------------------------------------
+# kernel-level: page_minmax canonical forms
+# ---------------------------------------------------------------------------
+
+def test_page_minmax_ints():
+    arr = pa.array([5, 1, None, 9], type=pa.int64())
+    assert pagecodec.page_minmax(arr, "i64") == ("1", "9")
+
+
+def test_page_minmax_floats_and_nan():
+    arr = pa.array([0.5, -2.25, 3.0], type=pa.float64())
+    mn, mx = pagecodec.page_minmax(arr, "f64")
+    assert (float(mn), float(mx)) == (-2.25, 3.0)
+    assert pagecodec.page_minmax(
+        pa.array([1.0, float("nan")], type=pa.float64()), "f64") == (None, None)
+    assert pagecodec.page_minmax(
+        pa.array([1.0, float("inf")], type=pa.float64()), "f64") == (None, None)
+
+
+def test_page_minmax_strings_and_cap():
+    arr = pa.array(["b", "a", "c"], type=pa.large_string())
+    assert pagecodec.page_minmax(arr, "str") == ("a", "c")
+    long = "z" * (pagecodec.ZONE_STR_MAX + 1)
+    assert pagecodec.page_minmax(
+        pa.array(["a", long], type=pa.large_string()), "str") == (None, None)
+
+
+def test_page_minmax_unknown_families():
+    assert pagecodec.page_minmax(
+        pa.array([b"ab"], type=pa.large_binary()), "bin") == (None, None)
+    assert pagecodec.page_minmax(
+        pa.array([None, None], type=pa.int64()), "i64") == (None, None)
+    arr = pa.array([[1.0, 2.0]], type=pa.list_(pa.float32()))
+    assert pagecodec.page_minmax(arr, "arrf32") == (None, None)
+
+
+def test_page_minmax_timestamp_micros():
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    arr = pa.array([ts], type=pa.timestamp("us"))
+    mn, mx = pagecodec.page_minmax(arr, "ts")
+    want = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert int(mn) == int(mx) == want
+
+
+# ---------------------------------------------------------------------------
+# engine-level: pruned decode == decode + filter
+# ---------------------------------------------------------------------------
+
+CFG = EncodeConfig(keys=("k",), salt_from=(), num_parts=8,
+                   order_keys=("k",), table_name="zt")
+
+
+@pytest.fixture()
+def parted(spark):
+    """8 parts keyed on k; v ranges are disjoint per k => zones prune."""
+    rows = [Row(k=i % 8, v=float(i % 8) * 100 + j, s=f"s{i % 8:02d}",
+                n=None if j == 0 else i)
+            for i in range(64) for j in range(20)]
+    return spark.createDataFrame(rows)
+
+
+def _assert_same(a, b, cols=("k", "v", "s")):
+    sa = sorted(map(tuple, a.select(*cols).collect()))
+    sb = sorted(map(tuple, b.select(*cols).collect()))
+    assert sa == sb
+
+
+def test_decode_where_matches_filter_numeric(spark, parted):
+    pages = encode_table(parted, CFG).cache()
+    try:
+        got = decode_where(pages, "v", lo=150.0, hi=420.0)
+        want = decode_table(pages).filter(
+            (F.col("v") >= 150.0) & (F.col("v") <= 420.0))
+        _assert_same(got, want)
+    finally:
+        pages.unpersist()
+
+
+def test_decode_where_prunes_parts(spark, parted):
+    pages = encode_table(parted, CFG).cache()
+    try:
+        total = pages.select("part_id").distinct().count()
+        kept = prune_parts(pages, "v", lo=150.0, hi=420.0).count()
+        assert kept < total  # disjoint per-part v ranges => real pruning
+        # an impossible range prunes everything and returns zero rows
+        assert prune_parts(pages, "v", lo=1e9).count() == 0
+        assert decode_where(pages, "v", lo=1e9).count() == 0
+    finally:
+        pages.unpersist()
+
+
+def test_decode_where_string_zone(spark, parted):
+    pages = encode_table(parted, CFG).cache()
+    try:
+        got = decode_where(pages, "s", lo="s03", hi="s05")
+        want = decode_table(pages).filter(F.col("s").between("s03", "s05"))
+        _assert_same(got, want)
+        assert prune_parts(pages, "s", lo="s03", hi="s05").count() < 8
+    finally:
+        pages.unpersist()
+
+
+def test_decode_where_null_column_conservative(spark, parted):
+    """Half-open predicate over a column with nulls: null rows drop via
+    the residual filter (SQL semantics), none via pruning."""
+    pages = encode_table(parted, CFG).cache()
+    try:
+        got = decode_where(pages, "n", lo=100)
+        want = decode_table(pages).filter(F.col("n") >= 100)
+        _assert_same(got, want, cols=("k", "v", "n"))
+    finally:
+        pages.unpersist()
