@@ -512,8 +512,17 @@ def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
         pass    # non-local dst (e.g. object store): sidecar is best-effort
 
 
-def decode_dataset(spark: SparkSession, dst: str) -> DataFrame:
-    return decode_table(read_committed_pages(spark, dst), spark)
+def decode_dataset(spark: SparkSession, dst: str,
+                   where: tuple | None = None) -> DataFrame:
+    """Decode a durable dataset; ``where=(column, lo, hi)`` pushes the
+    predicate down to the on-disk zone maps (decode_where) — the pruning
+    scan reads only the pages parquet's metadata columns, never the
+    blobs, so at 100 TB a selective range touches a fraction of parts."""
+    pages = read_committed_pages(spark, dst)
+    if where is not None:
+        column, lo, hi = where
+        return decode_where(pages, column, lo, hi, spark)
+    return decode_table(pages, spark)
 
 
 def reconcile_manifests(a: DataFrame, b: DataFrame) -> DataFrame:

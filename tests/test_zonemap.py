@@ -123,6 +123,17 @@ def test_decode_where_string_zone(spark, parted):
         pages.unpersist()
 
 
+def test_decode_dataset_where_durable(spark, parted, tmp_path):
+    """Pushdown through the on-disk pages+manifest layer."""
+    from cpp_parquet_spark.engine import decode_dataset, run_encode
+    dst = str(tmp_path / "zt")
+    run_encode(spark, parted, dst, CFG)
+    got = decode_dataset(spark, dst, where=("v", 150.0, 420.0))
+    want = decode_dataset(spark, dst).filter(
+        (F.col("v") >= 150.0) & (F.col("v") <= 420.0))
+    _assert_same(got, want)
+
+
 def test_decode_where_null_column_conservative(spark, parted):
     """Half-open predicate over a column with nulls: null rows drop via
     the residual filter (SQL semantics), none via pruning."""
