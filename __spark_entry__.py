@@ -364,6 +364,27 @@ def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("nd_orders"))
 
 
+def q_decode_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout + zone-map pushdown: documents are
+    range-partitioned on doc_id (quantile-planned deterministic bounds,
+    partitioning.plan_range_bounds), so each part holds a contiguous
+    id range and decode_where skips most parts outright — the layout
+    that makes zone maps bite at 100 TB (hash layout spreads every
+    range across every part). Oracle filters the SOURCE table."""
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    df = _read(spark, sf_dir, "documents")
+    bounds = plan_range_bounds(df, "doc_id", 8)
+    cfg = EncodeConfig(range_on="doc_id", range_bounds=bounds,
+                       salt_from=(), order_keys=("doc_id",),
+                       table_name="documents_range")
+    pages = encode_table(df, cfg)
+    out = decode_where(pages, "doc_id", lo=100, hi=299)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("nd_lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # roundtrip correctness (oracle = histogram over SOURCE => proves
@@ -416,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
+        "decode_pushdown_range": q_decode_pushdown_range,
     }
 
 
@@ -823,4 +845,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
             FROM lineitem
             WHERE l_quantity BETWEEN 10 AND 20""",
+        "decode_pushdown_range": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
+            FROM documents
+            WHERE doc_id BETWEEN 100 AND 299""",
     }

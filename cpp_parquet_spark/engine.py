@@ -30,7 +30,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .codecs import fsst, pagecodec
-from .partitioning import EncodeConfig, cluster_by_part, with_part_id
+from .partitioning import (EncodeConfig, cluster_by_part, effective_parts,
+                           with_part_id)
 from .select import choose_codec_arrow
 
 PAGES_SCHEMA = T.StructType([
@@ -392,7 +393,7 @@ def manifest_from_pages(pages_meta: DataFrame, run_id: str,
                 F.array_sort(F.collect_set("column")).alias("columns")))
     return (agg.join(meta_rows, ["table", "part_id"], "left")
                .withColumn("run_id", F.lit(run_id))
-               .withColumn("num_parts", F.lit(cfg.num_parts))
+               .withColumn("num_parts", F.lit(effective_parts(cfg)))
                .withColumn("committed_at", F.current_timestamp()))
 
 
@@ -489,7 +490,9 @@ def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
         "resume": resume,
         "config": {
             "keys": list(cfg.keys), "salt_from": list(cfg.salt_from),
-            "salt_buckets": cfg.salt_buckets, "num_parts": cfg.num_parts,
+            "salt_buckets": cfg.salt_buckets,
+            "num_parts": effective_parts(cfg),
+            "range_on": cfg.range_on, "range_bounds": list(cfg.range_bounds),
             "order_keys": list(cfg.order_keys),
             "page_bytes": cfg.page_bytes,
             "codec_overrides": dict(cfg.codec_overrides),

@@ -34,15 +34,81 @@ class EncodeConfig:
     block_codec: str | None = None           # E9 outer page compression
     #                                          ("zlib" | None); default off
     table_name: str = "t"
+    # range clustering (zone-map-friendly layout): when set, parts hold
+    # CONTIGUOUS ranges of ``range_on`` instead of hash-random key sets,
+    # so decode_where's part pruning actually prunes. ``range_bounds``
+    # are the precomputed upper-exclusive cut values (plan_range_bounds);
+    # storing them in the config (and the RUN.json sidecar) keeps part
+    # assignment deterministic across resume attempts — unlike
+    # repartitionByRange, whose sampled boundaries drift between runs.
+    # salt_from/salt_buckets still fan out a giant range bucket.
+    range_on: str | None = None
+    range_bounds: tuple = ()
+
+
+def plan_range_bounds(df: DataFrame, col: str, num_buckets: int,
+                      rel_err: float = 0.001) -> tuple:
+    """Quantile cut values for range clustering: ``num_buckets - 1``
+    upper-exclusive bounds equalizing rows per bucket (approxQuantile —
+    one pass, Greenwald-Khanna, works at any scale). String columns fall
+    back to an exact distinct-quantile job over the (small) key domain."""
+    dt = dict(df.dtypes)[col]
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        q = [i / num_buckets for i in range(1, num_buckets)]
+        return tuple(df.stat.approxQuantile(col, q, rel_err))
+    # strings: ntile over the DISTINCT key domain (a single-partition
+    # window, fine while the domain is << the row count — repos, langs;
+    # only num_buckets rows come back to the driver)
+    from pyspark.sql.window import Window
+    tiles = (df.select(col).distinct()
+               .withColumn("__t", F.ntile(num_buckets).over(Window.orderBy(col)))
+               .groupBy("__t").agg(F.max(col).alias("b"))
+               .orderBy("__t").collect())
+    return tuple(r["b"] for r in tiles[:-1])
+
+
+def effective_parts(cfg: EncodeConfig) -> int:
+    """Total part_ids the config produces (range mode derives it from the
+    bounds x salt fan-out; hash mode is num_parts verbatim)."""
+    if cfg.range_on and cfg.range_bounds:
+        salt = cfg.salt_buckets if cfg.salt_from else 1
+        return (len(cfg.range_bounds) + 1) * salt
+    return cfg.num_parts
 
 
 def with_part_id(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """Deterministic salted part assignment.
 
+    Hash mode (default):
     part_id = pmod(xxhash64(keys..., salt), num_parts) where
     salt = pmod(xxhash64(salt_from...), salt_buckets) splits each hot key
     across up to ``salt_buckets`` parts.
+
+    Range mode (``range_on`` + ``range_bounds`` set): part_id =
+    range_bucket * salt_buckets + salt, where range_bucket counts the
+    precomputed upper-inclusive bounds below the row's value — parts
+    hold contiguous value ranges, so decode_where's zone-map pruning
+    skips whole parts (hash layout spreads every range over every part
+    and prunes nothing). The bucket search is O(len(bounds)) per row in
+    codegen — fine to a few thousand buckets; cluster on a
+    moderate-cardinality prefix (repo, date), not a unique key. NULLs
+    land in bucket 0 (they sort first, matching Spark's NULLS FIRST).
     """
+    if cfg.range_on and cfg.range_bounds and cfg.range_on in df.columns:
+        c = F.col(cfg.range_on)
+        barr = F.array(*[F.lit(b) for b in cfg.range_bounds])
+        ridx = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(c > b, F.lit(1)).otherwise(F.lit(0)))
+        ridx = F.when(c.isNull(), F.lit(0)).otherwise(ridx)
+        if cfg.salt_from:
+            salt_cols = [F.col(s) for s in cfg.salt_from if s in df.columns]
+            salt = (F.pmod(F.xxhash64(*salt_cols), F.lit(cfg.salt_buckets))
+                    if salt_cols else F.lit(0))
+            part = ridx * cfg.salt_buckets + salt
+        else:
+            part = ridx
+        return df.withColumn("__part_id", part.cast("int"))
     key_cols = [F.col(k) for k in cfg.keys if k in df.columns]
     salt_cols = [F.col(c) for c in cfg.salt_from if c in df.columns]
     if not key_cols and not salt_cols:
@@ -63,7 +129,7 @@ def cluster_by_part(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """Shuffle so each part_id is contiguous in one task, deterministically
     ordered inside (one wide exchange — the encode pass's only shuffle)."""
     order = ["__part_id"] + [k for k in cfg.order_keys if k in df.columns]
-    return (df.repartition(cfg.num_parts, "__part_id")
+    return (df.repartition(effective_parts(cfg), "__part_id")
               .sortWithinPartitions(*order))
 
 

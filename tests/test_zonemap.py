@@ -134,6 +134,66 @@ def test_decode_dataset_where_durable(spark, parted, tmp_path):
     _assert_same(got, want)
 
 
+def test_range_clustered_layout_prunes(spark, parted):
+    """Range mode: parts hold contiguous v ranges => zones actually
+    prune; hash mode spreads ranges everywhere and cannot. Results match
+    the unpruned filter either way."""
+    from cpp_parquet_spark.partitioning import (effective_parts,
+                                                plan_range_bounds)
+    bounds = plan_range_bounds(parted, "v", 8)
+    cfg = EncodeConfig(range_on="v", range_bounds=bounds,
+                       salt_from=(), order_keys=("v",), table_name="zr")
+    assert effective_parts(cfg) == 8
+    pages = encode_table(parted, cfg).cache()
+    try:
+        total = pages.select("part_id").distinct().count()
+        kept = prune_parts(pages, "v", lo=150.0, hi=220.0).count()
+        assert kept < total / 2
+        got = decode_where(pages, "v", lo=150.0, hi=220.0)
+        want = decode_table(pages).filter(F.col("v").between(150.0, 220.0))
+        _assert_same(got, want)
+    finally:
+        pages.unpersist()
+
+
+def test_range_clustered_string_and_salt(spark, parted):
+    """String bounds via the ntile path + within-range salting: fan-out
+    multiplies parts, zones stay narrow, rows survive intact."""
+    from cpp_parquet_spark.partitioning import (effective_parts,
+                                                plan_range_bounds)
+    bounds = plan_range_bounds(parted, "s", 4)
+    cfg = EncodeConfig(range_on="s", range_bounds=bounds,
+                       salt_from=("v",), salt_buckets=3,
+                       order_keys=("s",), table_name="zs")
+    assert effective_parts(cfg) == 4 * 3
+    pages = encode_table(parted, cfg).cache()
+    try:
+        assert decode_table(pages).count() == parted.count()
+        got = decode_where(pages, "s", lo="s02", hi="s04")
+        want = decode_table(pages).filter(F.col("s").between("s02", "s04"))
+        _assert_same(got, want)
+        kept = prune_parts(pages, "s", lo="s02", hi="s04").count()
+        assert kept < 12
+    finally:
+        pages.unpersist()
+
+
+def test_range_part_assignment_deterministic_and_null_safe(spark):
+    from cpp_parquet_spark.partitioning import with_part_id
+    rows = [Row(k=0, v=None if i % 5 == 0 else float(i), s="x", n=i)
+            for i in range(50)]
+    df = spark.createDataFrame(rows)
+    cfg = EncodeConfig(range_on="v", range_bounds=(11.0, 26.0, 41.0),
+                       salt_from=(), table_name="zd")
+    a = sorted(map(tuple, with_part_id(df, cfg).select("n", "__part_id").collect()))
+    b = sorted(map(tuple, with_part_id(df, cfg).select("n", "__part_id").collect()))
+    assert a == b
+    pid = dict((n, p) for n, p in a)
+    assert pid[0] == 0          # NULL v -> bucket 0 (NULLS FIRST)
+    assert pid[1] == 0 and pid[12] == 1 and pid[27] == 2 and pid[42] == 3
+    assert pid[11] == 0 and pid[26] == 1 and pid[41] == 2  # bounds inclusive
+
+
 def test_decode_where_null_column_conservative(spark, parted):
     """Half-open predicate over a column with nulls: null rows drop via
     the residual filter (SQL semantics), none via pruning."""
