@@ -385,6 +385,22 @@ def q_decode_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("nd_lang"))
 
 
+def q_scan_column_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-column page-level-pruned scan (engine.scan_column): an
+    aggregate over a selective range decodes only the predicate
+    column's overlapping pages — no other column is touched, no
+    cross-column row reassembly. Oracle aggregates the SOURCE table."""
+    from cpp_parquet_spark.engine import scan_column
+    df = _read(spark, sf_dir, "lineitem")
+    pages = encode_table(df, LINEITEM_CFG)
+    vals = scan_column(pages, "l_extendedprice", lo=1000.0, hi=5000.0)
+    return vals.agg(
+        F.count("*").alias("n"),
+        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # roundtrip correctness (oracle = histogram over SOURCE => proves
@@ -438,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_range": q_decode_pushdown_range,
+        "scan_column_agg": q_scan_column_agg,
     }
 
 
@@ -851,4 +868,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
             FROM documents
             WHERE doc_id BETWEEN 100 AND 299""",
+        "scan_column_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+                   CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+            FROM lineitem
+            WHERE l_extendedprice BETWEEN 1000 AND 5000""",
     }

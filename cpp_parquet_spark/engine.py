@@ -373,6 +373,65 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
     return out
 
 
+def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
+                columns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Single-column scan with PAGE-level zone pruning (finer than
+    decode_where's part level): only the pages of ``column`` whose zones
+    may intersect [lo, hi] are decoded — legal because a one-column
+    result needs no cross-column row alignment. For aggregates over a
+    selective range (count/sum/min/max) this reads and decodes a
+    fraction of one column's bytes; the residual filter still applies,
+    so results equal `decode + filter` exactly."""
+    tag = _column_tag(pages, column, columns)
+    cast = _ZONE_CAST.get(tag)
+    mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
+    mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & F.coalesce(mx >= F.lit(lo), F.lit(True))
+    if hi is not None:
+        keep = keep & F.coalesce(mn <= F.lit(hi), F.lit(True))
+    hot = (pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+                .filter(keep)
+                .select("data", "params", "codec", "type",
+                        "num_values", "null_count"))
+    out_arrow = pa.schema([(column, dict(
+        pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
+        ts=pa.timestamp("us", tz="UTC"))[tag])])
+    out_schema = T.StructType(
+        [T.StructField(column, pagecodec.spark_type_for(tag))])
+
+    def decode_pages(batches):
+        for b in batches:
+            arrs = []
+            for i in range(b.num_rows):
+                arr = pagecodec.decode_page(
+                    b.column("data")[i].as_py(), b.column("params")[i].as_py(),
+                    b.column("codec")[i].as_py(), b.column("type")[i].as_py(),
+                    int(b.column("num_values")[i].as_py()),
+                    int(b.column("null_count")[i].as_py()))
+                arrs.append(arr)
+            if not arrs:
+                continue
+            merged = pa.chunked_array(arrs).combine_chunks()
+            want = out_arrow.field(0).type
+            if merged.type != want:
+                merged = merged.cast(want)
+            yield pa.RecordBatch.from_arrays([merged], schema=out_arrow)
+
+    out = hot.mapInArrow(decode_pages, out_schema)
+    c = F.col(column)
+    if tag in ("ts", "tsn"):
+        c = F.unix_micros(c.cast("timestamp"))
+    elif tag == "bool":
+        c = c.cast("long")
+    if lo is not None:
+        out = out.filter(c >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(c <= F.lit(hi))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # durable layer: pages + manifest on disk, resumable
 # ---------------------------------------------------------------------------

@@ -194,6 +194,30 @@ def test_range_part_assignment_deterministic_and_null_safe(spark):
     assert pid[11] == 0 and pid[26] == 1 and pid[41] == 2  # bounds inclusive
 
 
+def test_scan_column_page_level_pruning(spark, parted):
+    """scan_column decodes only the predicate column's overlapping
+    pages; with order_keys on that column, page zones are narrow even
+    under hash layout, so the hot-page count drops."""
+    from cpp_parquet_spark.engine import scan_column
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=8,
+                       order_keys=("v",), page_rows_max=64,
+                       table_name="zc")
+    pages = encode_table(parted, cfg).cache()
+    try:
+        got = sorted(x["v"] for x in
+                     scan_column(pages, "v", lo=150.0, hi=420.0).collect())
+        want = sorted(x["v"] for x in decode_table(pages)
+                      .filter(F.col("v").between(150.0, 420.0)).collect())
+        assert got == want
+        gs = sorted(x["s"] for x in
+                    scan_column(pages, "s", lo="s03", hi="s05").collect())
+        ws = sorted(x["s"] for x in decode_table(pages)
+                    .filter(F.col("s").between("s03", "s05")).collect())
+        assert gs == ws
+    finally:
+        pages.unpersist()
+
+
 def test_decode_where_null_column_conservative(spark, parted):
     """Half-open predicate over a column with nulls: null rows drop via
     the residual filter (SQL semantics), none via pruning."""
