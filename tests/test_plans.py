@@ -98,3 +98,35 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     read = scan_line.split("ReadSchema")[1]
     assert "l_quantity" in read and "l_extendedprice" not in read
+
+
+def test_zone_prune_scan_skips_data_column(spark, sf_dir, tmp_path):
+    """decode_where's pruning subquery must read only page metadata —
+    the parquet scan feeding prune_parts cannot touch the `data` blobs."""
+    import os
+    from cpp_parquet_spark.engine import prune_parts
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "zp")
+    run_encode(spark, df, dst, CFG)
+    pages = spark.read.parquet(os.path.join(dst, "pages"))
+    parts = prune_parts(pages, "n_chars", lo=100, hi=200)
+    plan = _plan(parts)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines
+    for ln in scan_lines:
+        assert "data" not in ln.split("ReadSchema")[1], ln
+
+
+def test_scan_column_reads_only_hot_pages_metadata_filter(spark, sf_dir,
+                                                          tmp_path):
+    """scan_column's page filter lands in the scan as pushed filters on
+    (column, col_idx) — the pruning happens before any decode kernel."""
+    import os
+    from cpp_parquet_spark.engine import scan_column
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "zs")
+    run_encode(spark, df, dst, CFG)
+    pages = spark.read.parquet(os.path.join(dst, "pages"))
+    plan = _plan(scan_column(pages, "n_chars", lo=100, hi=200))
+    assert "PushedFilters" in plan and "column" in plan.split(
+        "PushedFilters")[1][:400], plan
