@@ -346,7 +346,8 @@ def prune_parts(pages: DataFrame, column: str, lo=None, hi=None,
 
 def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
                  spark: SparkSession | None = None,
-                 columns: list[tuple[str, str]] | None = None) -> DataFrame:
+                 columns: list[tuple[str, str]] | None = None,
+                 more: list[tuple] | None = None) -> DataFrame:
     """Predicate-pushdown decode: skip whole parts via zone maps, then
     apply the residual row filter after decoding the survivors.
 
@@ -355,21 +356,31 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
     row reassembly across columns. At 100 TB this is row-group-level
     skipping: the pruning subquery reads only the small metadata
     columns of the pages table, and the semi join broadcasts the
-    surviving part-id list."""
+    surviving part-id list.
+
+    ``more``: extra conjunctive predicates [(column, lo, hi), ...] —
+    each prunes independently and the surviving-part sets intersect
+    (AND semantics), then every residual filter applies post-decode."""
     cols_hint = columns or getattr(pages, "_cps_columns", None)
-    tag = _column_tag(pages, column, cols_hint)
-    parts = prune_parts(pages, column, lo, hi, tag=tag)
+    preds = [(column, lo, hi)] + list(more or [])
+    parts = None
+    for col, plo, phi in preds:
+        p = prune_parts(pages, col, plo, phi,
+                        tag=_column_tag(pages, col, cols_hint))
+        parts = p if parts is None else parts.join(p, "part_id", "left_semi")
     pruned = pages.join(F.broadcast(parts), "part_id", "left_semi")
     out = decode_table(pruned, spark, columns=cols_hint)
-    c = F.col(column)
-    if tag in ("ts", "tsn"):  # zone domain is epoch microseconds
-        c = F.unix_micros(c.cast("timestamp"))
-    elif tag == "bool":
-        c = c.cast("long")
-    if lo is not None:
-        out = out.filter(c >= F.lit(lo))
-    if hi is not None:
-        out = out.filter(c <= F.lit(hi))
+    for col, plo, phi in preds:
+        tag = _column_tag(pages, col, cols_hint)
+        c = F.col(col)
+        if tag in ("ts", "tsn"):  # zone domain is epoch microseconds
+            c = F.unix_micros(c.cast("timestamp"))
+        elif tag == "bool":
+            c = c.cast("long")
+        if plo is not None:
+            out = out.filter(c >= F.lit(plo))
+        if phi is not None:
+            out = out.filter(c <= F.lit(phi))
     return out
 
 

@@ -194,6 +194,21 @@ def test_range_part_assignment_deterministic_and_null_safe(spark):
     assert pid[11] == 0 and pid[26] == 1 and pid[41] == 2  # bounds inclusive
 
 
+def test_decode_where_conjunction(spark, parted):
+    """Multi-predicate AND: surviving-part sets intersect, every
+    residual applies."""
+    pages = encode_table(parted, CFG).cache()
+    try:
+        got = decode_where(pages, "v", lo=150.0, hi=520.0,
+                           more=[("s", "s02", "s04")])
+        want = decode_table(pages).filter(
+            F.col("v").between(150.0, 520.0) &
+            F.col("s").between("s02", "s04"))
+        _assert_same(got, want)
+    finally:
+        pages.unpersist()
+
+
 def test_scan_column_page_level_pruning(spark, parted):
     """scan_column decodes only the predicate column's overlapping
     pages; with order_keys on that column, page zones are narrow even
