@@ -236,6 +236,26 @@ def q_text_pipeline(spark: SparkSession) -> None:
     _force(fingerprint(df, prefix=256))
 
 
+def q_pushdown(spark: SparkSession) -> None:
+    """Range-clustered encode + zone-map pushdown decode: a repo-range
+    predicate decodes only the parts whose zones intersect (20/64 at
+    this scale; see BENCH.md)."""
+    from cpp_parquet_spark.engine import decode_where
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    df = _repofiles_df(spark)
+    bounds = plan_range_bounds(df, "repo", 16)
+    cfg = EncodeConfig(range_on="repo", range_bounds=bounds,
+                       salt_from=("path",), salt_buckets=4,
+                       order_keys=("path",), table_name="repofiles_range")
+    pages = encode_table(df, cfg).cache()
+    try:
+        pages.count()   # materialize once; the timed pushdown reads cache
+        lo, hi = "org2/", "org3/"
+        _force(decode_where(pages, "repo", lo=lo, hi=hi))
+    finally:
+        pages.unpersist()
+
+
 def q_ann_topk(spark: SparkSession) -> None:
     from cpp_parquet_spark.similarity import brute_topk, lsh_topk
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -253,6 +273,7 @@ QUERIES = {
     "join_agg": q_join_agg,
     "dedup_minhash": q_dedup_minhash,
     "text_pipeline": q_text_pipeline,
+    "pushdown": q_pushdown,
     "ann_topk": q_ann_topk,
 }
 
