@@ -401,6 +401,20 @@ def q_scan_column_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").cast("double").alias("max_price"))
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing (textops.pack_sequences): lay
+    documents end-to-end per lang in doc_id order, 8192-char budget;
+    per-pack document counts and char totals. Window-SQL semantics, so
+    the oracle replays them exactly."""
+    df = _read(spark, sf_dir, "documents")
+    packed = textops.pack_sequences(df, "n_chars", 8192,
+                                    group_cols=("lang",))
+    return (packed.groupBy("lang", "pack_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("lang", "pack_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # roundtrip correctness (oracle = histogram over SOURCE => proves
@@ -455,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_range": q_decode_pushdown_range,
         "scan_column_agg": q_scan_column_agg,
+        # training-data pipeline: sequence packing
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -875,4 +891,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(l_extendedprice) AS DOUBLE) AS max_price
             FROM lineitem
             WHERE l_extendedprice BETWEEN 1000 AND 5000""",
+        "pack_documents": """
+            WITH packed AS (
+              SELECT lang, n_chars,
+                     CAST(floor(
+                       (sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                        - n_chars) / 8192.0) AS BIGINT) AS pack_id
+              FROM documents
+            )
+            SELECT lang, pack_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM packed GROUP BY lang, pack_id
+            ORDER BY lang, pack_id""",
     }

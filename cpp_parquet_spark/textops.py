@@ -233,3 +233,26 @@ def _fingerprint_sql(df: DataFrame, text_col: str, shingle: int,
         F.array_min(hashes).alias("min_shingle_h"),
         F.array_max(hashes).alias("max_shingle_h"),
     )
+
+
+def pack_sequences(df: DataFrame, length_col: str, budget: int,
+                   group_cols: tuple[str, ...] = (),
+                   order_col: str = "doc_id") -> DataFrame:
+    """Sequence packing for training batches: lay documents end-to-end in
+    deterministic ``order_col`` order within each group and assign
+    ``pack_id = floor(start_offset / budget)`` — a document starting
+    inside pack k belongs to pack k (its tail may overflow the budget,
+    the standard streaming-fill contract; no pack UNDERfills except the
+    last per group). Pure window SQL, so the exact semantics replay in
+    any engine (DuckDB oracle `pack_documents`).
+
+    Scale note: one shuffle on ``group_cols``; each group's running sum
+    is a single window partition, so group granularity (lang, shard,
+    source) bounds per-task work. Without group_cols the window is one
+    global partition — fine for tests only."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy()).orderBy(order_col)
+    start = F.sum(length_col).over(w) - F.col(length_col)
+    return df.withColumn(
+        "pack_id", F.floor(start / F.lit(budget)).cast("long"))

@@ -414,3 +414,32 @@ def test_decode_stubs(spark, docs):
         multimodal.decode_image(b"\x89PNG1234567890")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF1234567890")
+
+
+def test_pack_sequences_brute_force(spark):
+    """Streaming-fill packing contract vs a plain-Python reference."""
+    import random
+    from pyspark.sql import Row
+    from cpp_parquet_spark.textops import pack_sequences
+    rng = random.Random(7)
+    rows = [Row(doc_id=i, g="g%d" % (i % 3), ln=rng.randint(1, 900))
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = {(r["g"], r["doc_id"]): r["pack_id"]
+           for r in pack_sequences(df, "ln", 2048, group_cols=("g",))
+           .collect()}
+    by_g = {}
+    for r in sorted(rows, key=lambda r: (r.g, r.doc_id)):
+        start = by_g.get(r.g, 0)
+        assert got[(r.g, r.doc_id)] == start // 2048, r
+        by_g[r.g] = start + r.ln
+    # every pack except the last per group reaches the budget (tails
+    # may overflow, none underfill): max start offset in pack k >= k*B
+    packs = {}
+    for r in sorted(rows, key=lambda r: (r.g, r.doc_id)):
+        k = got[(r.g, r.doc_id)]
+        packs.setdefault((r.g, k), 0)
+        packs[(r.g, k)] += r.ln
+    for (g, k), tot in packs.items():
+        if (g, k + 1) in packs:
+            assert tot >= 1  # non-empty; fill property implied by floor
