@@ -119,6 +119,36 @@ def _pages_summary(table: str, cfg: EncodeConfig):
     return q
 
 
+def _pages_conservation(table: str, cfg: EncodeConfig):
+    """S2 conservation law, fully oracle-checkable half of _pages_summary:
+    per column, the sum of page ``num_values`` must equal the table's row
+    count and the sum of ``raw_bytes`` must equal the PLAIN-equivalent
+    size computable from the SOURCE data (pagecodec.raw_size: fixed-width
+    = width*present; strings = byte-length sum + 4*present). Proves page
+    cutting neither drops nor duplicates values no matter how the rows
+    were partitioned/salted."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _read(spark, sf_dir, table)
+        pages = encode_table(df, cfg)
+        return (pages.filter(F.col("col_idx") >= 0)
+                .groupBy(F.col("column").alias("col_name"))
+                .agg(F.sum("num_values").alias("num_values"),
+                     F.sum("raw_bytes").alias("raw_bytes"))
+                .orderBy("col_name"))
+    return q
+
+
+def _conservation_oracle(table: str, cols: dict[str, str]) -> str:
+    """One UNION ALL branch per column; ``cols`` maps name -> raw_bytes
+    SQL expression (mirroring pagecodec.raw_size for that column's type)."""
+    branches = [
+        f"SELECT '{name}' AS col_name, count(*) AS num_values, "
+        f"CAST({expr} AS BIGINT) AS raw_bytes FROM {table}"
+        for name, expr in sorted(cols.items())
+    ]
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY col_name"
+
+
 def q_stats_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/E8 sampling-pass statistic: exact per-column cardinality."""
     df = _read(spark, sf_dir, "documents")
@@ -438,6 +468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible: encoded-pages shape (rows-only check)
         "pages_summary_documents": _pages_summary("documents", DOCS_CFG),
         "pages_summary_lineitem": _pages_summary("lineitem", LINEITEM_CFG),
+        # ... and its fully-oracled conservation-law companion (S2)
+        "pages_conservation_documents":
+            _pages_conservation("documents", DOCS_CFG),
+        "pages_conservation_lineitem":
+            _pages_conservation("lineitem", LINEITEM_CFG),
         # training-data pipeline: text analysis
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -584,7 +619,32 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             ) t WHERE n_events >= 2 ORDER BY user_id""",
         # pages_summary_* intentionally omitted: encoded-page layout is not
-        # SQL-expressible; driver records rows-only checks for them.
+        # SQL-expressible; driver records rows-only checks for them. Their
+        # source-derivable half IS oracled via the conservation companions:
+        "pages_conservation_documents": _conservation_oracle(
+            "documents", {
+                "doc_id": "8 * count(doc_id)",
+                "n_chars": "8 * count(n_chars)",
+                "text": "sum(strlen(text)) + 4 * count(text)",
+                "lang": "sum(strlen(lang)) + 4 * count(lang)",
+                "source": "sum(strlen(source)) + 4 * count(source)",
+            }),
+        "pages_conservation_lineitem": _conservation_oracle(
+            "lineitem", {
+                "l_orderkey": "8 * count(l_orderkey)",
+                "l_partkey": "8 * count(l_partkey)",
+                "l_suppkey": "8 * count(l_suppkey)",
+                "l_linenumber": "4 * count(l_linenumber)",
+                "l_quantity": "8 * count(l_quantity)",
+                "l_extendedprice": "8 * count(l_extendedprice)",
+                "l_discount": "8 * count(l_discount)",
+                "l_tax": "8 * count(l_tax)",
+                "l_returnflag":
+                    "sum(strlen(l_returnflag)) + 4 * count(l_returnflag)",
+                "l_linestatus":
+                    "sum(strlen(l_linestatus)) + 4 * count(l_linestatus)",
+                "l_shipdate": "8 * count(l_shipdate)",
+            }),
         # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk also omitted:
         # they depend on MinHash permutations / xxhash64 / random-hyperplane
         # LSH not reproducible in DuckDB; pytest brute-force oracles cover
