@@ -259,6 +259,19 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (batch form of the
+    streaming operator streaming.window_agg — identical expression runs
+    watermarked under readStream, see tests/test_streaming.py)."""
+    from cpp_parquet_spark.streaming import window_agg
+    df = _read(spark, sf_dir, "events")
+    return (window_agg(df, "1 hour")
+            # float sums are order-sensitive across engines; round away
+            # the ulp so the oracle hash compares stably
+            .withColumn("sum_value", F.round("sum_value", 4))
+            .orderBy("win_start", "event_type"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -465,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_topk_sources": q_groupby_topk_sources,
         "join_orders_customer": q_join_orders_customer,
         "events_window": q_events_window,
+        "events_time_window": q_events_time_window,
         # non-SQL-expressible: encoded-pages shape (rows-only check)
         "pages_summary_documents": _pages_summary("documents", DOCS_CFG),
         "pages_summary_lineitem": _pages_summary("lineitem", LINEITEM_CFG),
@@ -618,6 +632,10 @@ def oracle_sql() -> dict[str, str]:
                      min(event_id) AS first_event
               FROM events GROUP BY user_id
             ) t WHERE n_events >= 2 ORDER BY user_id""",
+        "events_time_window": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         # pages_summary_* intentionally omitted: encoded-page layout is not
         # SQL-expressible; driver records rows-only checks for them. Their
         # source-derivable half IS oracled via the conservation companions:

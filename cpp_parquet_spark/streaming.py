@@ -91,6 +91,53 @@ def stream_encode(spark: SparkSession, src_dir: str, schema, dst: str,
             .start())
 
 
+def window_agg(df: DataFrame, window: str = "1 hour",
+               ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+    """Event-time tumbling-window aggregation (shared batch/stream
+    expression): per (window, key) event count + value sum. In batch it
+    is an ordinary groupBy; under a watermarked stream the identical
+    expression becomes Spark's stateful windowed aggregate — one
+    definition, two execution modes, which is the point of the
+    Structured Streaming front door (same answer either way)."""
+    return (df.groupBy(F.window(F.col(ts_col), window).alias("win"),
+                       F.col(key_col))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    key_col, "n_events", "sum_value"))
+
+
+def windowed_event_counts(spark: SparkSession, src_dir: str, schema,
+                          dst: str, window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          checkpoint: str | None = None,
+                          max_files_per_trigger: int = 1):
+    """Watermarked event-time windowed aggregation over a file stream.
+
+    Late-data semantics (the watermark contract): a window is emitted —
+    APPEND mode, exactly once — only after the watermark (max observed
+    event time minus ``watermark``) passes its end; events arriving
+    later than the watermark allows are dropped, bounding state. At
+    100 TB-scale ingest this is what keeps per-key window state finite:
+    state holds only windows newer than the watermark horizon,
+    independent of total stream length. Finalized windows append to
+    parquet under ``dst`` (a durable sink that supports checkpoint
+    recovery, so stop/restart continues the same query); returns the
+    StreamingQuery."""
+    checkpoint = checkpoint or os.path.join(dst, "_win_checkpoint")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(src_dir)
+           .withWatermark("ts", watermark))
+    out = window_agg(src, window)
+    return (out.writeStream.format("parquet")
+            .option("path", os.path.join(dst, "windows"))
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def running_ingest_stats(spark: SparkSession, src_dir: str, schema,
                          group_col: str = "lang", text_col: str = "content",
                          checkpoint: str | None = None,

@@ -147,3 +147,66 @@ def test_running_ingest_stats_stateful(spark, tmp_path):
         tot = sorted(r["total_docs"] for r in rows if r["g"] == g)
         bat = [r["batch_docs"] for r in rows if r["g"] == g]
         assert tot[-1] == sum(bat)        # cumulative == sum of batches
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling-window agg: finalized windows match the batch
+    answer; a window still inside the watermark horizon is withheld; a
+    late event beyond the horizon is dropped (and cannot re-open an
+    already-emitted window). Two sequential availableNow runs over one
+    checkpoint = two micro-batches with the watermark persisted between
+    them, exactly like a restart of a long-running ingest."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from cpp_parquet_spark.streaming import window_agg, windowed_event_counts
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value"])
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = tbl.set_column(1, "ts", tbl.column("ts").cast(pa.timestamp("us")))
+        pq.write_table(tbl, os.path.join(src, f"{name}.parquet"))
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: hours 0..3, max ts 03:30 -> watermark 01:30 at the end of
+    # the run, finalizing exactly window [00:00, 01:00)
+    write("w1", [(i, base + dt.timedelta(minutes=30 * i), i % 3, "click", 1.0)
+                 for i in range(8)])
+    dst = str(tmp_path / "win_out")
+    q = windowed_event_counts(spark, src, schema, dst, window="1 hour",
+                              watermark="2 hours", checkpoint=ckpt)
+    q.awaitTermination(120)
+    got1 = {(r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(f"{dst}/windows").collect()}
+    assert got1 == {(0, "click"): (2, 2.0)}
+
+    # wave 2 against the restored watermark (01:30): one in-flight event
+    # (hour 3) + one LATE event (00:05, behind the watermark -> dropped,
+    # must NOT re-open the already-emitted hour-0 window)
+    write("w2", [(100, base + dt.timedelta(hours=3, minutes=40), 1, "click", 1.0),
+                 (101, base + dt.timedelta(minutes=5), 1, "click", 99.0)])
+    q2 = windowed_event_counts(spark, src, schema, dst, window="1 hour",
+                               watermark="2 hours", checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got2 = {(r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(f"{dst}/windows").collect()}
+    # final watermark 01:40 -> no further window end <= 01:40 exists; in
+    # particular NO hour-0 re-emission carrying the late 99.0: the sink
+    # still holds exactly the wave-1 row
+    assert got2 == got1
+
+    # batch form over the on-time rows agrees on the finalized window
+    batch = window_agg(spark.read.parquet(src).filter(F.col("event_id") < 100))
+    bmap = {(r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in batch.collect()}
+    assert bmap[(0, "click")] == got1[(0, "click")]
