@@ -44,6 +44,16 @@ class EncodeConfig:
     # salt_from/salt_buckets still fan out a giant range bucket.
     range_on: str | None = None
     range_bounds: tuple = ()
+    # shuffle-free ingest mode: part_id = the physical scan split index,
+    # so the encode pass has ZERO exchanges (scan -> kernel -> sink).
+    # Trades the clustered layout (per-repo dict/FSST locality, range
+    # pruning) for raw ingest throughput — the right mode for
+    # compaction-style re-encodes and firehose ingest where rows arrive
+    # pre-batched. part_id stays reproducible for a FIXED input file set
+    # + split size (Spark's split planning is deterministic), which is a
+    # weaker resume contract than the data-derived hash: document per
+    # job. At 100 TB this removes the single all-data shuffle entirely.
+    no_shuffle: bool = False
 
 
 def plan_range_bounds(df: DataFrame, col: str, num_buckets: int,
@@ -94,6 +104,8 @@ def with_part_id(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     moderate-cardinality prefix (repo, date), not a unique key. NULLs
     land in bucket 0 (they sort first, matching Spark's NULLS FIRST).
     """
+    if cfg.no_shuffle:
+        return df.withColumn("__part_id", F.spark_partition_id())
     if cfg.range_on and cfg.range_bounds and cfg.range_on in df.columns:
         c = F.col(cfg.range_on)
         barr = F.array(*[F.lit(b) for b in cfg.range_bounds])
@@ -127,7 +139,12 @@ def with_part_id(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
 
 def cluster_by_part(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """Shuffle so each part_id is contiguous in one task, deterministically
-    ordered inside (one wide exchange — the encode pass's only shuffle)."""
+    ordered inside (one wide exchange — the encode pass's only shuffle).
+    ``no_shuffle`` skips the exchange: scan splits are already contiguous
+    part_ids; rows are optionally sorted inside each split."""
+    if cfg.no_shuffle:
+        order = [k for k in cfg.order_keys if k in df.columns]
+        return df.sortWithinPartitions(*order) if order else df
     order = ["__part_id"] + [k for k in cfg.order_keys if k in df.columns]
     return (df.repartition(effective_parts(cfg), "__part_id")
               .sortWithinPartitions(*order))

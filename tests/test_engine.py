@@ -174,3 +174,22 @@ def test_suggest_block_codec(spark, sf_dir):
         assert suggest_block_codec(st, entropy_max=0.5) is None
     finally:
         st.unpersist()
+
+
+def test_no_shuffle_roundtrip_bit_identical(spark, sf_dir):
+    """Shuffle-free ingest mode: part_id = scan split; encode -> decode
+    must still reproduce every value sha256-identical."""
+    from cpp_parquet_spark.engine import decode_table, encode_table, verify_roundtrip
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(no_shuffle=True, table_name="documents")
+    pages = encode_table(df, cfg).cache()
+    try:
+        decoded = decode_table(pages, columns=pages._cps_columns)
+        res = verify_roundtrip(df, decoded, "text")
+        assert res["sha256_match_rate"] == 1.0, res
+        # every scan split became a part
+        nparts = pages.select("part_id").distinct().count()
+        assert nparts == df.rdd.getNumPartitions()
+    finally:
+        pages.unpersist()

@@ -130,3 +130,11 @@ def test_scan_column_reads_only_hot_pages_metadata_filter(spark, sf_dir,
     plan = _plan(scan_column(pages, "n_chars", lo=100, hi=200))
     assert "PushedFilters" in plan and "column" in plan.split(
         "PushedFilters")[1][:400], plan
+
+
+def test_no_shuffle_encode_has_zero_exchanges(docs):
+    cfg = EncodeConfig(no_shuffle=True, order_keys=("doc_id",),
+                       table_name="documents")
+    plan = _plan(encode_table(docs, cfg))
+    assert plan.count("Exchange") == 0, plan
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
