@@ -17,11 +17,12 @@ Inputs:
   ``/root/testdata/sf0.1``).
 
 Scaling evidence (two-cluster-size rule): after the query sweep the
-harness re-invokes itself to measure two N-vs-4N pairs on fixed inputs —
-primary local[2]/local[8] (clean: below the co-tenant flare capacity),
-secondary local[8]/local[32] (whole box) — encode only, best-of-REPS per
-leg, waiting out load flares; both pairs + efficiency land in the JSON
-as ``"scaling"``;
+harness measures two N-vs-4N pairs on a fixed 2 GB input — primary
+local[2]/local[8] (inside the host's memory-bandwidth scaling envelope),
+secondary local[8]/local[32] (whole box; hostage to co-tenant bandwidth
+pressure, see the membw samples) — encode only, min-of-reps per level,
+all levels in THIS process's JIT-warm JVM via context stop/recreate;
+both pairs + efficiency land in the JSON as ``"scaling"``;
 ``encode_gbps`` / ``encode_plain_gbps`` are taken from the local[32] legs
 so they measure kernel throughput at 2 GB, not the 5 s job-setup floor
 that dominates the 248 MB sweep. ``tools/scaling.py`` remains the
@@ -170,6 +171,16 @@ def q_encode_repofiles_plain(spark: SparkSession) -> None:
     _force(encode_table(df, cfg))
 
 
+def q_encode_repofiles_noshuffle(spark: SparkSession) -> None:
+    """Shuffle-free ingest mode (part_id = scan split): the encode
+    pipeline's ceiling with the exchange removed — the right mode for
+    compaction-style re-encodes; the headline keeps the north-rule
+    salted clustering."""
+    df = _repofiles_df(spark)
+    _force(encode_table(df, EncodeConfig(no_shuffle=True,
+                                         table_name="repofiles_ns")))
+
+
 def q_roundtrip_repofiles(spark: SparkSession) -> None:
     """Encode -> decode -> per-value sha256 verify on content.
 
@@ -266,6 +277,7 @@ def q_ann_topk(spark: SparkSession) -> None:
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
     "encode_repofiles_plain": q_encode_repofiles_plain,
+    "encode_repofiles_noshuffle": q_encode_repofiles_noshuffle,
     "roundtrip_repofiles": q_roundtrip_repofiles,
     "stats_select": q_stats_select,
     "encode_documents": q_encode_documents,
@@ -276,6 +288,43 @@ QUERIES = {
     "pushdown": q_pushdown,
     "ann_topk": q_ann_topk,
 }
+
+
+_MEMBW_BUFS: list | None = None
+
+
+def _membw(k: int = 4, mb: int = 64, secs: float = 0.3) -> float:
+    """Available host memory bandwidth right now (GB/s aggregate, k
+    threads copying warmed buffers — numpy releases the GIL on copyto).
+
+    Why this exists: the box shares a hypervisor with co-tenants whose
+    bandwidth pressure is invisible to /proc/stat (no steal, no busy),
+    yet collapses aggregate memcpy from ~200 GB/s to ~20 GB/s (measured
+    2026-08-17). Every wall in the scaling probe records the bandwidth
+    in effect so a contaminated leg is identifiable as such. Buffers are
+    touched once up front — an unwarmed buffer measures page faults, not
+    bandwidth."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+    global _MEMBW_BUFS
+    if _MEMBW_BUFS is None:
+        _MEMBW_BUFS = []
+        for _ in range(k):
+            a = np.random.randint(0, 255, mb << 20, dtype=np.uint8)
+            _MEMBW_BUFS.append((a, a.copy()))
+
+    def run(ab):
+        a, b = ab
+        t0 = time.monotonic()
+        n = 0
+        while time.monotonic() - t0 < secs:
+            np.copyto(b, a)
+            n += 1
+        return n * a.nbytes * 2
+
+    with ThreadPoolExecutor(k) as ex:
+        tot = sum(ex.map(run, _MEMBW_BUFS))
+    return tot / secs / 1e9
 
 
 def _cpu_busy_frac(interval: float = 2.0) -> float:
@@ -309,58 +358,82 @@ def _wait_quiet(limit: float = 0.15, timeout: float = 75.0,
         time.sleep(8)
 
 
-def _probe_leg(cpus: int, rows: int) -> dict | None:
-    """One fresh-JVM encode run at local[cpus] on the rows-row input."""
-    import subprocess
-    here = os.path.abspath(__file__)
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               BENCH_REPOFILES_ROWS=str(rows), BENCH_SCALING="0",
-               BENCH_STANDIN="0",  # the stand-in write costs up to 40 s
-               # per leg under flares and nothing in the probe reads it
-               BENCH_ONLY="encode_repofiles,encode_repofiles_plain")
-    busy = round(_cpu_busy_frac(1.0), 2)  # ambient (co-tenant) load right
-    # before the leg launches — recorded so a contaminated wall is
-    # visible as such in the JSON
+def _probe_level(cpus: int, rows: int, cb: int, reps: int,
+                 deadline: float) -> dict | None:
+    """Timed encode walls at local[cpus] on the rows-row input, run
+    IN-PROCESS in the bench's own (already JIT-warm) JVM: Spark local
+    mode allows stop()-then-recreate with a different master in one JVM,
+    so a level costs context spin-up (~2 s) instead of a fresh-JVM leg
+    (~25 s startup + ~20 s of C2 compilation that used to land inside
+    the first timed wall and made fresh-JVM probes 2-3x noisier than the
+    converged engine — measured 49.7/23.7/16.0 s across reps of the
+    identical 2 GB encode in one JVM).
+
+    Each context runs a medium warm encode (spawns + warms the level's
+    Python workers), then up to ``reps`` timed (auto, plain) runs; a
+    memcpy-bandwidth sample is recorded before each so co-tenant
+    bandwidth pressure — this box's dominant noise source, invisible to
+    /proc/stat — is visible next to every wall."""
+    from cpp_parquet_spark.partitioning import plan_num_parts
+    from cpp_parquet_spark.synth import fixture_path
+    spark = get_spark(f"local[{cpus}]", task_cpus=1)
     try:
-        out = subprocess.run(
-            [sys.executable, here], env=env, capture_output=True,
-            text=True, timeout=1200, check=True, cwd=os.path.dirname(here))
-        leg = json.loads(out.stdout.strip().splitlines()[-1])
-        leg["host_busy_at_start"] = busy
-        return leg
-    except (subprocess.SubprocessError, ValueError, IndexError):
-        return None
+        warm = spark.read.parquet(fixture_path("sf0.1"))
+        _force(encode_table(warm, EncodeConfig(
+            keys=("repo",), salt_from=("path",), salt_buckets=32,
+            num_parts=4 * cpus, table_name="probe_warm")))
+        df = spark.read.parquet(_repofiles_parquet_n(rows))
+        nparts = plan_num_parts(cb, target=16 << 20, min_parts=2 * cpus)
+
+        def cfg_for(table: str, overrides: dict | None = None):
+            return EncodeConfig(keys=("repo",), salt_from=("path",),
+                                salt_buckets=32, num_parts=nparts,
+                                order_keys=("path",),
+                                codec_overrides=overrides or {},
+                                table_name=table)
+
+        cfg = cfg_for("probe")
+        plain_cfg = cfg_for("probe_plain",
+                            {c: "plain" for c in
+                             ("repo", "path", "commit", "lang",
+                              "content")})
+        walls, pwalls, bws = [], [], []
+        for rep in range(reps):
+            if rep and time.monotonic() > deadline:
+                break
+            bws.append(round(_membw(), 1))
+            t0 = time.monotonic()
+            _force(encode_table(df, cfg))
+            walls.append(round(time.monotonic() - t0, 3))
+            t0 = time.monotonic()
+            _force(encode_table(df, plain_cfg))
+            pwalls.append(round(time.monotonic() - t0, 3))
+        return {"walls": walls, "plain_walls": pwalls, "membw": bws}
+    finally:
+        spark.stop()
 
 
-def _scaling_pair(n: int, n4: int, rows: int, reps: int,
-                  deadline: float) -> dict | None:
-    """Best-of-reps N vs 4N pair on the same input (the sandbox
-    substitute for two executor counts, BASELINE.json north rule). Each
-    leg is a fresh JVM running the identical sweep code path; best-of
-    because the box shares hardware with co-tenant load flares (see
-    BENCH.md). Stops scheduling further reps past ``deadline`` (but
-    always completes at least one rep per level)."""
-    runs: dict[int, list[dict]] = {n: [], n4: []}
-    for rep in range(reps):
-        if rep > 0 and time.monotonic() > deadline:
-            break
-        for cpus in (n, n4):
-            _wait_quiet(deadline=deadline)
-            r = _probe_leg(cpus, rows)
-            if r is not None:
-                runs[cpus].append(r)
-    if not runs[n] or not runs[n4]:
+def _repofiles_parquet_n(rows: int) -> str:
+    """Synth-cache path for an arbitrary row count (probe input)."""
+    global REPO_ROWS, _REPO_PATH
+    saved_rows, saved_path = REPO_ROWS, _REPO_PATH
+    REPO_ROWS, _REPO_PATH = rows, None
+    try:
+        return _repofiles_parquet()
+    finally:
+        REPO_ROWS, _REPO_PATH = saved_rows, saved_path
+
+
+def _pair(levels: dict[int, dict], n: int, n4: int, cb: int) -> dict | None:
+    """N vs 4N efficiency from the per-level best walls."""
+    a, b = levels.get(n), levels.get(n4)
+    if not a or not b or not a["walls"] or not b["walls"]:
         return None
-    best = {c: min(rs, key=lambda r: r["queries"]["encode_repofiles"])
-            for c, rs in runs.items()}
-    cb = best[n4]["content_bytes"]
-    tn = best[n]["queries"]["encode_repofiles"]
-    tn4 = best[n4]["queries"]["encode_repofiles"]
-    pn = best[n]["queries"]["encode_repofiles_plain"]
-    pn4 = best[n4]["queries"]["encode_repofiles_plain"]
+    tn, tn4 = min(a["walls"]), min(b["walls"])
+    pn, pn4 = min(a["plain_walls"]), min(b["plain_walls"])
     ratio = n4 / n
     return {
-        "rows": rows, "content_bytes": cb, "n_cpus": n, "n4_cpus": n4,
+        "content_bytes": cb, "n_cpus": n, "n4_cpus": n4,
         "t_n": tn, "t_n4": tn4,
         "gbps_n": round(cb / tn / 1e9, 4),
         "gbps_n4": round(cb / tn4 / 1e9, 4),
@@ -369,45 +442,63 @@ def _scaling_pair(n: int, n4: int, rows: int, reps: int,
                   "gbps_n": round(cb / pn / 1e9, 4),
                   "gbps_n4": round(cb / pn4 / 1e9, 4),
                   "efficiency": round((pn / pn4) / ratio, 3)},
-        "walls_n": [r["queries"]["encode_repofiles"] for r in runs[n]],
-        "walls_n4": [r["queries"]["encode_repofiles"] for r in runs[n4]],
-        "busy_n": [r.get("host_busy_at_start") for r in runs[n]],
-        "busy_n4": [r.get("host_busy_at_start") for r in runs[n4]],
+        "walls_n": a["walls"], "walls_n4": b["walls"],
+        "membw_n": a["membw"], "membw_n4": b["membw"],
     }
 
 
 def _scaling_probe() -> dict | None:
     """Two N-vs-4N pairs (north-rule scaling criterion, sandbox form):
 
-    - primary local[2] vs local[8], 800k rows (2 GB) — both legs fit
-      inside the capacity that stays quiet under the box's co-tenant
-      flares, so this is the clean reading of the engine's scaling. The
-      input must out-scale the ~2 s fixed job overhead: measured walls
-      across local[2/4/8/16] fit t = W/n + c almost exactly, and every
-      round-2 kernel/exchange speedup shrinks W against a constant c —
-      at 400k rows the snappy-codec pipeline measures 0.79 from the
-      constant alone, at 800k it is noise (and the input is shared with
-      the secondary pair, saving a synth);
-    - secondary local[8] vs local[32], 800k rows — uses the whole box and
-      is hostage to co-tenant steal (the host runs a constant ~4 load of
-      other tenants) and the FSST kernel's memory-bandwidth ceiling
-      (kernel-only 8->32 efficiency measured 0.75, BENCH.md).
+    - primary local[2] vs local[8], 800k rows (2 GB) — both levels sit
+      inside the capacity envelope where this host's memory bandwidth
+      still scales (memcpy aggregate rises to ~8-16 threads), so the
+      pair reads the ENGINE's scaling;
+    - secondary local[8] vs local[32] — uses the whole box. The host's
+      aggregate memcpy bandwidth at 32 threads swings ~10x with
+      co-tenant pressure (22-214 GB/s sampled minutes apart,
+      2026-08-17), so this pair reads the HOST under load as much as the
+      engine; the per-rep ``membw`` samples say which. The engine's own
+      kernels measure 0.87 efficiency 8->32 when run bare
+      (multiprocessing, BENCH.md).
+
+    Levels run interleaved across outer rounds so each pair samples
+    comparable bandwidth windows; walls are min-of-reps per level.
     """
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     rows_big = int(os.environ.get("BENCH_SCALING_ROWS", "800000"))
     budget = float(os.environ.get("BENCH_SCALING_BUDGET", "900"))
-    # each pair gets its own half of the budget: under co-tenant flares
-    # the primary's idle-waits + reps would otherwise consume the whole
-    # budget and leave the secondary (which supplies the headline
-    # encode_gbps) a single, possibly contended rep
-    t0 = time.monotonic()
-    primary = _scaling_pair(2, 8, rows_big, reps, t0 + budget / 2)
-    secondary = _scaling_pair(8, 32, rows_big, reps,
-                              max(time.monotonic(), t0 + budget / 2)
-                              + budget / 2)
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    deadline = time.monotonic() + budget
+    if REPO_ROWS == rows_big and _CONTENT_BYTES:
+        cb = _CONTENT_BYTES
+    else:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(_repofiles_parquet_n(rows_big),
+                            columns=["content"])
+        cb = int(pc.sum(pc.binary_length(tbl.column("content"))).as_py())
+    levels: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for cpus in (2, 8, 32):
+            if rnd and time.monotonic() > deadline:
+                break
+            # local[2] reps cost ~2 min each; one per round (two rounds
+            # still give two window samples)
+            r = _probe_level(cpus, rows_big, cb,
+                             1 if cpus == 2 else reps, deadline)
+            if r is None:
+                continue
+            if cpus in levels:
+                for k in ("walls", "plain_walls", "membw"):
+                    levels[cpus][k].extend(r[k])
+            else:
+                levels[cpus] = r
+    primary = _pair(levels, 2, 8, cb)
+    secondary = _pair(levels, 8, 32, cb)
     if primary is None and secondary is None:
         return None
-    out = {"primary": primary, "secondary": secondary}
+    out = {"rows": rows_big, "primary": primary, "secondary": secondary}
     head = primary or secondary
     out["efficiency"] = head["efficiency"]
     return out
@@ -432,6 +523,14 @@ def main() -> None:
     _force(encode_table(warm, EncodeConfig(keys=("repo",), salt_from=(),
                                            num_parts=4 * CPUS,
                                            table_name="warm")))
+    # medium warm (~23 MB): the tiny warm above spawns workers but does
+    # not push the JVM serde/shuffle loops past the C2 JIT threshold —
+    # without this, the first big encode absorbs ~2-3x of compilation
+    # wall (measured 49.7/23.7/16.0 s across identical 2 GB reps)
+    medium = spark.read.parquet(fixture_path("sf0.01"))
+    _force(encode_table(medium, EncodeConfig(
+        keys=("repo",), salt_from=("path",), salt_buckets=32,
+        num_parts=2 * CPUS, table_name="warm_med")))
     if not only or "dedup_minhash" in names:
         # the dedup/text kernels import different worker-side modules than
         # the encode path; a 64-doc pass warms them so the timed query
