@@ -371,6 +371,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                [0, 1, 2, 3, 4], k=10, planes=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (data-adaptive coarse quantizer): nprobe=4 of 16 centroids
+    -> ~1/4 of the corpus scanned. Rows-only (k-means isn't
+    SQL-expressible); recall + determinism pinned in pytest, and the
+    full-probe companion below carries the exact oracle."""
+    return similarity.ivf_topk(_read(spark, sf_dir, "embeddings"),
+                               [0, 1, 2, 3, 4], k=10,
+                               n_centroids=16, nprobe=4)
+
+
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF companion: with nprobe == n_centroids every
+    cell is probed, so the IVF pipeline (train + assign + candidate join
+    + rank) must reproduce exact brute-force top-k — the same DuckDB SQL
+    oracle as ann_brute_topk."""
+    return similarity.ivf_topk(_read(spark, sf_dir, "embeddings"),
+                               [0, 1, 2, 3, 4], k=10,
+                               n_centroids=8, nprobe=8)
+
+
 def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array<float> encode (listf composite codec) -> decode -> per-vector
     dim + L2 norm. The oracle computes the same from the SOURCE table, so
@@ -510,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (LSH)
+        "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (IVF)
+        "ann_ivf_full_probe": q_ann_ivf_full_probe,     # full oracle
         # array<float> codec roundtrip (listf)
         "roundtrip_embeddings": q_roundtrip_embeddings,
         # training-data pipeline: multimodal plumbing
@@ -902,6 +924,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, scope, round(c, 6) AS cosine
             FROM p WHERE round(c, 6) >= 0.35 ORDER BY id_a, id_b""",
         "ann_brute_topk": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), q AS (
+              SELECT * FROM n WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), s AS (
+              SELECT q.vec_id AS qid, n.vec_id AS nid,
+                     list_inner_product(q.v, n.v) / (q.nrm * n.nrm) AS c,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, n.v)
+                                / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+              FROM q JOIN n ON n.vec_id <> q.vec_id
+            )
+            SELECT qid, rank, nid, round(c, 6) AS cosine
+            FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "ann_ivf_full_probe": """
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

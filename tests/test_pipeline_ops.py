@@ -375,6 +375,31 @@ def test_lsh_topk_recall_and_validity(emb):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivf_topk_recall_and_determinism(emb):
+    """IVF coarse-quantizer ANN: recall vs exact brute force at
+    nprobe/n_centroids = 1/4 of the corpus scanned, plus seed-stable
+    reproducibility of the whole train+assign+rank pipeline."""
+    qids = [0, 1, 2, 3, 4]
+    brute = _brute_topk_numpy(emb.collect(), qids, 10)
+    got = similarity.ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=4).collect()
+    hits = total = 0
+    for q in qids:
+        mine = {r["nid"] for r in got if r["qid"] == q}
+        assert q not in mine
+        assert len(mine) <= 10
+        hits += len(mine & set(brute[q]))
+        total += len(brute[q])
+    assert hits / total >= 0.5, hits / total
+    again = similarity.ivf_topk(emb, qids, k=10, n_centroids=16, nprobe=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # full probe = exact: with nprobe == n_centroids every candidate is
+    # scanned, so IVF must reproduce brute force exactly
+    full = similarity.ivf_topk(emb, qids, k=10, n_centroids=8, nprobe=8).collect()
+    for q in qids:
+        mine = [r["nid"] for r in full if r["qid"] == q]
+        assert mine == brute[q]
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
