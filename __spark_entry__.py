@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cpp_parquet_spark import dedup, multimodal, similarity, textops
+from cpp_parquet_spark import dedup, multimodal, quantize, similarity, textops
 from cpp_parquet_spark.engine import decode_table, decode_where, encode_table
 from cpp_parquet_spark.partitioning import EncodeConfig
 
@@ -391,6 +391,21 @@ def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_centroids=8, nprobe=8)
 
 
+def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric embedding quantization (4x ANN memory at 100 TB):
+    per-vector scale + list-free qvec summary. Pure JVM built-ins
+    (transform/aggregate), floor(x+0.5) rounding so the DuckDB oracle
+    reproduces the arithmetic bit-for-bit."""
+    return quantize.quantize_stats(_read(spark, sf_dir, "embeddings"))
+
+
+def q_emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction quality of the int8 quantization: per-vector max
+    abs error (bounded by scale/2 by construction) and cosine between
+    the original and dequantized vector."""
+    return quantize.quantize_error(_read(spark, sf_dir, "embeddings"))
+
+
 def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array<float> encode (listf composite codec) -> decode -> per-vector
     dim + L2 norm. The oracle computes the same from the SOURCE table, so
@@ -532,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (LSH)
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (IVF)
         "ann_ivf_full_probe": q_ann_ivf_full_probe,     # full oracle
+        # training-data pipeline: embedding quantization
+        "emb_quantize_stats": q_emb_quantize_stats,
+        "emb_quantize_error": q_emb_quantize_error,
         # array<float> codec roundtrip (listf)
         "roundtrip_embeddings": q_roundtrip_embeddings,
         # training-data pipeline: multimodal plumbing
@@ -961,6 +979,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rank, nid, round(c, 6) AS cosine
             FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "emb_quantize_stats": """
+            WITH b AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       / 127.0 AS scale
+              FROM b
+            ), q AS (
+              SELECT id, scale,
+                     CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                          ELSE list_transform(v,
+                               x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                     END AS qvec
+              FROM s
+            )
+            SELECT id, len(qvec) AS dim, round(scale, 9) AS scale,
+                   CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+                   list_aggregate(qvec, 'min') AS q_min,
+                   list_aggregate(qvec, 'max') AS q_max
+            FROM q ORDER BY id""",
+        "emb_quantize_error": """
+            WITH b AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       / 127.0 AS scale
+              FROM b
+            ), q AS (
+              SELECT id, v, scale,
+                     CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0.0)
+                          ELSE list_transform(v,
+                               x -> floor(x / scale + 0.5) * scale)
+                     END AS deq
+              FROM s
+            ), e AS (
+              SELECT id,
+                list_transform(generate_series(1, len(v)),
+                               i -> abs(v[i] - deq[i])) AS err,
+                list_transform(generate_series(1, len(v)),
+                               i -> v[i] * deq[i]) AS dot,
+                sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                    'sum')) AS vn,
+                sqrt(list_aggregate(list_transform(deq, x -> x * x),
+                                    'sum')) AS dn
+              FROM q
+            )
+            SELECT id, round(list_aggregate(err, 'max'), 9) AS max_abs_err,
+                   round(CASE WHEN vn * dn = 0.0 THEN 1.0
+                              ELSE list_aggregate(dot, 'sum') / (vn * dn)
+                         END, 6) AS cos_sim
+            FROM e ORDER BY id""",
         "roundtrip_embeddings": """
             SELECT vec_id, len(embedding) AS dim,
                    round(sqrt(list_inner_product(

@@ -13,7 +13,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from cpp_parquet_spark import dedup, multimodal, similarity, textops
+from cpp_parquet_spark import dedup, multimodal, quantize, similarity, textops
 
 
 @pytest.fixture(scope="module")
@@ -398,6 +398,44 @@ def test_ivf_topk_recall_and_determinism(emb):
     for q in qids:
         mine = [r["nid"] for r in full if r["qid"] == q]
         assert mine == brute[q]
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_bounds(emb):
+    """int8 symmetric quantization: values in [-127,127], reconstruction
+    error bounded by scale/2, exact numpy replay of the JVM formula."""
+    src = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.limit(50).collect()}
+    ids = list(src)
+    got = {r["id"]: r for r in
+           quantize.quantize(emb.filter(F.col("vec_id").isin(ids))).collect()}
+    assert set(got) == set(src)
+    for i, v in src.items():
+        r = got[i]
+        q = np.asarray(r["qvec"], dtype=np.int64)
+        s = r["scale"]
+        assert q.min() >= -127 and q.max() <= 127
+        if s == 0.0:
+            assert not q.any()
+            continue
+        # numpy replay of floor(v/s + 0.5) must match the JVM expression
+        assert np.array_equal(q, np.floor(v / s + 0.5).astype(np.int64))
+        assert np.abs(v - q * s).max() <= s / 2 + 1e-12
+
+
+def test_quantize_error_metrics(emb):
+    rows = quantize.quantize_error(emb).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r["cos_sim"] > 0.999      # int8 keeps cosine nearly intact
+        assert r["max_abs_err"] >= 0.0
+    stats = {r["id"]: r for r in quantize.quantize_stats(emb).limit(5).collect()}
+    for r in stats.values():
+        assert r["q_min"] >= -127 and r["q_max"] <= 127
+        assert r["dim"] > 0
 
 
 # ---------------------------------------------------------------------------
