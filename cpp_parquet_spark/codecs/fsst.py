@@ -53,12 +53,26 @@ TRAIN_BYTES = 1 << 18         # train on at most 256 KiB of the chunk
 class SymbolTable:
     """code -> byte expansion, plus the per-round merge LUTs for encoding."""
 
-    __slots__ = ("base_lut", "expansions", "round_luts")
+    __slots__ = ("base_lut", "expansions", "round_luts", "_enc_luts")
 
     def __init__(self, base_lut, expansions, round_luts):
         self.base_lut = base_lut          # uint8->code (int16, -1 = OOV)
         self.expansions = expansions      # list[bytes], index = code
         self.round_luts = round_luts      # list of int16[256,256] (code+1) LUTs
+        self._enc_luts = None             # lazy uint8 encode-side LUTs
+
+    def enc_luts(self):
+        """(base_lut8, [flat round luts as uint8]) — the encode hot path
+        gathers through uint8 LUTs (codes fit: 0..253, ESC=255 marks OOV
+        in base_lut8; round LUT entries are code+1 <= 254), halving LUT
+        gather traffic vs the int16 originals."""
+        if self._enc_luts is None:
+            base8 = np.where(self.base_lut < 0, ESC,
+                             self.base_lut).astype(np.uint8)
+            self._enc_luts = (base8,
+                              [l.astype(np.uint8).ravel()
+                               for l in self.round_luts])
+        return self._enc_luts
 
 
 def _flatten(values) -> tuple[np.ndarray, np.ndarray]:
@@ -88,27 +102,26 @@ def _pair_keys(a: np.ndarray) -> np.ndarray:
     return k
 
 
-def _sub_pass(a: np.ndarray, lut2d: np.ndarray) -> np.ndarray:
+def _sub_pass(a: np.ndarray, lut_flat: np.ndarray) -> np.ndarray:
     """One greedy non-overlapping pair-substitution pass (all numpy).
 
     a: uint8 codes (SENT breaks strings, ESC marks OOV);
-    lut2d: int16[256, 256] merge table storing ``code + 1`` (0 = no merge;
-    ESC/SENT rows and columns are 0 by construction, so no merge can cross
-    a string boundary or swallow an escape). Gather via an explicit
-    uint16 key + flat-LUT lookup (measured 1.8x faster than the 2-D
-    fancy-index form, which pays int64 index arithmetic per element);
-    nonzero runs on a bool cast (2x faster than scanning int16); the
-    chain bookkeeping stays in int32 (match counts are < 2^31 by
-    SEG_BYTES construction) to halve its memory traffic.
+    lut_flat: uint8[65536] flat merge table storing ``code + 1`` (0 = no
+    merge; ESC/SENT rows and columns are 0 by construction, so no merge
+    can cross a string boundary or swallow an escape). Gather via an
+    explicit uint16 key + flat-LUT lookup (measured 1.8x faster than the
+    2-D fancy-index form, which pays int64 index arithmetic per element);
+    the uint8 LUT halves gather traffic vs the int16 original and makes
+    the substitution ``z[sel] - 1`` a cast-free uint8 subtract.
 
-    Greedy selection (even offsets within each chain of consecutive match
-    positions) is materialized chain-by-chain with a grouped arange over
-    the chain-start positions instead of a ``maximum.accumulate`` parity
-    scan — the repeat/arange passes touch only the ~0.35n kept positions
-    where the accumulate touched all 0.7n matches (measured +8% on the
-    whole encode, bit-identical output).  The final compaction gathers
-    through ``flatnonzero(alive)`` because numpy's integer fancy-index is
-    ~1.5x faster than its boolean-mask path at this density.
+    Greedy selection (even offsets within each maximal run of consecutive
+    match positions) via a ``maximum.accumulate`` parity scan over int32
+    indices: distance from the run's first match decides keep/drop —
+    measured ~17% faster per pass than materializing runs chain-by-chain
+    with grouped repeat/arange, bit-identical output. The final
+    compaction gathers through ``flatnonzero(alive)`` because numpy's
+    integer fancy-index is ~1.5x faster than its boolean-mask path at
+    this density.
     """
     n = a.shape[0]
     if n < 2:
@@ -116,41 +129,33 @@ def _sub_pass(a: np.ndarray, lut2d: np.ndarray) -> np.ndarray:
     k16 = a[:-1].astype(np.uint16)
     k16 <<= 8
     k16 |= a[1:]
-    z = lut2d.ravel()[k16]
-    p = np.flatnonzero(z.astype(bool)).astype(np.int32)
-    if p.size == 0:
+    z = lut_flat[k16]
+    m = z.astype(bool)
+    idx = np.arange(n - 1, dtype=np.int32)
+    start = m.copy()
+    start[1:] &= ~m[:-1]
+    last_start = np.maximum.accumulate(np.where(start, idx, np.int32(-1)))
+    keep = m
+    keep &= ((idx - last_start) & 1) == 0
+    sel = np.flatnonzero(keep)
+    if sel.size == 0:
         return a
-    # chains = maximal runs of consecutive match positions; keep ceil(L/2)
-    # per chain at even offsets from the chain start (greedy non-overlap)
-    bnd = np.flatnonzero(np.diff(p) > 1).astype(np.int32)
-    cs = np.empty(bnd.size + 1, dtype=np.int32)   # chain starts (idx into p)
-    cs[0] = 0
-    np.add(bnd, 1, out=cs[1:])
-    clen = np.empty(cs.size, dtype=np.int32)
-    np.subtract(cs[1:], cs[:-1], out=clen[:-1])
-    clen[-1] = p.size - cs[-1]
-    kept = (clen + 1) >> 1
-    tot = int(kept.sum())
-    off = np.zeros(cs.size, dtype=np.int32)
-    np.cumsum(kept[:-1], out=off[1:])
-    sel = np.repeat(p[cs], kept)                  # chain start position ...
-    j = np.arange(tot, dtype=np.int32)
-    j -= np.repeat(off, kept)
-    j <<= 1
-    sel += j                                      # ... + 2*(rank in chain)
-    a[sel] = (z[sel] - 1).astype(np.uint8)
+    a[sel] = z[sel] - 1
     alive = np.ones(n, dtype=bool)
     alive[sel + 1] = False
     return a[np.flatnonzero(alive)]
 
 
 def _with_sentinels(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Interleave SENT after each string: [s0.., SENT, s1.., SENT, ...]."""
+    """Interleave SENT after each string: [s0.., SENT, s1.., SENT, ...].
+
+    Index arithmetic in int32 (segment sizes are bounded by SEG_BYTES,
+    far below 2^31) — halves the repeat/arange memory traffic."""
     n = lens.shape[0]
     total = codes.shape[0] + n
     a = np.full(total, SENT, dtype=np.uint8)
-    sid = np.repeat(np.arange(n, dtype=np.int64), lens)
-    a[np.arange(codes.shape[0], dtype=np.int64) + sid] = codes
+    sid = np.repeat(np.arange(n, dtype=np.int32), lens)
+    a[np.arange(codes.shape[0], dtype=np.int32) + sid] = codes
     return a
 
 
@@ -200,7 +205,7 @@ def train(values) -> SymbolTable | None:
             x, y = pair_key >> 8, pair_key & 0xFF
             expansions.append(expansions[x] + expansions[y])
         round_luts.append(lut)
-        a = _sub_pass(a, lut)
+        a = _sub_pass(a, lut.astype(np.uint8).ravel())
         vocab += order.shape[0]
     if not round_luts:
         return None
@@ -208,22 +213,24 @@ def train(values) -> SymbolTable | None:
 
 
 #: segment target for the encode passes. Each segment's temporaries are
-#: ~12x this size; 128 KiB keeps a worker's hot set near its private L2,
-#: which is what preserves throughput when 32 workers share the memory
-#: bus (measured: unsegmented pages drop from ~19 MB/s/core alone to
-#: ~2.5 MB/s/core under 32-way concurrency).
-SEG_BYTES = 1 << 17
+#: ~12x this size. Re-measured after the uint8-LUT/parity-scan kernel cut
+#: per-byte temporaries (2026-08-18, 32-way multiprocessing on the same
+#: corpus): 256 KiB aggregate 328 MB/s vs 240 MB/s at the round-1 128 KiB
+#: and 322 MB/s at 512 KiB — the leaner kernel's hot set now fits the
+#: shared L3 slice at 256 KiB, and fewer segments means less per-segment
+#: Python dispatch.
+SEG_BYTES = 1 << 18
 
 
 def _encode_segment(data: np.ndarray, lens: np.ndarray,
                     table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
     """Encode a group of whole strings; returns (out uint8, enc_lens u32)."""
     n = lens.shape[0]
-    mapped = table.base_lut[data]         # int16; -1 marks OOV
-    oov = mapped < 0
-    a = _with_sentinels(np.where(oov, np.int16(ESC), mapped).astype(np.uint8),
-                        lens)
-    for lut in table.round_luts:
+    base8, round_flat = table.enc_luts()
+    codes8 = base8[data]                  # uint8; ESC marks OOV (ESC is
+    oov = codes8 == ESC                   # never a legal base code)
+    a = _with_sentinels(codes8, lens)
+    for lut in round_flat:
         a = _sub_pass(a, lut)
     # merges never consume ESC or SENT, so the surviving ESC positions map
     # 1:1, in order, onto the OOV bytes of the original data
