@@ -292,6 +292,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition(_read(spark, sf_dir, "documents"))
+
+
+def q_text_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_ngram_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_stats(_read(spark, sf_dir, "documents"))
 
@@ -369,6 +377,16 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_read(spark, sf_dir, "embeddings"),
                                [0, 1, 2, 3, 4], k=10, planes=6)
+
+
+def q_ann_lsh_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable LSH companion: probing all 2^planes buckets makes
+    the candidate set the whole corpus, so the LSH pipeline (bucket
+    kernel + probe join + rank) must reproduce exact brute-force top-k —
+    the same DuckDB SQL as ann_brute_topk is the full oracle."""
+    return similarity.lsh_topk(_read(spark, sf_dir, "embeddings"),
+                               [0, 1, 2, 3, 4], k=10, planes=6,
+                               all_probes=True)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_top2gram": q_text_top2gram,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -545,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                 # rows-only (LSH)
+        "ann_lsh_full_probe": q_ann_lsh_full_probe,     # full oracle
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (IVF)
         "ann_ivf_full_probe": q_ann_ivf_full_probe,     # full oracle
         # training-data pipeline: embedding quantization
@@ -592,6 +613,29 @@ def _simhash_md5_oracle() -> str:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY 1, 2"""
+
+
+#: exact cosine top-k oracle — shared by ann_brute_topk and the LSH
+#: full-probe companion (all buckets probed == brute force by definition)
+_BRUTE_TOPK_SQL = """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM n WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), s AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid,
+             list_inner_product(q.v, n.v) / (q.nrm * n.nrm) AS c,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.v, n.v)
+                        / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+      FROM q JOIN n ON n.vec_id <> q.vec_id
+    )
+    SELECT qid, rank, nid, round(c, 6) AS cosine
+    FROM s WHERE rank <= 10 ORDER BY qid, rank"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -814,6 +858,47 @@ def oracle_sql() -> dict[str, str]:
                    min(h) AS min_shingle_h, max(h) AS max_shingle_h
             FROM t JOIN sh ON t.doc_id = sh.doc_id
             GROUP BY t.doc_id, t.text""",
+        "text_repetition": """
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), c AS (
+              SELECT doc_id, line, count(*) AS c, strlen(line) AS len
+              FROM l GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   count(*) AS n_distinct_lines,
+                   round(1.0 - count(*) / CAST(sum(c) AS BIGINT),
+                         6) AS dup_line_frac,
+                   round(CAST(coalesce(sum(CASE WHEN c > 1
+                                            THEN c * len END), 0) AS BIGINT)
+                         / greatest(CAST(sum(c * len) AS BIGINT), 1),
+                         6) AS dup_line_char_frac
+            FROM c GROUP BY doc_id""",
+        "text_top2gram": """
+            WITH w AS (
+              SELECT doc_id, n_chars,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> array_to_string(ws[i:i+1], ' '))) AS gram
+              FROM w WHERE len(ws) >= 2
+            ), c AS (
+              SELECT doc_id, n_chars, gram, count(*) AS c
+              FROM g GROUP BY doc_id, n_chars, gram
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY c DESC, gram ASC) AS rn
+              FROM c
+            )
+            SELECT doc_id, gram AS top_gram, c AS top_count,
+                   round(c * strlen(gram)
+                         / greatest(n_chars, 1), 6) AS top_gram_char_frac
+            FROM r WHERE rn = 1""",
         "dedup_exact_survivors": """
             SELECT doc_id, source FROM documents
             WHERE doc_id IN (
@@ -941,25 +1026,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, scope, round(c, 6) AS cosine
             FROM p WHERE round(c, 6) >= 0.35 ORDER BY id_a, id_b""",
-        "ann_brute_topk": """
-            WITH n AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[]))) AS nrm
-              FROM embeddings
-            ), q AS (
-              SELECT * FROM n WHERE vec_id IN (0, 1, 2, 3, 4)
-            ), s AS (
-              SELECT q.vec_id AS qid, n.vec_id AS nid,
-                     list_inner_product(q.v, n.v) / (q.nrm * n.nrm) AS c,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_inner_product(q.v, n.v)
-                                / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
-              FROM q JOIN n ON n.vec_id <> q.vec_id
-            )
-            SELECT qid, rank, nid, round(c, 6) AS cosine
-            FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "ann_brute_topk": _BRUTE_TOPK_SQL,
+        # all-buckets probe == whole-corpus candidates == exact brute force
+        "ann_lsh_full_probe": _BRUTE_TOPK_SQL,
         "ann_ivf_full_probe": """
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -13,6 +13,9 @@ n_chars)):
 - :func:`lang_id` — marker-word n-gram language-ID heuristic
 - :func:`fingerprint` — md5 full-document + min/max-shingle-hash
   (winnowing-style) fingerprints
+- :func:`repetition` — Gopher-style duplicate-line fraction signals
+- :func:`top_ngram_stats` — most-frequent word n-gram + char coverage
+- :func:`pack_sequences` — streaming-fill sequence packing for batches
 
 At 100 TB these are narrow, shuffle-free map-side projections — the only
 wide operation a caller might add is a groupBy on the outputs.
@@ -256,3 +259,65 @@ def pack_sequences(df: DataFrame, length_col: str, budget: int,
     start = F.sum(length_col).over(w) - F.col(length_col)
     return df.withColumn(
         "pack_id", F.floor(start / F.lit(budget)).cast("long"))
+
+
+def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction (by count) and the fraction of line characters that sit in
+    duplicated lines. High values flag boilerplate/template documents a
+    training pipeline should downweight or drop.
+
+    Lines are literal '\\n' splits; empty lines count (a doc of blank
+    lines IS repetitive under this contract). Spark shape: explode lines
+    -> groupBy (doc_id, line) with map-side combine -> per-doc agg. Both
+    aggregations carry doc_id in the key, so the shuffle is linear and
+    skew-free at 100 TB regardless of how repetitive any one corpus
+    slice is."""
+    lines = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    per = (lines.groupBy("doc_id", "line")
+           .agg(F.count("*").alias("c"))
+           .select("doc_id", "c", F.length("line").alias("len")))
+    dup_chars = F.coalesce(
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("len"))), F.lit(0))
+    tot_chars = F.greatest(F.sum(F.col("c") * F.col("len")), F.lit(1))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_lines"),
+                 F.count("*").alias("n_distinct_lines"),
+                 F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 6)
+                  .alias("dup_line_frac"),
+                 F.round(dup_chars / tot_chars, 6)
+                  .alias("dup_line_char_frac")))
+
+
+def top_ngram_stats(df: DataFrame, n: int = 2,
+                    text_col: str = "text",
+                    nchars_col: str = "n_chars") -> DataFrame:
+    """Most-frequent word ``n``-gram per document plus the fraction of
+    document characters it covers (count * gram length / n_chars) — the
+    Gopher top-n-gram repetition filter signal.
+
+    Words are non-empty whitespace tokens; docs with fewer than ``n``
+    words emit no row; ties break to the lexicographically smallest
+    gram (deterministic). Spark shape: explode n-grams -> count per
+    (doc_id, gram) -> per-doc top-1 via min over a (-count, gram)
+    struct — two linear aggregations keyed on doc_id, no window over
+    raw rows, skew-free at 100 TB."""
+    words = F.filter(_ws_tokens(text_col), lambda x: x != F.lit(""))
+    grams = df.select(
+        "doc_id", F.col(nchars_col).alias("__nc"),
+        F.explode(F.when(
+            F.size(words) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        ).otherwise(F.array().cast("array<string>"))).alias("gram"))
+    cnt = (grams.groupBy("doc_id", "__nc", "gram")
+           .agg(F.count("*").alias("c")))
+    s = F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g"))
+    return (cnt.groupBy("doc_id", "__nc").agg(F.min(s).alias("s"))
+            .select("doc_id",
+                    F.col("s.g").alias("top_gram"),
+                    (-F.col("s.nc")).alias("top_count"),
+                    F.round((-F.col("s.nc")) * F.length("s.g")
+                            / F.greatest(F.col("__nc"), F.lit(1)), 6)
+                     .alias("top_gram_char_frac")))

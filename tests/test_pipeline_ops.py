@@ -506,3 +506,80 @@ def test_pack_sequences_brute_force(spark):
     for (g, k), tot in packs.items():
         if (g, k + 1) in packs:
             assert tot >= 1  # non-empty; fill property implied by floor
+
+
+# ---------------------------------------------------------------------------
+# repetition / top-ngram (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+def test_repetition_brute_force(spark):
+    texts = {
+        1: "a\nb\na\nc\na",            # 'a' x3 duplicated
+        2: "x\ny\nz",                  # all unique
+        3: "\n\n\n",                   # 4 empty lines, all dup
+        4: "hello world",              # single line
+        5: "long line here\nlong line here\nshort",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition(df).collect()}
+    for did, t in texts.items():
+        lines = t.split("\n")
+        from collections import Counter
+        c = Counter(lines)
+        n, nd = len(lines), len(c)
+        dup_chars = sum(k * len(l) for l, k in c.items() if k > 1)
+        tot = max(sum(len(l) for l in lines), 1)
+        r = got[did]
+        assert r["n_lines"] == n and r["n_distinct_lines"] == nd
+        assert r["dup_line_frac"] == round(1.0 - nd / n, 6)
+        assert r["dup_line_char_frac"] == round(dup_chars / tot, 6)
+
+
+def test_top_ngram_brute_force(spark):
+    texts = {
+        1: ("ab cd ab cd ab", 14),     # 'ab cd' x2, 'cd ab' x2 -> tie,
+                                       # lexicographically smallest wins
+        2: ("one two three", 13),      # all 2-grams unique
+        3: ("solo", 4),                # < n words -> no row
+        4: ("  pad   pad  pad ", 17),  # whitespace runs collapse
+    }
+    df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in texts.items()],
+        "doc_id long, text string, n_chars int")
+    got = {r["doc_id"]: r for r in textops.top_ngram_stats(df, n=2).collect()}
+    assert 3 not in got
+    from collections import Counter
+    for did, (t, nc) in texts.items():
+        words = t.strip().split()
+        if len(words) < 2:
+            continue
+        grams = Counter(" ".join(words[i:i + 2])
+                        for i in range(len(words) - 1))
+        best = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[did]
+        assert r["top_gram"] == best[0] and r["top_count"] == best[1]
+        assert r["top_gram_char_frac"] == round(
+            best[1] * len(best[0]) / max(nc, 1), 6)
+
+
+def test_top_ngram_3gram(spark, docs):
+    out = textops.top_ngram_stats(docs.limit(30), n=3).collect()
+    src = {r["doc_id"]: (r["text"], r["n_chars"])
+           for r in docs.limit(30).collect()}
+    from collections import Counter
+    for r in out:
+        t, nc = src[r["doc_id"]]
+        words = t.strip().split()
+        grams = Counter(" ".join(words[i:i + 3])
+                        for i in range(len(words) - 2))
+        best = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_gram"], r["top_count"]) == best
+
+
+def test_lsh_full_probe_equals_brute(spark, emb):
+    qs = [0, 1, 2]
+    brute = similarity.brute_topk(emb, qs, k=5).collect()
+    full = similarity.lsh_topk(emb, qs, k=5, planes=4,
+                               all_probes=True).collect()
+    assert [tuple(r) for r in brute] == [tuple(r) for r in full]
