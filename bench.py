@@ -7,6 +7,7 @@ Runs the engine's headline pipelines on ``local[$SPARK_GRAFT_CPUS]``
     {"metric": "bench_total_wall", "value": <sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": <sf>,
      "encode_gbps": <content GB/s of the north-rule encode>,
+     "decode_gbps": <content GB/s of decode alone, cached pages>,
      "content_bytes": <bytes encoded in the headline query>}
 
 Inputs:
@@ -198,6 +199,30 @@ def q_roundtrip_repofiles(spark: SparkSession) -> None:
         pages.unpersist()
 
 
+_DECODE: dict | None = None
+
+
+def q_decode_repofiles(spark: SparkSession) -> None:
+    """Decode throughput of the north-rule content column. Pages are
+    pre-encoded and cached (untimed, mirroring pages already on disk);
+    the timed leg is ``decode_table`` + one narrow byte-sum reduction,
+    so ``decode_gbps`` in the JSON reads the decode kernels (FSST/dict/
+    RLE/FOR expansion), not the verify join of ``roundtrip_repofiles``."""
+    global _DECODE
+    import time as _time
+    df = _repofiles_df(spark)
+    pages = encode_table(df, _repo_cfg(table_name="repofiles_dec")).cache()
+    try:
+        pages.count()
+        t0 = _time.monotonic()
+        n = (decode_table(pages, columns=["content"])
+             .agg(F.sum(F.octet_length("content"))).collect()[0][0])
+        wall = round(_time.monotonic() - t0, 3)
+        _DECODE = {"decode_s": wall, "decoded_bytes": int(n)}
+    finally:
+        pages.unpersist()
+
+
 def q_stats_select(spark: SparkSession) -> None:
     """Sampling pass + codec decision stats (E8/S6) over the north-rule table."""
     df = _repofiles_df(spark).sample(0.1, seed=42)
@@ -280,6 +305,7 @@ QUERIES = {
     "encode_repofiles_plain": q_encode_repofiles_plain,
     "encode_repofiles_noshuffle": q_encode_repofiles_noshuffle,
     "roundtrip_repofiles": q_roundtrip_repofiles,
+    "decode_repofiles": q_decode_repofiles,
     "stats_select": q_stats_select,
     "encode_documents": q_encode_documents,
     "encode_lineitem": q_encode_lineitem,
@@ -560,6 +586,7 @@ def main() -> None:
     expected = {
         "encode_repofiles": 3.5, "encode_repofiles_plain": 1.6,
         "encode_repofiles_noshuffle": 2.0, "roundtrip_repofiles": 9.0,
+        "decode_repofiles": 10.0,
         "stats_select": 0.8, "encode_documents": 0.8,
         "encode_lineitem": 2.0, "join_agg": 0.8, "dedup_minhash": 19.0,
         "text_pipeline": 15.0, "pushdown": 11.0, "ann_topk": 5.0,
@@ -606,6 +633,10 @@ def main() -> None:
         "encode_gbps": gbps, "content_bytes": int(content_bytes),
         "cpus": CPUS, "repofiles_rows": REPO_ROWS,
     }
+    if _DECODE is not None and _DECODE["decode_s"] > 0:
+        out["decode_gbps"] = round(
+            _DECODE["decoded_bytes"] / _DECODE["decode_s"] / 1e9, 4)
+        out["decode_s"] = _DECODE["decode_s"]
     if busy_at:
         out["host_busy_at_query_start"] = busy_at
     if flare_reruns:

@@ -259,19 +259,33 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
              planes: int = 6, seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", all_probes: bool = False) -> DataFrame:
     """ANN top-k: rank only candidates that share (or are one bit-flip
-    away from) the query's LSH bucket."""
+    away from) the query's LSH bucket.
+
+    ``all_probes=True`` probes every one of the 2^planes buckets, which
+    makes the candidate set the whole corpus and the result EXACTLY the
+    brute-force top-k — the oracle-checkable degenerate case (driver
+    query ``ann_lsh_full_probe``), same role as IVF's full-probe
+    companion. Scoring arithmetic is identical either way, so the
+    full-probe hash match certifies the bucketed path's scoring too."""
     base = _norm_df(emb, id_col, vec_col)
     buckets = bucket_ids(emb, planes, seed, id_col, vec_col)
     corpus = base.join(buckets, "id")
     qb = buckets.filter(F.col("id").isin(query_ids))
-    # multi-probe: the query's bucket plus every single-bit flip
-    probes = qb.select(
-        F.col("id").alias("qid"),
-        F.explode(F.array(*([F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
-        ]))).alias("bucket"))
+    if all_probes:
+        probes = qb.select(
+            F.col("id").alias("qid"),
+            F.explode(F.sequence(
+                F.lit(0), F.lit((1 << planes) - 1))).alias("bucket"))
+    else:
+        # multi-probe: the query's bucket plus every single-bit flip
+        probes = qb.select(
+            F.col("id").alias("qid"),
+            F.explode(F.array(*([F.col("bucket")] + [
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(planes)
+            ]))).alias("bucket"))
     q = base.filter(F.col("id").isin(query_ids)) \
             .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
                     F.col("nrm").alias("qnrm"))
