@@ -211,11 +211,13 @@ def q_decode_repofiles(spark: SparkSession) -> None:
     global _DECODE
     import time as _time
     df = _repofiles_df(spark)
-    pages = encode_table(df, _repo_cfg(table_name="repofiles_dec")).cache()
+    pages = encode_table(df, _repo_cfg(table_name="repofiles_dec"))
+    cols = [ct for ct in pages._cps_columns if ct[0] == "content"]
+    pages = pages.filter(F.col("column") == "content").cache()
     try:
         pages.count()
         t0 = _time.monotonic()
-        n = (decode_table(pages, columns=["content"])
+        n = (decode_table(pages, columns=cols)
              .agg(F.sum(F.octet_length("content"))).collect()[0][0])
         wall = round(_time.monotonic() - t0, 3)
         _DECODE = {"decode_s": wall, "decoded_bytes": int(n)}
