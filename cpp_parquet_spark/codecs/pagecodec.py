@@ -235,7 +235,7 @@ def raw_size(vals, tag: str, n_present: int) -> int:
 
 
 def encode_page(values, tag: str, codec: str, fsst_table=None,
-                block: str | None = None) -> dict:
+                block: str | None = None, crc: bool = False) -> dict:
     """Encode one page; returns the pages-table row fields (sans ids).
 
     ``values`` may be a pa.Array (canonical, zero-copy path), pd.Series,
@@ -247,6 +247,13 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
     shrinks the page; the ``blk`` params key tells decode to unwrap.
     Off by default: the engine's identity is lightweight codecs, and the
     ≤-reference size bar is met without it (BASELINE.md).
+
+    ``crc``: optional page-integrity checksum over the final framed blob
+    (after block compression, matching parquet.thrift:807-824's "crc of
+    the data within the page" semantics for its optional PageHeader.crc).
+    Stored as params ``crc``; decode verifies it when present and raises
+    ``PageCorruptError`` on mismatch. Off by default (costs one crc32
+    pass per page).
     """
     arr = to_arrow(values, tag)
     n = len(arr)
@@ -275,6 +282,8 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
             params = {**params, "blk": "zlib"}
     elif block not in (None, "zlib"):
         raise ValueError(f"unsupported block codec {block}")
+    if crc:
+        params = {**params, "crc": zlib.crc32(data)}
     return {
         "codec": codec,
         "type": tag,
@@ -334,10 +343,20 @@ def page_minmax(arr: pa.Array, tag: str) -> tuple[str | None, str | None]:
     return repr(mn), repr(mx)
 
 
+class PageCorruptError(ValueError):
+    """A page blob failed its stored CRC — bytes were altered at rest."""
+
+
 def decode_page(data: bytes, params_json: str, codec: str, tag: str,
                 num_values: int, null_count: int) -> pa.Array:
     """Decode one page back to an Arrow array (nulls restored)."""
-    if '"blk"' in params_json:     # cheap probe before the JSON parse
+    if '"crc"' in params_json:     # cheap probe before the JSON parse
+        want = json.loads(params_json).get("crc")
+        if want is not None and zlib.crc32(data) != want:
+            raise PageCorruptError(
+                f"page crc mismatch: stored {want}, "
+                f"computed {zlib.crc32(data)} over {len(data)} bytes")
+    if '"blk"' in params_json:
         p = json.loads(params_json)
         if p.get("blk") == "zlib":
             data = zlib.decompress(data)

@@ -105,6 +105,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     page_bytes, rows_max = cfg.page_bytes, cfg.page_rows_max
     table_name = cfg.table_name
     block = cfg.block_codec
+    page_crc = cfg.page_crc
 
     prof_dir = os.environ.get("CPS_KERNEL_PROF")
 
@@ -172,7 +173,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                             codec, ftab = dec
                         t_enc = time.monotonic()
                         row = pagecodec.encode_page(piece, tag, codec, ftab,
-                                                    block)
+                                                    block, crc=page_crc)
                         prof["encode_s"] += time.monotonic() - t_enc
                         prof["pages"] += 1
                         prof["bytes"] += row["raw_bytes"]

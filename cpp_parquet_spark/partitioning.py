@@ -33,6 +33,8 @@ class EncodeConfig:
     codec_overrides: dict = field(default_factory=dict)  # col -> codec
     block_codec: str | None = None           # E9 outer page compression
     #                                          ("zlib" | None); default off
+    page_crc: bool = False                   # optional page checksum
+    #                                          (parquet PageHeader.crc analogue)
     table_name: str = "t"
     # range clustering (zone-map-friendly layout): when set, parts hold
     # CONTIGUOUS ranges of ``range_on`` instead of hash-random key sets,

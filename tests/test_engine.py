@@ -193,3 +193,42 @@ def test_no_shuffle_roundtrip_bit_identical(spark, sf_dir):
         assert nparts == df.rdd.getNumPartitions()
     finally:
         pages.unpersist()
+
+
+def test_page_crc_end_to_end(spark, sf_dir):
+    """cfg.page_crc through the full pipeline: every page carries a crc,
+    clean decode round-trips, and a corrupted blob fails loudly instead
+    of returning silently wrong rows."""
+    import json
+    from dataclasses import replace
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = replace(TABLES["documents"], page_crc=True)
+    pages = encode_table(df, cfg).cache()
+    try:
+        params = [r["params"] for r in
+                  pages.filter(F.col("col_idx") >= 0)
+                       .select("params").collect()]
+        assert params and all("crc" in json.loads(p) for p in params)
+        dec = decode_table(pages)
+        assert verify_roundtrip(df, dec, "text")["mismatched_hashes"] == 0
+        # flip one byte inside every text page blob -> decode must raise
+        import pyarrow as pa
+        from cpp_parquet_spark.engine import PAGES_SCHEMA
+
+        def corrupt(batches):
+            for b in batches:
+                d = b.to_pydict()
+                d["data"] = [
+                    (bytes(x[:7]) + bytes([x[7] ^ 0x5A]) + bytes(x[8:]))
+                    if c == "text" and x and len(x) > 8 else x
+                    for c, x in zip(d["column"], d["data"])]
+                yield pa.RecordBatch.from_pydict(d, schema=b.schema)
+
+        bad = pages.mapInArrow(corrupt, PAGES_SCHEMA)
+        import pytest as _pt
+        with _pt.raises(Exception) as ei:
+            decode_table(bad, columns=pages._cps_columns).count()
+        assert "PageCorruptError" in str(ei.value) \
+            or "crc mismatch" in str(ei.value)
+    finally:
+        pages.unpersist()

@@ -120,3 +120,42 @@ def test_block_zlib_only_kept_when_smaller():
     blob = pd.Series([rng.bytes(4096)])
     row2 = pc.encode_page(blob, "bin", "plain", block="zlib")
     assert "blk" not in json.loads(row2["params"])
+
+
+@pytest.mark.parametrize("tag,codec,s", CASES,
+                         ids=[f"crc-{t}-{c}" for t, c, _ in CASES])
+def test_page_crc_roundtrip_and_corruption(tag, codec, s):
+    """Optional page CRC (parquet PageHeader.crc analogue): clean pages
+    verify + round-trip; any flipped byte raises PageCorruptError."""
+    s = s.reset_index(drop=True)
+    row = pc.encode_page(s, tag, codec, crc=True)
+    import json
+    assert isinstance(json.loads(row["params"])["crc"], int)
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    expect = pa.Array.from_pandas(s)
+    if tag == "ts":
+        expect = expect.cast(pa.timestamp("us"))
+    elif tag == "str":
+        expect = expect.cast(pa.large_string())
+    assert arr.cast(expect.type).equals(expect)
+    if len(row["data"]) == 0:
+        return
+    bad = bytearray(row["data"])
+    bad[len(bad) // 2] ^= 0x5A
+    with pytest.raises(pc.PageCorruptError):
+        pc.decode_page(bytes(bad), row["params"], row["codec"],
+                       row["type"], row["num_values"], row["null_count"])
+
+
+def test_page_crc_composes_with_block_zlib():
+    s = pd.Series(["aaaa bbbb cccc " * 40] * 200)
+    row = pc.encode_page(s, "str", "plain", block="zlib", crc=True)
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert arr.cast(pa.large_string()).to_pylist() == s.tolist()
+    bad = bytearray(row["data"])
+    bad[0] ^= 0xFF
+    with pytest.raises(pc.PageCorruptError):
+        pc.decode_page(bytes(bad), row["params"], row["codec"],
+                       row["type"], row["num_values"], row["null_count"])
