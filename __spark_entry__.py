@@ -31,6 +31,13 @@ LINEITEM_CFG = EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
                             num_parts=8,
                             order_keys=("l_orderkey", "l_linenumber"),
                             table_name="lineitem")
+# front-coding roundtrip: p_name sorted within parts + prefix forced, so
+# the DELTA_BYTE_ARRAY-analogue codec is pinned by a full bit-identity
+# oracle (cpp_parquet_spark/codecs/prefix.py)
+PART_PREFIX_CFG = EncodeConfig(keys=("p_brand",), salt_from=("p_partkey",),
+                               num_parts=4, order_keys=("p_name",),
+                               codec_overrides={"p_name": "prefix"},
+                               table_name="part")
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -521,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events_ts": _roundtrip_hist("events", EVENTS_CFG, "ts"),
         "roundtrip_lineitem_qty": _roundtrip_hist("lineitem", LINEITEM_CFG,
                                                   "l_quantity"),
+        "roundtrip_part_prefix": _roundtrip_hist("part", PART_PREFIX_CFG,
+                                                 "p_name"),
         # stats / selection (E8, S6)
         "stats_cardinality": q_stats_cardinality,
         "stats_run_lengths": q_stats_run_lengths,
@@ -653,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(CAST(epoch_us(ts) AS VARCHAR)) AS h,"
             " count(*) AS cnt FROM events GROUP BY 1",
         "roundtrip_lineitem_qty": rt("lineitem", "l_quantity", "VARCHAR"),
+        "roundtrip_part_prefix": rt("part", "p_name"),
         "stats_cardinality": """
             SELECT count(DISTINCT doc_id) AS nd_doc_id,
                    count(DISTINCT text) AS nd_text,

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from . import bitpack, dfloat, dictionary, fsst, levels, plain, rle
+from . import bitpack, dfloat, dictionary, fsst, levels, plain, prefix, rle
 from . import for_ as forc
 
 INT_TAGS = {"i64", "i32", "ts", "tsn"}
@@ -37,7 +37,7 @@ LEGAL = {
     **{t: ("plain", "for", "delta", "rle", "dict", "bitpack") for t in INT_TAGS},
     **{t: ("plain", "dict", "dfloat") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
-    **{t: ("plain", "dict", "fsst") for t in STR_TAGS},
+    **{t: ("plain", "dict", "fsst", "prefix") for t in STR_TAGS},
     **{t: ("listf",) for t in ARR_TAGS},
 }
 
@@ -150,6 +150,10 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
         if tag not in STR_TAGS:
             raise ValueError("fsst is string-only")
         return fsst.encode(vals, fsst_table)
+    if codec == "prefix":
+        if tag not in STR_TAGS:
+            raise ValueError("prefix is string-only")
+        return prefix.encode(vals)
     if tag == "bool":
         if codec == "rle":
             data, p = rle.encode(np.asarray(vals, dtype=np.uint64), bit_width=1)
@@ -197,6 +201,8 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
         return dictionary.decode(data, params, k, tag)
     if codec == "fsst":
         return fsst.decode(data, params, k, tag)
+    if codec == "prefix":
+        return prefix.decode(data, params, k, tag)
     if tag == "bool" and codec == "rle":
         return rle.decode(data, {"bw": 1}, k).astype(bool)
     if tag in INT_TAGS:

@@ -110,3 +110,66 @@ def test_dict_indices_are_rle_compressed():
     vals = ["a"] * 10000 + ["b"] * 10000
     d, _ = dictionary.encode(vals, "str")
     assert len(d) < 50  # two dict entries + two repeated runs
+
+
+# ---------------------------------------------------------------------------
+# prefix (front coding / DELTA_BYTE_ARRAY analogue)
+# ---------------------------------------------------------------------------
+
+def test_prefix_roundtrip_sorted_paths():
+    import pyarrow as pa
+    from cpp_parquet_spark.codecs import prefix
+    paths = sorted(f"src/org{i % 7}/mod{i % 41}/File{i}.java"
+                   for i in range(3000))
+    arr = pa.array(paths, pa.large_string())
+    body, params = prefix.encode(arr)
+    assert prefix.decode(body, params, len(arr)).equals(arr)
+    # sorted paths must shrink vs raw
+    assert len(body) < sum(len(p) for p in paths)
+
+
+@pytest.mark.parametrize("vals", [
+    [], [""], ["", "", ""], ["a"] * 100, ["abc"],
+    ["zz", "aa", "mm"] * 50,                     # unsorted still correct
+    ["x" * 500, "x" * 500 + "y", "x" * 499],     # prefix > CAP clamps
+    ["café/a", "café/b", "naïve"],  # multibyte utf-8
+])
+def test_prefix_roundtrip_edges(vals):
+    import pyarrow as pa
+    from cpp_parquet_spark.codecs import prefix
+    arr = pa.array(vals, pa.large_string())
+    body, params = prefix.encode(arr)
+    assert prefix.decode(body, params, len(arr)).equals(arr)
+
+
+def test_prefix_binary_tag():
+    import pyarrow as pa
+    from cpp_parquet_spark.codecs import prefix
+    arr = pa.array([b"\xff\x00ab", b"\xff\x00ac", b"zz"], pa.large_binary())
+    body, params = prefix.encode(arr)
+    assert prefix.decode(body, params, 3, "bin").equals(arr)
+
+
+def test_prefix_page_roundtrip_with_nulls():
+    import pandas as pd
+    from cpp_parquet_spark.codecs import pagecodec as pc
+    s = pd.Series(["a/b/c1", None, "a/b/c2", "a/b/c3", None, "a/x"])
+    row = pc.encode_page(s, "str", "prefix")
+    out = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert out.to_pylist() == s.where(s.notna(), None).tolist()
+
+
+def test_prefix_selected_for_sorted_keys():
+    """Selection picks prefix when front coding beats dict/FSST: long
+    shared prefixes + full-alphabet random tails (raw digest bytes give
+    FSST nothing to symbolize, unlike hex tails where FSST's 16-char
+    digrams legitimately win the size comparison)."""
+    import pyarrow as pa
+    import hashlib
+    from cpp_parquet_spark.select import choose_string_codec
+    keys = sorted(b"tenant/0042/shard/0007/key/"
+                  + hashlib.sha256(str(i).encode()).digest()
+                  for i in range(4000))
+    codec, tab = choose_string_codec(pa.array(keys, pa.large_binary()))
+    assert codec == "prefix" and tab is None

@@ -115,7 +115,10 @@ def test_codec_selection_signals(spark, sf_dir):
     for r in rows:
         chosen.setdefault(r["column"], set()).add(r["codec"])
     assert chosen["lang"] == {"dict"}
-    assert chosen["source"] == {"dict"}
+    # dict on every sizeable chunk; a ~100-value chunk can legitimately
+    # measure front coding a few bytes smaller ("src1*" values share
+    # 4-byte prefixes), so prefix is admitted, never required
+    assert {"dict"} <= chosen["source"] <= {"dict", "prefix"}
     assert chosen["text"] == {"fsst"}
     assert chosen["n_chars"] <= {"for", "rle", "dict", "bitpack"}
 
