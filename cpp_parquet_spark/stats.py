@@ -44,6 +44,7 @@ STATS_SCHEMA = T.StructType([
     T.StructField("max_v", T.DoubleType()),
     T.StructField("delta_bits", T.DoubleType()),   # bit width of diff span
     T.StructField("dec_scale", T.DoubleType()),    # 10^e decimal scale, 0=no
+    T.StructField("prefix_frac", T.DoubleType()),  # shared-prefix byte frac
 ])
 
 _STATS_ARROW = pa.schema([
@@ -53,6 +54,7 @@ _STATS_ARROW = pa.schema([
     ("mean_run", pa.float64()), ("byte_entropy", pa.float64()),
     ("min_v", pa.float64()), ("max_v", pa.float64()),
     ("delta_bits", pa.float64()), ("dec_scale", pa.float64()),
+    ("prefix_frac", pa.float64()),
 ])
 
 
@@ -62,7 +64,7 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
     work = arr.drop_null() if nulls else arr
     out = {"n_values": n, "n_nulls": nulls, "ndv": 0, "mean_run": 1.0,
            "byte_entropy": 0.0, "min_v": 0.0, "max_v": 0.0, "total_bytes": 0,
-           "delta_bits": 64.0, "dec_scale": 0.0}
+           "delta_bits": 64.0, "dec_scale": 0.0, "prefix_frac": 0.0}
     if len(work) == 0:
         return out
     if tag in pagecodec.ARR_TAGS:
@@ -92,6 +94,17 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
         out["mean_run"] = float(codes.shape[0] / runs)
         lens = np.diff(offs)
         out["min_v"], out["max_v"] = float(lens.min()), float(lens.max())
+        # shared-prefix byte fraction with the previous value: the sample
+        # rides cluster_by_part's (part, order_keys) sort, so a column
+        # sorted for encode is sorted here too and adjacency transfers
+        # (understated — sampled neighbours sit farther apart). Reuses the
+        # codec's own kernel, so cap/restart behavior matches exactly.
+        if data.shape[0]:
+            from .codecs.prefix import _common_prefixes
+            starts = np.zeros(lens.shape[0], dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            cp = _common_prefixes(data, starts, lens)
+            out["prefix_frac"] = float(cp.sum() / data.shape[0])
     else:
         if tag in ("ts", "tsn"):
             work = work.cast(pa.int64())
@@ -159,7 +172,7 @@ def column_stats(df: DataFrame, cfg: EncodeConfig, fraction: float = 0.05,
             rows["type"].append(tag)
             for k in ("n_values", "n_nulls", "total_bytes", "ndv",
                       "mean_run", "byte_entropy", "min_v", "max_v",
-                      "delta_bits", "dec_scale"):
+                      "delta_bits", "dec_scale", "prefix_frac"):
                 rows[k].append(st[k])
         if rows["part_id"]:
             yield pa.RecordBatch.from_pydict(rows, schema=_STATS_ARROW)
@@ -194,6 +207,14 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
         .when(is_int & (span_bits <= 20), "for")
         .when(is_int, "for")
         .when(is_str & (nd <= n / 2) & (nd <= 65536), "dict")
+        # front coding vs FSST by estimated ratio: prefix leaves
+        # (1 - prefix_frac) of the bytes; FSST's measured ratio on text
+        # tracks byte_entropy/8 closely (source code: entropy ~5 ->
+        # ratio ~0.62). The 0.3 floor keeps marginal wins at the
+        # page-level measured comparison instead of pinning the plan.
+        .when(is_str & (F.col("prefix_frac") >= 0.3)
+              & (1.0 - F.col("prefix_frac") < F.col("byte_entropy") / 8.0),
+              "prefix")
         .when(is_str & (F.col("byte_entropy") <= 6.2), "fsst")
         .when(F.col("type").isin("f64", "f32") & (F.col("dec_scale") > 0),
               "dfloat")

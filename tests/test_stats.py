@@ -84,3 +84,35 @@ def test_int_decisions_on_lineitem(spark, sf_dir):
     assert by_col["l_quantity"] <= {"for", "rle", "dict", "delta", "dfloat"}
     # sorted-within-part orderkey: FOR/delta-friendly narrow span
     assert "plain" not in by_col["l_orderkey"]
+
+
+def test_prefix_frac_and_plan(spark):
+    """Sorted high-card path column: the sampled prefix_frac is high and
+    the plan-level decision is 'prefix'; the unsorted copy of the same
+    values stays off the prefix rule."""
+    import pandas as pd
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    from cpp_parquet_spark.stats import column_stats, decide_codecs
+    import hashlib
+    tails = [hashlib.sha256(str(i).encode()).hexdigest()[:24]
+             for i in range(4000)]
+    paths = ["shared/deep/project/tree/" + t for t in tails]
+    # negative control: high-entropy tails only, no shared prefix, and
+    # hash-ordered so the row sort on `path` leaves them unordered
+    pdf = pd.DataFrame({"grp": ["g"] * 4000, "path": paths,
+                        "rnd": sorted(tails, key=lambda t: t[::-1])})
+    df = spark.createDataFrame(pdf)
+    cfg = EncodeConfig(keys=("grp",), salt_from=(), num_parts=1,
+                       order_keys=("path",), table_name="pp")
+    st = column_stats(df, cfg, fraction=1.0).cache()
+    try:
+        rows = {r["column"]: r for r in st.collect()}
+        assert rows["path"]["prefix_frac"] > 0.4
+        dec = {(r["part_id"], r["column"]): r["codec"]
+               for r in decide_codecs(st).collect()}
+        assert dec[(0, "path")] == "prefix"
+        # 'rnd' holds the same values unsorted: adjacency gone
+        assert rows["rnd"]["prefix_frac"] < 0.4
+        assert dec[(0, "rnd")] != "prefix"
+    finally:
+        st.unpersist()
