@@ -299,6 +299,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.redact(_read(spark, sf_dir, "documents"))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition(_read(spark, sf_dir, "documents"))
 
@@ -554,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
         "text_top2gram": q_text_top2gram,
         # training-data pipeline: dedup
@@ -868,6 +873,27 @@ def oracle_sql() -> dict[str, str]:
                    min(h) AS min_shingle_h, max(h) AS max_shingle_h
             FROM t JOIN sh ON t.doc_id = sh.doc_id
             GROUP BY t.doc_id, t.text""",
+        "text_redact": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '(?i)(api[_-]?key|secret|token|passwd|password)["'':= ]+[A-Za-z0-9/+_-]{12,}'))
+                     AS n_secret,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                     '(?i)(api[_-]?key|secret|token|passwd|password)["'':= ]+[A-Za-z0-9/+_-]{12,}',
+                     '<SECRET>', 'g') AS redacted
+            FROM documents""",
         "text_repetition": """
             WITH l AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line

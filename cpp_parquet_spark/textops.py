@@ -321,3 +321,32 @@ def top_ngram_stats(df: DataFrame, n: int = 2,
                     F.round((-F.col("s.nc")) * F.length("s.g")
                             / F.greatest(F.col("__nc"), F.lit(1)), 6)
                      .alias("top_gram_char_frac")))
+
+
+#: PII / secret patterns, kept to the Java-regex ∩ RE2 common subset so
+#: the DuckDB oracle replays them byte-identically (no lookaround, no
+#: backrefs). Order matters and is part of the contract: emails first
+#: (an email contains no '<' so later passes never touch the token),
+#: then IPv4, then keyed secrets.
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("secret",
+     r"(?i)(api[_-]?key|secret|token|passwd|password)"
+     r"[\"':= ]+[A-Za-z0-9/+_-]{12,}", "<SECRET>"),
+)
+
+
+def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/secret scrubbing for training corpora: per-category match
+    counts plus the redacted text. Pure regexp codegen — no UDF, no
+    shuffle; at 100 TB this is a map-side projection like the other
+    text ops. Counts are taken BEFORE any replacement so categories
+    report on the original text."""
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+              for name, pat, _ in REDACT_PATTERNS]
+    red = t
+    for _, pat, token in REDACT_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select("doc_id", *counts, red.alias("redacted"))

@@ -583,3 +583,17 @@ def test_lsh_full_probe_equals_brute(spark, emb):
     full = similarity.lsh_topk(emb, qs, k=5, planes=4,
                                all_probes=True).collect()
     assert [tuple(r) for r in brute] == [tuple(r) for r in full]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 10.0.0.1, "
+             "api_key: AbCd1234EfGh5678"),
+         (2, "PASSWORD = 'hunter2hunter2' token=xyz"),   # short token kept
+         (3, "no pii here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textops.redact(df).collect()}
+    assert rows[1]["n_email"] == rows[1]["n_ipv4"] == rows[1]["n_secret"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> or <IP>, <SECRET>"
+    assert rows[2]["n_secret"] == 1 and "hunter2" not in rows[2]["redacted"]
+    assert rows[3]["redacted"] == "no pii here"
