@@ -279,6 +279,17 @@ def q_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window); the oracle recomputes
+    sessions with a lag-gap running sum, so a hash match proves Spark's
+    merge semantics equal the textbook definition."""
+    from cpp_parquet_spark.streaming import sessionize
+    df = _read(spark, sf_dir, "events")
+    return (sessionize(df, "30 minutes")
+            .withColumn("sum_value", F.round("sum_value", 4))
+            .orderBy("user_id", "session_start_us"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -545,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_customer": q_join_orders_customer,
         "events_window": q_events_window,
         "events_time_window": q_events_time_window,
+        "events_sessionize": q_events_sessionize,
         # non-SQL-expressible: encoded-pages shape (rows-only check)
         "pages_summary_documents": _pages_summary("documents", DOCS_CFG),
         "pages_summary_lineitem": _pages_summary("lineitem", LINEITEM_CFG),
@@ -735,6 +747,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS win_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch_us(ts)
+                               - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start_us""",
         # pages_summary_* intentionally omitted: encoded-page layout is not
         # SQL-expressible; driver records rows-only checks for them. Their
         # source-derivable half IS oracled via the conservation companions:

@@ -107,6 +107,33 @@ def window_agg(df: DataFrame, window: str = "1 hour",
                     key_col, "n_events", "sum_value"))
 
 
+def sessionize(df: DataFrame, gap: str = "30 minutes",
+               ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
+    """Gap-based sessionization (shared batch/stream expression): merge a
+    key's events into sessions separated by more than ``gap`` of event
+    time, via Spark's ``session_window`` — in batch an ordinary groupBy,
+    under a watermarked stream the MERGING stateful session aggregate.
+    Session end follows Spark's contract: last event time + gap.
+
+    Scale shape: one shuffle on the session key; state (streaming) is
+    bounded by the watermark horizon per key. The DuckDB oracle
+    (`events_sessionize`) reproduces it exactly with a lag-gap running
+    sum — pinning that session_window's merge semantics equal the
+    textbook definition."""
+    return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                       F.col(key_col))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(key_col,
+                    # events.ts is timestamp_ntz; session runs in UTC so
+                    # the cast is the identity instant (see pagecodec tsn)
+                    F.unix_micros(F.col("w.start").cast("timestamp"))
+                     .alias("session_start_us"),
+                    F.unix_micros(F.col("w.end").cast("timestamp"))
+                     .alias("session_end_us"),
+                    "n_events", "sum_value"))
+
+
 def windowed_event_counts(spark: SparkSession, src_dir: str, schema,
                           dst: str, window: str = "1 hour",
                           watermark: str = "2 hours",

@@ -210,3 +210,27 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
     bmap = {(r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
             for r in batch.collect()}
     assert bmap[(0, "click")] == got1[(0, "click")]
+
+
+def test_sessionize_batch_semantics(spark):
+    """Gap merge, session end = last event + gap, per-key isolation."""
+    import datetime as dt
+    from cpp_parquet_spark.streaming import sessionize
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1.0), (1, t0 + 10 * m, 2.0),       # one session (gap 10m)
+        (1, t0 + 50 * m, 4.0),                     # 40m gap -> new session
+        (2, t0 + 5 * m, 8.0),                      # other key, own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = {(r["user_id"], r["session_start_us"]): r
+           for r in sessionize(df, "30 minutes").collect()}
+    us = lambda d: int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    gap = 30 * 60 * 1_000_000
+    s1 = out[(1, us(t0))]
+    assert s1["n_events"] == 2 and s1["sum_value"] == 3.0
+    assert s1["session_end_us"] == us(t0 + 10 * m) + gap
+    s2 = out[(1, us(t0 + 50 * m))]
+    assert s2["n_events"] == 1 and s2["session_end_us"] == us(t0 + 50 * m) + gap
+    assert out[(2, us(t0 + 5 * m))]["n_events"] == 1
