@@ -270,9 +270,18 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         params = tbl.column("params").to_pylist()
         codecs = tbl.column("codec").to_pylist()
         types_ = tbl.column("type").to_pylist()
-        datas = tbl.column("data").to_pylist()
         nvals = tbl.column("num_values").to_pylist()
         nnull = tbl.column("null_count").to_pylist()
+        # zero-copy page blobs: numpy views over the Arrow data buffer
+        # instead of to_pylist's per-blob bytes copies (~the whole
+        # compressed dataset re-copied once per decode); every consumer
+        # (np.frombuffer, zlib.crc32/decompress) takes the buffer protocol
+        dcol = tbl.column("data").combine_chunks()
+        doffs = np.frombuffer(dcol.buffers()[1], np.int32,
+                              count=len(dcol) + 1, offset=dcol.offset * 4)
+        dvals = np.frombuffer(dcol.buffers()[2], np.uint8,
+                              count=int(doffs[-1]))
+        datas = [dvals[doffs[i]:doffs[i + 1]] for i in range(len(dcol))]
         arrays = {}
         for i in range(len(colnames)):
             if colnames[i] == META_COL:

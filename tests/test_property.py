@@ -44,7 +44,7 @@ def test_int64_roundtrip_all_codecs(codec, xs):
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.one_of(texty, st.just(""), st.just("x" * 5000)),
                 max_size=200))
-@pytest.mark.parametrize("codec", ["plain", "dict", "fsst"])
+@pytest.mark.parametrize("codec", ["plain", "dict", "fsst", "prefix"])
 def test_string_roundtrip_all_codecs(codec, xs):
     arr = pa.array(xs, pa.large_string())
     if codec == "fsst":
@@ -52,6 +52,15 @@ def test_string_roundtrip_all_codecs(codec, xs):
         if fsst.train(arr) is None:
             return  # untrainable page: selection would never pick fsst
     _roundtrip(arr, "str", codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(texty, st.just(""), st.none()), max_size=200))
+def test_prefix_sorted_with_nulls_roundtrip(xs):
+    """prefix in its element: sorted values (long shared runs) + nulls."""
+    arr = pa.array(sorted([x for x in xs if x is not None])
+                   + [None] * sum(x is None for x in xs), pa.large_string())
+    _roundtrip(arr, "str", "prefix")
 
 
 @settings(max_examples=40, deadline=None)
