@@ -516,7 +516,9 @@ def run_encode(spark: SparkSession, df: DataFrame, dst: str,
                .filter(F.col("run_id") == run_id).drop("data", "run_id"))
     manifest = manifest_from_pages(written, run_id, cfg)
     manifest.write.mode("append").parquet(manifest_dir)
-    mrows = spark.read.parquet(manifest_dir)
+    # totals over LIVE rows only, so compaction-superseded parts don't
+    # double-count
+    mrows = live_manifest(_read_manifest(spark, dst))
     summary = (mrows.agg(F.count("*").alias("parts"),
                          F.sum("num_rows").alias("rows"),
                          F.sum("raw_bytes").alias("raw_bytes"),
@@ -539,12 +541,123 @@ def _read_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
     return df
 
 
+def _read_manifest(spark: SparkSession, dst: str) -> DataFrame:
+    """Manifest reader. mergeSchema because compaction rows add the
+    optional ``replaces`` column (absent = plain encode row)."""
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(dst, "manifest")))
+
+
+def live_manifest(manifest: DataFrame) -> DataFrame:
+    """Drop manifest rows superseded by compaction: any (part_id, run_id)
+    named in some row's ``replaces`` list is dead. The tombstones travel
+    INSIDE the compaction run's own manifest rows, so supersede + commit
+    are one parquet append — no window where both or neither copy of the
+    data is visible."""
+    if "replaces" not in manifest.columns:
+        return manifest
+    tomb = (manifest.filter(F.col("replaces").isNotNull())
+            .select(F.explode("replaces").alias("t"))
+            .select(F.col("t.part_id").alias("part_id"),
+                    F.col("t.run_id").alias("run_id")).distinct())
+    return manifest.join(F.broadcast(tomb), ["part_id", "run_id"],
+                         "left_anti")
+
+
 def read_committed_pages(spark: SparkSession, dst: str) -> DataFrame:
-    """Pages joined against the manifest — orphans from crashed runs drop out."""
+    """Pages joined against the LIVE manifest — orphans from crashed runs
+    and compaction-superseded parts both drop out."""
     pages = _read_pages(spark, os.path.join(dst, "pages"))
-    manifest = spark.read.parquet(os.path.join(dst, "manifest"))
-    committed = manifest.select("part_id", "run_id")
+    committed = live_manifest(_read_manifest(spark, dst)) \
+        .select("part_id", "run_id")
     return pages.join(F.broadcast(committed), ["part_id", "run_id"], "left_semi")
+
+
+#: compacted parts get ids above this base so they never collide with
+#: with_part_id's hash range (bounded by effective_parts(cfg))
+COMPACT_PART_BASE = 1 << 24
+
+
+def compact_parts(spark: SparkSession, dst: str,
+                  min_bytes: int = 8 << 20, target_bytes: int = 64 << 20,
+                  run_id: str | None = None) -> dict:
+    """Small-part compaction for a durable dataset (the lakehouse
+    small-files maintenance op): live parts under ``min_bytes`` of
+    encoded data are merged into ~``target_bytes`` bins.
+
+    Pages are SELF-CONTAINED (codec params + zone maps per page), so
+    compaction never decodes: it rewrites part_id to the bin id and
+    renumbers page_id per (bin, column) ordered by (source part, page) —
+    every column of a source part keeps the same relative position, so
+    per-part row alignment is preserved and ``decode_table`` on a bin
+    concatenates sources in a consistent order. One narrow shuffle sized
+    by the moved bytes; the plan is metadata-only on the driver (one
+    manifest row per part).
+
+    Commit protocol: new pages land under pages/run_id=<id>/ (invisible
+    until a manifest row points at them), then ONE manifest append adds
+    the bin rows WITH their ``replaces`` tombstones — crash before the
+    append leaves harmless orphan pages (existing invariant), never a
+    duplicate or a hole."""
+    from pyspark.sql.window import Window
+    run_id = run_id or uuid.uuid4().hex[:12]
+    live = live_manifest(_read_manifest(spark, dst))
+    rows = live.select("table", "part_id", "run_id", "enc_bytes",
+                       "num_parts").collect()
+    small = sorted((r for r in rows if r["enc_bytes"] < min_bytes),
+                   key=lambda r: (r["table"], r["part_id"]))
+    out = {"run_id": run_id, "bins": 0, "parts_compacted": 0,
+           "bytes_moved": 0}
+    if len(small) < 2:
+        return out
+    bins: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for r in small:                       # deterministic first-fit
+        if cur and (cur_bytes + r["enc_bytes"] > target_bytes
+                    or cur[0]["table"] != r["table"]):
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(r)
+        cur_bytes += r["enc_bytes"]
+    bins.append(cur)
+    bins = [b for b in bins if len(b) >= 2]   # singleton move = no-op
+    if not bins:
+        return out
+    base = COMPACT_PART_BASE + max(
+        (r["part_id"] - COMPACT_PART_BASE + 1 for r in rows
+         if r["part_id"] >= COMPACT_PART_BASE), default=0)
+    mapping = [(r["part_id"], r["run_id"], base + i)
+               for i, b in enumerate(bins) for r in b]
+    map_df = spark.createDataFrame(
+        mapping, "part_id int, run_id string, new_part int")
+    pages_dir = os.path.join(dst, "pages")
+    src = _read_pages(spark, pages_dir).join(F.broadcast(map_df),
+                                             ["part_id", "run_id"])
+    w = Window.partitionBy("new_part", "column") \
+              .orderBy("part_id", "page_id")
+    moved = (src.withColumn("page_id", F.row_number().over(w) - 1)
+             .withColumn("part_id", F.col("new_part"))
+             .drop("new_part", "run_id")
+             .withColumn("run_id", F.lit(run_id)))
+    moved.write.mode("append").partitionBy("run_id").parquet(pages_dir)
+    written = (_read_pages(spark, pages_dir)
+               .filter(F.col("run_id") == run_id).drop("data", "run_id"))
+    nparts = rows[0]["num_parts"] if rows else 0
+    cfg = EncodeConfig(keys=(), salt_from=(), num_parts=int(nparts or 0))
+    mani = manifest_from_pages(written, run_id, cfg)
+    from collections import defaultdict
+    by_bin: dict[int, list] = defaultdict(list)
+    for p, rid, np_ in mapping:
+        by_bin[np_].append({"part_id": p, "run_id": rid})
+    repl_df = spark.createDataFrame(
+        [(k, v) for k, v in by_bin.items()],
+        "part_id int, replaces array<struct<part_id:int,run_id:string>>")
+    mani = mani.join(F.broadcast(repl_df), "part_id", "left")
+    mani.write.mode("append").parquet(os.path.join(dst, "manifest"))
+    out.update(bins=len(bins), parts_compacted=len(mapping),
+               bytes_moved=int(sum(r["enc_bytes"] for b in bins for r in b)))
+    return out
 
 
 def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,

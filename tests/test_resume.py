@@ -162,3 +162,40 @@ def test_reconcile_manifests_setops(spark, repofiles, tmp_path):
     assert div.count() > 0
     assert {r["side"] for r in div.select("side").distinct().collect()} \
         == {"a", "b"}
+
+
+def test_compact_parts_end_to_end(spark, sf_dir, tmp_path):
+    """Small-part compaction: page-move (no re-encode) merge, atomic
+    manifest+tombstone commit, decode equality, resume still no-op."""
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (
+        COMPACT_PART_BASE, _read_manifest, compact_parts, decode_dataset,
+        live_manifest, read_committed_pages, run_encode, verify_roundtrip)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "ds")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=8,
+                       order_keys=("doc_id",), table_name="documents")
+    run_encode(spark, df, dst, cfg)
+    pre_live = live_manifest(_read_manifest(spark, dst))
+    pre_parts = pre_live.count()
+    assert pre_parts >= 2
+    res = compact_parts(spark, dst, min_bytes=1 << 30, target_bytes=1 << 30)
+    assert res["bins"] >= 1 and res["parts_compacted"] == pre_parts
+    live = live_manifest(_read_manifest(spark, dst))
+    assert live.count() == res["bins"]
+    assert live.filter(F.col("part_id") < COMPACT_PART_BASE).count() == 0
+    # decoded content identical to source after the move
+    dec = decode_dataset(spark, dst)
+    assert dec.count() == df.count()
+    assert verify_roundtrip(df, dec, "text")["mismatched_hashes"] == 0
+    # resume on the same input: superseded part ids still gate the
+    # anti-join, so nothing re-encodes and committed pages are unchanged
+    before = read_committed_pages(spark, dst).count()
+    out2 = run_encode(spark, df, dst, cfg)
+    assert read_committed_pages(spark, dst).count() == before
+    assert out2["rows"] == df.count()       # live totals, no double count
+    # second compaction: single live bin -> no-op
+    res2 = compact_parts(spark, dst, min_bytes=1 << 30)
+    assert res2["bins"] == 0
