@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="run the sampling stats pass and drive codec "
                          "selection from its per-(part, column) decisions")
     ap.add_argument("--stats-fraction", type=float, default=0.05)
+    ap.add_argument("--compact", action="store_true",
+                    help="after encode, merge live parts smaller than "
+                         "--compact-min-bytes into ~--compact-target-bytes "
+                         "bins (page move, no re-encode; atomic manifest "
+                         "commit). The natural companion to streaming "
+                         "ingest, which accretes small per-batch parts.")
+    ap.add_argument("--compact-min-bytes", type=int, default=8 << 20)
+    ap.add_argument("--compact-target-bytes", type=int, default=64 << 20)
     args = ap.parse_args(argv)
 
     # imports deferred so --help works without a JVM
@@ -105,6 +113,12 @@ def main(argv: list[str] | None = None) -> None:
     summary["encode_wall_s"] = round(time.monotonic() - t0, 2)
     if plan is not None:
         summary["stats_pass_decisions"] = len(plan)
+
+    if args.compact:
+        from cpp_parquet_spark.engine import compact_parts
+        summary["compaction"] = compact_parts(
+            spark, args.dst, min_bytes=args.compact_min_bytes,
+            target_bytes=args.compact_target_bytes)
 
     if args.decode_verify:
         decoded = decode_dataset(spark, args.dst)
