@@ -721,6 +721,19 @@ def decode_dataset(spark: SparkSession, dst: str,
     return decode_table(pages, spark)
 
 
+def register_sql(spark: SparkSession, dst: str,
+                 view: str | None = None) -> str:
+    """SQL front door: register a durable dataset as a temp view so
+    plain ``spark.sql("SELECT ... FROM <view>")`` runs against encoded
+    pages (decode happens lazily inside the view's plan; Catalyst prunes
+    and pushes around it as usual). The view name defaults to the
+    manifest's table name. Returns the view name."""
+    m = live_manifest(_read_manifest(spark, dst))
+    name = view or m.select("table").first()["table"]
+    decode_dataset(spark, dst).createOrReplaceTempView(name)
+    return name
+
+
 def reconcile_manifests(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cross-attempt set-op audit (SURVEY.md §2.3): manifest rows on which
     two encode attempts DISAGREE, over the deterministic fields only

@@ -234,3 +234,32 @@ def test_sessionize_batch_semantics(spark):
     s2 = out[(1, us(t0 + 50 * m))]
     assert s2["n_events"] == 1 and s2["session_end_us"] == us(t0 + 50 * m) + gap
     assert out[(2, us(t0 + 5 * m))]["n_events"] == 1
+
+
+def test_stream_then_compact_and_sql(spark, tmp_path):
+    """Streaming accretes small per-batch parts; compaction merges them
+    without changing the decoded relation, and the SQL front door reads
+    the dataset either way."""
+    from cpp_parquet_spark.engine import (
+        _read_manifest, compact_parts, live_manifest, register_sql)
+    src = str(tmp_path / "in2")
+    dst = str(tmp_path / "enc2")
+    _drop_files(src, [("a", 100), ("b", 101)], 200)
+    schema = ("repo string, path string, commit string, "
+              "lang string, content string")
+    q = stream_encode(spark, src, schema, dst, CFG)
+    q.awaitTermination(120)
+    _drop_files(src, [("c", 102)], 200)
+    q2 = stream_encode(spark, src, schema, dst, CFG)
+    q2.awaitTermination(120)
+
+    pre = live_manifest(_read_manifest(spark, dst)).count()
+    res = compact_parts(spark, dst, min_bytes=1 << 30, target_bytes=1 << 30)
+    assert res["parts_compacted"] == pre and res["bins"] >= 1
+    view = register_sql(spark, dst, "enc_stream")
+    got = spark.sql(
+        f"SELECT count(*) AS n, count(DISTINCT sha2(cast(content as binary), 256)) AS d "
+        f"FROM {view}").collect()[0]
+    assert got["n"] == 3 * 200
+    src_df = spark.read.parquet(f"{src}/*.parquet")
+    assert got["d"] == src_df.select("content").distinct().count()
