@@ -28,14 +28,14 @@ sys.path.insert(0, REPO)
 
 def fmt_pair(title: str, p: dict) -> str:
     return f"""
-### {title}: local[{p['n_cpus']}] vs local[{p['n4_cpus']}] — {p['rows']:,} rows, {p['content_bytes']:,} content bytes
+### {title}: local[{p['n_cpus']}] vs local[{p['n4_cpus']}] — {p['content_bytes']:,} content bytes
 
-| parallelism | encode wall (s) | content GB/s | per-run walls (s) |
-|---|---|---|---|
-| local[{p['n_cpus']}]  (N)  | {p['t_n']:.2f} | {p['gbps_n']:.4f} | {', '.join(map(str, p['walls_n']))} |
-| local[{p['n4_cpus']}] (4N) | {p['t_n4']:.2f} | {p['gbps_n4']:.4f} | {', '.join(map(str, p['walls_n4']))} |
+| parallelism | encode wall (s) | content GB/s | per-run walls (s) | membw at start (GB/s) |
+|---|---|---|---|---|
+| local[{p['n_cpus']}]  (N)  | {p['t_n']:.2f} | {p['gbps_n']:.4f} | {', '.join(map(str, p['walls_n']))} | {', '.join(map(str, p['membw_n']))} |
+| local[{p['n4_cpus']}] (4N) | {p['t_n4']:.2f} | {p['gbps_n4']:.4f} | {', '.join(map(str, p['walls_n4']))} | {', '.join(map(str, p['membw_n4']))} |
 
-**Scaling efficiency (T_N / T_4N) / ({p['n4_cpus']}/{p['n_cpus']}) = {p['efficiency']:.2f}** (target >= 0.8).
+**Scaling efficiency (T_N / T_4N) / ({p['n4_cpus']}/{p['n_cpus']}) = {p['efficiency']:.2f}** (target >= 0.8); plain-codec legs {p['plain']['efficiency']:.2f}.
 """
 
 
