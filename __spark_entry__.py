@@ -482,6 +482,23 @@ def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("nd_orders"))
 
 
+def q_decode_pushdown_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter equality pruning (engine.eq_prune / decode_where_eq,
+    parquet BloomFilter analogue): point lookup on a hash-distributed id
+    column where zone maps never prune. The oracle filters the SOURCE
+    table, so a hash match proves the bloom admitted the right part and
+    the decode reproduced the row bit-identically."""
+    from dataclasses import replace
+    from cpp_parquet_spark.engine import decode_where_eq
+    df = _read(spark, sf_dir, "documents")
+    cfg = replace(DOCS_CFG, bloom_cols=("doc_id",))
+    pages = encode_table(df, cfg)
+    return (decode_where_eq(pages, "doc_id", 42)
+            .select("doc_id", "lang", "source", "n_chars",
+                    F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+            .orderBy("doc_id"))
+
+
 def q_decode_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered layout + zone-map pushdown: documents are
     range-partitioned on doc_id (quantile-planned deterministic bounds,
@@ -603,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
+        "decode_pushdown_eq": q_decode_pushdown_eq,
         "decode_pushdown_range": q_decode_pushdown_range,
         "scan_column_agg": q_scan_column_agg,
         # training-data pipeline: sequence packing
@@ -1200,6 +1218,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 16000 END AS dim2,
                    m.mean AS body_mean
             FROM documents d JOIN m ON d.doc_id = m.doc_id""",
+        "decode_pushdown_eq": """
+            SELECT doc_id, lang, source, n_chars,
+                   sha256(text) AS text_sha
+            FROM documents WHERE doc_id = 42 ORDER BY doc_id""",
         "decode_pushdown_lineitem": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

@@ -93,6 +93,29 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
     return [int(c) for c in cuts]
 
 
+#: bloom probes per value (standard double hashing off one 64-bit hash)
+_BLOOM_K = 4
+
+
+def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
+    """Deterministic 64-bit value hashes for bloom build/probe — pandas'
+    keyed SipHash (hash_array), identical across runs, platforms, and the
+    driver-side probe, with no per-row Python (cython object loop)."""
+    import pandas as pd
+    work = arr.drop_null() if arr.null_count else arr
+    if len(work) == 0:
+        return None
+    if tag in pagecodec.INT_TAGS:
+        if tag in ("ts", "tsn"):
+            work = work.cast(pa.int64())
+        return pd.util.hash_array(
+            work.to_numpy(zero_copy_only=False).astype(np.int64))
+    if tag in pagecodec.STR_TAGS:
+        return pd.util.hash_array(
+            work.to_numpy(zero_copy_only=False).astype(object))
+    return None   # floats/arrays: equality pruning is not meaningful
+
+
 def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                        plan: dict[tuple[int, str], str] | None = None):
     """Returns a mapInArrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch].
@@ -106,6 +129,8 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     table_name = cfg.table_name
     block = cfg.block_codec
     page_crc = cfg.page_crc
+    bloom_cols = set(cfg.bloom_cols)
+    bloom_bits = cfg.bloom_bits
 
     prof_dir = os.environ.get("CPS_KERNEL_PROF")
 
@@ -121,6 +146,9 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
         # column chunk instead of repeating per page (deterministic: parts
         # arrive whole and sorted, so the first page is stable across runs)
         decisions: dict[tuple[int, str], tuple[str, object]] = {}
+        # per-(part, column) bloom bit arrays + hashed-value counts
+        blooms: dict[tuple[int, str], np.ndarray] = {}
+        bloom_n: dict[tuple[int, str], int] = {}
 
         def flush():
             nonlocal out_rows
@@ -145,6 +173,21 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                 for ci, (col, tag) in enumerate(zip(cols, tags)):
                     arr = batch.column(col).slice(s, e - s)
                     arr = pagecodec.to_arrow(arr, tag)
+                    if col in bloom_cols:
+                        h = _bloom_hashes(arr, tag)
+                        if h is not None:
+                            key = (part, col)
+                            bb = blooms.get(key)
+                            if bb is None:
+                                bb = blooms[key] = np.zeros(bloom_bits,
+                                                            dtype=bool)
+                            h1 = h & np.uint64(0xFFFFFFFF)
+                            h2 = h >> np.uint64(32)
+                            for ki in range(_BLOOM_K):
+                                bb[((h1 + np.uint64(ki) * h2)
+                                    % np.uint64(bloom_bits))
+                                   .astype(np.int64)] = True
+                            bloom_n[key] = bloom_n.get(key, 0) + h.shape[0]
                     prev = 0
                     for cut in _page_cuts(arr, tag, page_bytes, rows_max):
                         piece = arr.slice(prev, cut - prev)
@@ -187,6 +230,20 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
             b = flush()
             if b is not None:
                 yield b
+        # bloom sidecar rows: col_idx=-2 keeps them out of every data-page
+        # consumer (manifest agg, zone scans, decode discovery all filter
+        # col_idx >= 0); decode_part skips them by codec
+        for (part, col), bb in blooms.items():
+            out_rows.append({
+                "table": table_name, "part_id": part, "column": col,
+                "col_idx": -2, "page_id": 0, "codec": "__bloom__",
+                "type": "meta",
+                "params": json.dumps({"m": bloom_bits, "k": _BLOOM_K}),
+                "data": np.packbits(bb, bitorder="little").tobytes(),
+                "num_values": bloom_n[(part, col)], "null_count": 0,
+                "raw_bytes": 0, "enc_bytes": bloom_bits // 8,
+                "min_v": None, "max_v": None,
+            })
         # one meta row per part seen by this task: wall time + row count
         for part, nrows in part_rows.items():
             wall = time.monotonic() - part_t0[part]
@@ -284,7 +341,7 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         datas = [dvals[doffs[i]:doffs[i + 1]] for i in range(len(dcol))]
         arrays = {}
         for i in range(len(colnames)):
-            if colnames[i] == META_COL:
+            if colnames[i] == META_COL or codecs[i] == "__bloom__":
                 continue
             arr = pagecodec.decode_page(datas[i], params[i], codecs[i],
                                         types_[i], int(nvals[i]), int(nnull[i]))
@@ -719,6 +776,60 @@ def decode_dataset(spark: SparkSession, dst: str,
         column, lo, hi = where
         return decode_where(pages, column, lo, hi, spark)
     return decode_table(pages, spark)
+
+
+def eq_prune(pages: DataFrame, column: str, value) -> DataFrame:
+    """Part ids whose bloom filter MAYBE contains ``value`` (metadata-only
+    distributed scan over the 16 KiB-per-part sidecar rows — never the
+    data blobs; at 100 TB the bloom rows are ~0.03% of the dataset and
+    live in their own tiny row group band after the partitioned write).
+    Requires the column in ``EncodeConfig.bloom_cols`` at encode time;
+    zone maps handle range predicates, blooms handle point lookups on
+    hash-distributed columns where min/max never prunes."""
+    tag = "str" if isinstance(value, (str, bytes)) else "i64"
+    probe = pa.array([value.decode() if isinstance(value, bytes) else value]) \
+        if tag == "str" else pa.array([int(value)], pa.int64())
+    h = int(_bloom_hashes(probe, tag)[0])
+    h1, h2 = h & 0xFFFFFFFF, h >> 32
+    rows = pages.filter((F.col("codec") == "__bloom__")
+                        & (F.col("column") == column)) \
+                .select("part_id", "params", "data")
+
+    out_schema = T.StructType([T.StructField("part_id", T.IntegerType())])
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            params = b.column("params").to_pylist()
+            m = int(json.loads(params[0])["m"])
+            nb = m // 8
+            dcol = b.column("data")
+            buf = np.concatenate([np.frombuffer(x.as_py(), np.uint8)
+                                  for x in dcol]).reshape(n, nb)
+            ok = np.ones(n, dtype=bool)
+            for ki in range(_BLOOM_K):
+                p = (h1 + ki * h2) % m
+                ok &= (buf[:, p // 8] >> (p % 8)) & 1 == 1
+            pids = b.column("part_id").to_numpy(zero_copy_only=False)[ok]
+            yield pa.RecordBatch.from_pydict(
+                {"part_id": pids.astype(np.int32)},
+                schema=pa.schema([("part_id", pa.int32())]))
+
+    return rows.mapInArrow(kernel, out_schema)
+
+
+def decode_where_eq(pages: DataFrame, column: str, value,
+                    spark: SparkSession | None = None) -> DataFrame:
+    """Point-lookup decode: bloom-prune parts, decode survivors, apply
+    the exact equality filter (blooms admit false positives, never false
+    negatives — correctness never depends on the filter)."""
+    cols_hint = getattr(pages, "_cps_columns", None)
+    kept = pages.join(F.broadcast(eq_prune(pages, column, value)),
+                      "part_id", "left_semi")
+    dec = decode_table(kept, spark, columns=cols_hint)
+    return dec.filter(F.col(column) == value)
 
 
 def register_sql(spark: SparkSession, dst: str,

@@ -35,6 +35,9 @@ class EncodeConfig:
     #                                          ("zlib" | None); default off
     page_crc: bool = False                   # optional page checksum
     #                                          (parquet PageHeader.crc analogue)
+    bloom_cols: tuple[str, ...] = ()         # per-part bloom filters for
+    bloom_bits: int = 1 << 17                # equality pruning (parquet
+    #                                          BloomFilter analogue); 16 KiB/part/col
     table_name: str = "t"
     # range clustering (zone-map-friendly layout): when set, parts hold
     # CONTIGUOUS ranges of ``range_on`` instead of hash-random key sets,

@@ -243,3 +243,41 @@ def test_decode_where_null_column_conservative(spark, parted):
         _assert_same(got, want, cols=("k", "v", "n"))
     finally:
         pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bloom filters (equality pruning — parquet BloomFilter analogue)
+# ---------------------------------------------------------------------------
+
+def test_bloom_eq_prune_and_decode(spark, sf_dir):
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (decode_where_eq, encode_table,
+                                          eq_prune)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=8,
+                       order_keys=("doc_id",),
+                       bloom_cols=("doc_id", "source"),
+                       table_name="documents")
+    pages = encode_table(df, cfg).cache()
+    try:
+        total_parts = pages.select("part_id").distinct().count()
+        # int point lookup: present value decodes exactly, absent prunes
+        want = [tuple(r) for r in
+                df.filter(F.col("doc_id") == 42).collect()]
+        got = [tuple(r) for r in
+               decode_where_eq(pages, "doc_id", 42).collect()]
+        assert sorted(got) == sorted(want) and len(got) == 1
+        assert decode_where_eq(pages, "doc_id", -99999).count() == 0
+        # absent key: bloom fp rate at 16 KiB / ~60 values per part is
+        # ~0, so pruning should drop essentially every part
+        assert eq_prune(pages, "doc_id", -99999).count() <= total_parts // 2
+        # string point lookup on the partition key: most parts pruned
+        src = df.select("source").first()["source"]
+        cand = eq_prune(pages, "source", src).count()
+        assert 1 <= cand < total_parts
+        got_s = decode_where_eq(pages, "source", src).count()
+        assert got_s == df.filter(F.col("source") == src).count()
+    finally:
+        pages.unpersist()
