@@ -786,11 +786,22 @@ def eq_prune(pages: DataFrame, column: str, value) -> DataFrame:
     Requires the column in ``EncodeConfig.bloom_cols`` at encode time;
     zone maps handle range predicates, blooms handle point lookups on
     hash-distributed columns where min/max never prunes."""
-    tag = "str" if isinstance(value, (str, bytes)) else "i64"
-    probe = pa.array([value.decode() if isinstance(value, bytes) else value]) \
-        if tag == "str" else pa.array([int(value)], pa.int64())
-    h = int(_bloom_hashes(probe, tag)[0])
-    h1, h2 = h & 0xFFFFFFFF, h >> 32
+    return in_prune(pages, column, [value])
+
+
+def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
+    """IN-list variant: part ids whose bloom maybe-contains ANY of the
+    probe values — all probes checked in ONE metadata scan (a batched
+    point-lookup is one pass regardless of list size)."""
+    tag = "str" if isinstance(values[0], (str, bytes)) else "i64"
+    if tag == "str":
+        probe = pa.array([v.decode() if isinstance(v, bytes) else v
+                          for v in values])
+    else:
+        probe = pa.array([int(v) for v in values], pa.int64())
+    hs = _bloom_hashes(probe, tag)
+    h1s = [int(h) & 0xFFFFFFFF for h in hs]
+    h2s = [int(h) >> 32 for h in hs]
     rows = pages.filter((F.col("codec") == "__bloom__")
                         & (F.col("column") == column)) \
                 .select("part_id", "params", "data")
@@ -808,16 +819,30 @@ def eq_prune(pages: DataFrame, column: str, value) -> DataFrame:
             dcol = b.column("data")
             buf = np.concatenate([np.frombuffer(x.as_py(), np.uint8)
                                   for x in dcol]).reshape(n, nb)
-            ok = np.ones(n, dtype=bool)
-            for ki in range(_BLOOM_K):
-                p = (h1 + ki * h2) % m
-                ok &= (buf[:, p // 8] >> (p % 8)) & 1 == 1
-            pids = b.column("part_id").to_numpy(zero_copy_only=False)[ok]
+            any_ok = np.zeros(n, dtype=bool)
+            for h1, h2 in zip(h1s, h2s):
+                ok = np.ones(n, dtype=bool)
+                for ki in range(_BLOOM_K):
+                    p = (h1 + ki * h2) % m
+                    ok &= (buf[:, p // 8] >> (p % 8)) & 1 == 1
+                any_ok |= ok
+            pids = b.column("part_id").to_numpy(zero_copy_only=False)[any_ok]
             yield pa.RecordBatch.from_pydict(
                 {"part_id": pids.astype(np.int32)},
                 schema=pa.schema([("part_id", pa.int32())]))
 
     return rows.mapInArrow(kernel, out_schema)
+
+
+def decode_where_in(pages: DataFrame, column: str, values: list,
+                    spark: SparkSession | None = None) -> DataFrame:
+    """Batched point-lookup decode: one bloom scan for the whole IN list,
+    decode the surviving parts once, exact residual filter."""
+    cols_hint = getattr(pages, "_cps_columns", None)
+    kept = pages.join(F.broadcast(in_prune(pages, column, values)),
+                      "part_id", "left_semi")
+    dec = decode_table(kept, spark, columns=cols_hint)
+    return dec.filter(F.col(column).isin(values))
 
 
 def decode_where_eq(pages: DataFrame, column: str, value,

@@ -281,3 +281,26 @@ def test_bloom_eq_prune_and_decode(spark, sf_dir):
         assert got_s == df.filter(F.col("source") == src).count()
     finally:
         pages.unpersist()
+
+
+def test_bloom_in_list_prune(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (decode_where_in, encode_table,
+                                          in_prune)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=8,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="documents")
+    pages = encode_table(df, cfg).cache()
+    try:
+        ids = [7, 42, 99, -5]                 # -5 absent
+        want = sorted(tuple(r) for r in
+                      df.filter(F.col("doc_id").isin(ids)).collect())
+        got = sorted(tuple(r) for r in
+                     decode_where_in(pages, "doc_id", ids).collect())
+        assert got == want and len(got) == 3
+        total = pages.select("part_id").distinct().count()
+        assert in_prune(pages, "doc_id", [-5]).count() <= total // 2
+    finally:
+        pages.unpersist()
