@@ -837,10 +837,21 @@ def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
 def decode_where_in(pages: DataFrame, column: str, values: list,
                     spark: SparkSession | None = None) -> DataFrame:
     """Batched point-lookup decode: one bloom scan for the whole IN list,
-    decode the surviving parts once, exact residual filter."""
+    decode the surviving parts once, exact residual filter.
+
+    Falls back to a full decode when the column carries no bloom rows
+    (not in ``bloom_cols`` at encode time) — an absent index must mean
+    "scan", never "empty result"."""
     cols_hint = getattr(pages, "_cps_columns", None)
-    kept = pages.join(F.broadcast(in_prune(pages, column, values)),
-                      "part_id", "left_semi")
+    if not values:
+        return decode_table(pages.limit(0), spark, columns=cols_hint)
+    has_bloom = bool(pages.filter((F.col("codec") == "__bloom__")
+                                  & (F.col("column") == column))
+                     .limit(1).take(1))
+    kept = pages
+    if has_bloom:
+        kept = pages.join(F.broadcast(in_prune(pages, column, values)),
+                          "part_id", "left_semi")
     dec = decode_table(kept, spark, columns=cols_hint)
     return dec.filter(F.col(column).isin(values))
 
@@ -849,12 +860,9 @@ def decode_where_eq(pages: DataFrame, column: str, value,
                     spark: SparkSession | None = None) -> DataFrame:
     """Point-lookup decode: bloom-prune parts, decode survivors, apply
     the exact equality filter (blooms admit false positives, never false
-    negatives — correctness never depends on the filter)."""
-    cols_hint = getattr(pages, "_cps_columns", None)
-    kept = pages.join(F.broadcast(eq_prune(pages, column, value)),
-                      "part_id", "left_semi")
-    dec = decode_table(kept, spark, columns=cols_hint)
-    return dec.filter(F.col(column) == value)
+    negatives — correctness never depends on the filter; a column with
+    no bloom rows falls back to a full decode)."""
+    return decode_where_in(pages, column, [value], spark)
 
 
 def register_sql(spark: SparkSession, dst: str,

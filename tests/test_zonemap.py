@@ -304,3 +304,17 @@ def test_bloom_in_list_prune(spark, sf_dir):
         assert in_prune(pages, "doc_id", [-5]).count() <= total // 2
     finally:
         pages.unpersist()
+
+
+def test_bloom_fallback_without_index(spark, sf_dir):
+    """A column NOT in bloom_cols must fall back to a full decode —
+    an absent index means scan, never an empty result."""
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import decode_where_eq, encode_table
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), table_name="documents")
+    pages = encode_table(df, cfg)
+    got = decode_where_eq(pages, "doc_id", 42).count()
+    assert got == df.filter(F.col("doc_id") == 42).count() == 1
