@@ -843,6 +843,14 @@ def decode_where_in(pages: DataFrame, column: str, values: list,
     (not in ``bloom_cols`` at encode time) — an absent index must mean
     "scan", never "empty result"."""
     cols_hint = getattr(pages, "_cps_columns", None)
+    if cols_hint is None:
+        # discover the layout from the FULL pages BEFORE pruning — with
+        # an empty prune result (absent key) discovery on the survivor
+        # set would yield a zero-column schema and an unresolvable filter
+        meta = (pages.filter(F.col("col_idx") >= 0)
+                .select("column", "col_idx", "type")
+                .distinct().orderBy("col_idx").collect())
+        cols_hint = [(r["column"], r["type"]) for r in meta]
     if not values:
         return decode_table(pages.limit(0), spark, columns=cols_hint)
     has_bloom = bool(pages.filter((F.col("codec") == "__bloom__")

@@ -318,3 +318,25 @@ def test_bloom_fallback_without_index(spark, sf_dir):
     pages = encode_table(df, cfg)
     got = decode_where_eq(pages, "doc_id", 42).count()
     assert got == df.filter(F.col("doc_id") == 42).count() == 1
+
+
+def test_bloom_survives_compaction(spark, sf_dir, tmp_path):
+    """Compaction moves bloom sidecar rows with their pages; a bin then
+    carries one bloom row per source part and a point lookup still
+    admits the bin iff ANY source bloom matches."""
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (compact_parts, decode_where_eq,
+                                          read_committed_pages, run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "ds_bloom")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=8,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="documents")
+    run_encode(spark, df, dst, cfg)
+    assert compact_parts(spark, dst, min_bytes=1 << 30)["bins"] >= 1
+    pages = read_committed_pages(spark, dst)
+    got = [tuple(r) for r in decode_where_eq(pages, "doc_id", 42).collect()]
+    want = [tuple(r) for r in df.filter(F.col("doc_id") == 42).collect()]
+    assert sorted(got) == sorted(want) and len(got) == 1
+    assert decode_where_eq(pages, "doc_id", -77777).count() == 0
