@@ -429,6 +429,14 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
     each prunes independently and the surviving-part sets intersect
     (AND semantics), then every residual filter applies post-decode."""
     cols_hint = columns or getattr(pages, "_cps_columns", None)
+    if cols_hint is None:
+        # discover the layout from the FULL pages: a predicate that
+        # prunes every part would otherwise leave discovery a
+        # zero-column schema and the residual filter unresolvable
+        meta = (pages.filter(F.col("col_idx") >= 0)
+                .select("column", "col_idx", "type")
+                .distinct().orderBy("col_idx").collect())
+        cols_hint = [(r["column"], r["type"]) for r in meta]
     preds = [(column, lo, hi)] + list(more or [])
     parts = None
     for col, plo, phi in preds:

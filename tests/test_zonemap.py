@@ -340,3 +340,22 @@ def test_bloom_survives_compaction(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in df.filter(F.col("doc_id") == 42).collect()]
     assert sorted(got) == sorted(want) and len(got) == 1
     assert decode_where_eq(pages, "doc_id", -77777).count() == 0
+
+
+def test_decode_where_all_pruned_no_hint(spark, sf_dir, tmp_path):
+    """A range predicate outside every zone, on pages read back from
+    disk (no _cps_columns hint), must return an EMPTY relation with the
+    full schema — not an unresolvable-column error."""
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (decode_where,
+                                          read_committed_pages, run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "ds_zone")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), table_name="documents")
+    run_encode(spark, df, dst, cfg)
+    pages = read_committed_pages(spark, dst)
+    out = decode_where(pages, "doc_id", lo=10_000_000, hi=20_000_000)
+    assert out.count() == 0
+    assert set(out.columns) == set(df.columns)
