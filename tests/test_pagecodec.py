@@ -34,6 +34,10 @@ CASES = [
     ("str", "dict", pd.Series([f"lang-{i % 5}" for i in range(500)])),
     ("str", "fsst", pd.Series(["def foo(): return bar + baz  # comment"] * 300
                               + [f"import module_{i}\n" * 3 for i in range(200)])),
+    ("str", "prefix", pd.Series(sorted(
+        f"src/pkg{i % 9}/mod{i % 31}/File{i}.java" for i in range(500)))),
+    ("bin", "prefix", pd.Series(sorted(
+        b"k/" + bytes([i % 251, 255, i % 7]) for i in range(500)))),
     ("ts", "plain", pd.Series(pd.date_range("2024-01-01", periods=500, freq="h"))),
     ("ts", "for", pd.Series(pd.date_range("2024-01-01", periods=500, freq="s"))),
     ("ts", "dict", pd.Series(pd.to_datetime(["2024-01-01", "2024-06-01"]).repeat(250))),
