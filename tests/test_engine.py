@@ -235,3 +235,33 @@ def test_page_crc_end_to_end(spark, sf_dir):
             or "crc mismatch" in str(ei.value)
     finally:
         pages.unpersist()
+
+
+def test_corruption_never_silent_without_crc(spark, sf_dir):
+    """Without page_crc, a flipped blob byte must surface as EITHER a
+    decode error or mismatched verify hashes — never a silent clean
+    roundtrip (the skill-book corruption probe, pinned)."""
+    import pyarrow as pa
+    from cpp_parquet_spark.engine import PAGES_SCHEMA
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = encode_table(df, TABLES["documents"])
+
+    def corrupt(batches):
+        for b in batches:
+            d = b.to_pydict()
+            d["data"] = [
+                (bytes(x[:-2]) + bytes([x[-2] ^ 0x41]) + bytes(x[-1:]))
+                if c == "text" and x and len(x) > 8 else x
+                for c, x in zip(d["column"], d["data"])]
+            yield pa.RecordBatch.from_pydict(d, schema=b.schema)
+
+    bad = pages.mapInArrow(corrupt, PAGES_SCHEMA)
+    try:
+        res = verify_roundtrip(
+            df, decode_table(bad, columns=pages._cps_columns), "text")
+        assert res["mismatched_hashes"] > 0, \
+            "corrupted pages decoded to a clean roundtrip"
+    except AssertionError:
+        raise
+    except Exception:
+        pass      # a loud decode failure is an acceptable detection too
