@@ -120,3 +120,21 @@ def test_selection_never_loses_to_plain_badly(xs):
     row = pagecodec.encode_page(arr, "i64", codec)
     plain_row = pagecodec.encode_page(arr, "i64", "plain")
     assert row["enc_bytes"] <= plain_row["enc_bytes"] + 64
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-10**6, 10**6).map(lambda i: i / 100.0)
+                | st.sampled_from([0.0, -0.0, 1e300, -1e-300]),
+                max_size=300))
+def test_float_roundtrip_dfloat_and_plain(xs):
+    arr = pa.array(xs, pa.float64())
+    for codec in ("plain", "dfloat", "dict"):
+        row = pagecodec.encode_page(arr, "f64", codec)
+        out = pagecodec.decode_page(row["data"], row["params"], row["codec"],
+                                    row["type"], row["num_values"],
+                                    row["null_count"])
+        import numpy as np
+        a = np.asarray(out.to_pylist(), dtype=np.float64)
+        b = np.asarray(xs, dtype=np.float64)
+        # BIT equality: -0.0 vs 0.0 and extreme magnitudes must survive
+        assert a.view(np.int64).tolist() == b.view(np.int64).tolist(), codec
