@@ -699,8 +699,14 @@ def compact_parts(spark: SparkSession, dst: str,
     pages_dir = os.path.join(dst, "pages")
     src = _read_pages(spark, pages_dir).join(F.broadcast(map_df),
                                              ["part_id", "run_id"])
+    # run_id MUST be an ordering key: streaming appends reuse the hash
+    # part-id space per micro-batch, so a bin can hold two source parts
+    # with equal part_id but different run_id. Without run_id in the
+    # order, each (bin, column) window resolves the tie independently
+    # and columns interleave the sources differently -> decode_table
+    # zips misaligned columns (silent row corruption).
     w = Window.partitionBy("new_part", "column") \
-              .orderBy("part_id", "page_id")
+              .orderBy("part_id", "run_id", "page_id")
     moved = (src.withColumn("page_id", F.row_number().over(w) - 1)
              .withColumn("part_id", F.col("new_part"))
              .drop("new_part", "run_id")
@@ -800,21 +806,47 @@ def eq_prune(pages: DataFrame, column: str, value) -> DataFrame:
 def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
     """IN-list variant: part ids whose bloom maybe-contains ANY of the
     probe values — all probes checked in ONE metadata scan (a batched
-    point-lookup is one pass regardless of list size)."""
-    tag = "str" if isinstance(values[0], (str, bytes)) else "i64"
-    if tag == "str":
+    point-lookup is one pass regardless of list size).
+
+    Safe across mixed encode runs: each bloom row's own ``m`` (bit
+    count) is honored — rows are grouped by m inside the kernel, so a
+    dataset whose bloom_bits changed between appends never computes a
+    wrong bit position (which would be a silent false NEGATIVE). When
+    the pages carry ``run_id`` (durable datasets), the result keeps it:
+    appended runs reuse the hash part-id space, so (part_id, run_id) is
+    the true pruning unit — part_id alone would let run B's bloom veto
+    run A's pages."""
+    keys = (["part_id", "run_id"] if "run_id" in pages.columns
+            else ["part_id"])
+    fields = [T.StructField("part_id", T.IntegerType())]
+    if len(keys) == 2:
+        fields.append(T.StructField("run_id", T.StringType()))
+    out_schema = T.StructType(fields)
+    if not values:
+        spark = pages.sparkSession
+        return spark.createDataFrame([], out_schema)
+    if all(isinstance(v, (str, bytes)) for v in values):
+        tag = "str"
         probe = pa.array([v.decode() if isinstance(v, bytes) else v
                           for v in values])
-    else:
+    elif all(isinstance(v, int) and not isinstance(v, bool)
+             for v in values):
+        tag = "i64"
         probe = pa.array([int(v) for v in values], pa.int64())
+    else:
+        raise TypeError(
+            "in_prune probes must be all-str/bytes or all-int, got "
+            f"{sorted({type(v).__name__ for v in values})}")
     hs = _bloom_hashes(probe, tag)
     h1s = [int(h) & 0xFFFFFFFF for h in hs]
     h2s = [int(h) >> 32 for h in hs]
     rows = pages.filter((F.col("codec") == "__bloom__")
                         & (F.col("column") == column)) \
-                .select("part_id", "params", "data")
-
-    out_schema = T.StructType([T.StructField("part_id", T.IntegerType())])
+                .select(*keys, "params", "data")
+    arrow_fields = [("part_id", pa.int32())]
+    if len(keys) == 2:
+        arrow_fields.append(("run_id", pa.string()))
+    arrow_schema = pa.schema(arrow_fields)
 
     def kernel(batches):
         for b in batches:
@@ -822,22 +854,31 @@ def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
             if n == 0:
                 continue
             params = b.column("params").to_pylist()
-            m = int(json.loads(params[0])["m"])
-            nb = m // 8
+            ms = np.array([int(json.loads(p)["m"]) for p in params],
+                          np.int64)
             dcol = b.column("data")
-            buf = np.concatenate([np.frombuffer(x.as_py(), np.uint8)
-                                  for x in dcol]).reshape(n, nb)
-            any_ok = np.zeros(n, dtype=bool)
-            for h1, h2 in zip(h1s, h2s):
-                ok = np.ones(n, dtype=bool)
-                for ki in range(_BLOOM_K):
-                    p = (h1 + ki * h2) % m
-                    ok &= (buf[:, p // 8] >> (p % 8)) & 1 == 1
-                any_ok |= ok
-            pids = b.column("part_id").to_numpy(zero_copy_only=False)[any_ok]
-            yield pa.RecordBatch.from_pydict(
-                {"part_id": pids.astype(np.int32)},
-                schema=pa.schema([("part_id", pa.int32())]))
+            hit_idx = []
+            for m in np.unique(ms):
+                idx = np.nonzero(ms == m)[0]
+                nb = int(m) // 8
+                buf = np.concatenate(
+                    [np.frombuffer(dcol[int(i)].as_py(), np.uint8)
+                     for i in idx]).reshape(len(idx), nb)
+                any_ok = np.zeros(len(idx), dtype=bool)
+                for h1, h2 in zip(h1s, h2s):
+                    ok = np.ones(len(idx), dtype=bool)
+                    for ki in range(_BLOOM_K):
+                        p = (h1 + ki * h2) % int(m)
+                        ok &= (buf[:, p // 8] >> (p % 8)) & 1 == 1
+                    any_ok |= ok
+                hit_idx.append(idx[any_ok])
+            sel = (np.sort(np.concatenate(hit_idx)) if hit_idx
+                   else np.empty(0, np.int64))
+            taken = b.take(pa.array(sel, pa.int64()))
+            out = {"part_id": taken.column("part_id").cast(pa.int32())}
+            if len(keys) == 2:
+                out["run_id"] = taken.column("run_id")
+            yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
     return rows.mapInArrow(kernel, out_schema)
 
@@ -861,13 +902,25 @@ def decode_where_in(pages: DataFrame, column: str, values: list,
         cols_hint = [(r["column"], r["type"]) for r in meta]
     if not values:
         return decode_table(pages.limit(0), spark, columns=cols_hint)
-    has_bloom = bool(pages.filter((F.col("codec") == "__bloom__")
-                                  & (F.col("column") == column))
-                     .limit(1).take(1))
+    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
+                              & (F.col("column") == column))
+    has_bloom = bool(bloom_rows.limit(1).take(1))
     kept = pages
     if has_bloom:
-        kept = pages.join(F.broadcast(in_prune(pages, column, values)),
-                          "part_id", "left_semi")
+        # Index absence must mean "scan" at the true part granularity —
+        # (part_id, run_id) for durable datasets, since appended runs
+        # reuse the hash part-id space (a part_id-only join would let
+        # run B's bloom veto run A's un-indexed pages). Parts with no
+        # bloom row for this column survive unconditionally (anti-join);
+        # only indexed parts are pruned.
+        keys = (["part_id", "run_id"] if "run_id" in pages.columns
+                else ["part_id"])
+        bloom_parts = bloom_rows.select(*keys).distinct()
+        unindexed = (pages.select(*keys).distinct()
+                     .join(bloom_parts, keys, "left_anti"))
+        survivors = (in_prune(pages, column, values)
+                     .unionByName(unindexed).distinct())
+        kept = pages.join(F.broadcast(survivors), keys, "left_semi")
     dec = decode_table(kept, spark, columns=cols_hint)
     return dec.filter(F.col(column).isin(values))
 

@@ -263,3 +263,15 @@ def test_stream_then_compact_and_sql(spark, tmp_path):
     assert got["n"] == 3 * 200
     src_df = spark.read.parquet(f"{src}/*.parquet")
     assert got["d"] == src_df.select("content").distinct().count()
+
+    # ROW-level roundtrip (not just per-column counts/hashes): streaming
+    # micro-batches reuse the same hash part-id space, so compaction bins
+    # hold parts with equal part_id from different run_ids — the page
+    # renumber window must order by (part_id, run_id, page_id) or columns
+    # interleave the sources differently and rows zip misaligned. Full
+    # multiset equality over whole rows catches any such misalignment.
+    cols = ["repo", "path", "commit", "lang", "content"]
+    decoded = decode_dataset(spark, dst).select(*cols)
+    src_rows = src_df.select(*cols)
+    assert decoded.exceptAll(src_rows).count() == 0
+    assert src_rows.exceptAll(decoded).count() == 0

@@ -359,3 +359,80 @@ def test_decode_where_all_pruned_no_hint(spark, sf_dir, tmp_path):
     out = decode_where(pages, "doc_id", lo=10_000_000, hi=20_000_000)
     assert out.count() == 0
     assert set(out.columns) == set(df.columns)
+
+
+def test_bloom_partial_index_scans_unindexed_parts(spark, sf_dir, tmp_path):
+    """Index absence must mean "scan" PER PART: a dataset first encoded
+    without bloom_cols then appended to WITH them has bloom rows for only
+    the later parts. Point lookups must still return rows that live in the
+    unindexed parts (never silently drop them)."""
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (decode_where_eq,
+                                          read_committed_pages, run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = df.filter(F.col("doc_id") < 100)      # first run: NO bloom
+    hi = df.filter(F.col("doc_id") >= 100)     # second run: bloom on doc_id
+    dst = str(tmp_path / "ds_partial_bloom")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), table_name="documents")
+    run_encode(spark, lo, dst, cfg, resume=False)
+    run_encode(spark, hi, dst, replace(cfg, bloom_cols=("doc_id",)),
+               resume=False)
+    pages = read_committed_pages(spark, dst)
+    # value in the UNINDEXED half: the part has no bloom row for doc_id,
+    # so it must survive pruning and the row must come back
+    got_lo = [tuple(r) for r in decode_where_eq(pages, "doc_id", 42).collect()]
+    want_lo = [tuple(r) for r in df.filter(F.col("doc_id") == 42).collect()]
+    assert sorted(got_lo) == sorted(want_lo) and len(got_lo) == 1
+    # value in the INDEXED half still works (and its absent-key pruning too)
+    got_hi = decode_where_eq(pages, "doc_id", 142).count()
+    assert got_hi == df.filter(F.col("doc_id") == 142).count() == 1
+    assert decode_where_eq(pages, "doc_id", -12345).count() == 0
+
+
+def test_bloom_mixed_m_values_no_false_negatives(spark, sf_dir, tmp_path):
+    """bloom_bits changed between appends -> rows with different m share a
+    kernel batch; each row must be probed at ITS OWN m or bit positions go
+    wrong and a present value is silently dropped (bloom false negative)."""
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import (decode_where_in,
+                                          read_committed_pages, run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = df.filter(F.col("doc_id") < 100)
+    hi = df.filter(F.col("doc_id") >= 100)
+    dst = str(tmp_path / "ds_mixed_m")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       bloom_bits=1 << 12, table_name="documents")
+    run_encode(spark, lo, dst, cfg, resume=False)
+    run_encode(spark, hi, dst, replace(cfg, bloom_bits=1 << 17),
+               resume=False)
+    pages = read_committed_pages(spark, dst)
+    ids = [7, 42, 150, 250]                    # values from BOTH m-regimes
+    want = sorted(tuple(r) for r in
+                  df.filter(F.col("doc_id").isin(ids)).collect())
+    got = sorted(tuple(r) for r in
+                 decode_where_in(pages, "doc_id", ids).collect())
+    assert got == want and len(got) == 4
+
+
+def test_in_prune_empty_list_and_bad_types(spark, sf_dir):
+    import pytest as _pytest
+    from cpp_parquet_spark.engine import encode_table, in_prune
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="documents")
+    pages = encode_table(df, cfg)
+    assert in_prune(pages, "doc_id", []).count() == 0
+    with _pytest.raises(TypeError):
+        in_prune(pages, "doc_id", [1.5])
+    with _pytest.raises(TypeError):
+        in_prune(pages, "doc_id", [1, "x"])
+    with _pytest.raises(TypeError):
+        in_prune(pages, "doc_id", [True])
