@@ -327,8 +327,10 @@ def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_gram_df=None: the exact textbook Jaccard (matches the SQL
+    # oracle bit-for-bit); the library default is a finite cap (256)
     return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                                     n=3, threshold=0.7)
+                                     n=3, threshold=0.7, max_gram_df=None)
 
 
 def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

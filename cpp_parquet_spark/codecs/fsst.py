@@ -304,8 +304,6 @@ def decode(data: bytes, params: dict, n: int, tag: str = "str"):
     raw = np.frombuffer(data, dtype=np.uint8)
     n_codes = int(raw[:2].view(np.uint16)[0])
     pos = 2
-    # int32 throughout the hot path: symbol lengths are <= 8 and every
-    # per-segment offset is bounded by 8 * SEG_BYTES << 2^31
     sym_lens = raw[pos : pos + n_codes].astype(np.int32)
     pos += n_codes
     flat_len = int(sym_lens.sum())
@@ -317,14 +315,28 @@ def decode(data: bytes, params: dict, n: int, tag: str = "str"):
     starts_tab = np.zeros(n_codes, dtype=np.int32)
     np.cumsum(sym_lens[:-1], out=starts_tab[1:])
 
+    # -- 256-entry decode LUTs, built once per page (<= 254 tiny rows):
+    # len256[c] = emitted byte count of code c (ESC emits 1: its raw byte;
+    # rows >= n_codes other than ESC never occur in a valid stream);
+    # pad64[c] = the expansion right-padded to 8 bytes, viewed as one
+    # uint64 so the hot gather is a single 8-byte load from a 2 KiB table
+    # (a 64 K pair-LUT variant measured SLOWER — it blows L1/L2).
+    len256 = np.zeros(256, dtype=np.uint8)
+    len256[:n_codes] = sym_lens
+    len256[ESC] = 1
+    pad = np.zeros((256, 8), dtype=np.uint8)
+    for c in range(n_codes):
+        pad[c, : int(sym_lens[c])] = flat[starts_tab[c]:
+                                          starts_tab[c] + sym_lens[c]]
+    pad64 = pad.view(np.uint64).ravel()
+
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=cum[1:])
     # string-aligned segments keep decode temporaries cache-resident under
     # many-worker concurrency (same rationale as _encode_with_table)
     if stream.shape[0] <= SEG_BYTES:
-        out_bytes, dec_lens = _decode_segment(stream, enc_lens, flat,
-                                              starts_tab, sym_lens, n_codes)
+        out_bytes, dec_lens = _decode_segment(stream, cum, len256, pad64)
     else:
-        cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(enc_lens, out=cum[1:])
         targets = np.arange(1, int(cum[-1] // SEG_BYTES) + 2,
                             dtype=np.int64) * SEG_BYTES
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
@@ -333,9 +345,9 @@ def decode(data: bytes, params: dict, n: int, tag: str = "str"):
         outs, lens_parts = [], []
         prev = 0
         for c in cuts.tolist():
-            ob, dl = _decode_segment(stream[int(cum[prev]): int(cum[c])],
-                                     enc_lens[prev:c], flat, starts_tab,
-                                     sym_lens, n_codes)
+            lo = int(cum[prev])
+            ob, dl = _decode_segment(stream[lo: int(cum[c])],
+                                     cum[prev: c + 1] - lo, len256, pad64)
             outs.append(ob)
             lens_parts.append(dl)
             prev = c
@@ -352,73 +364,55 @@ def decode(data: bytes, params: dict, n: int, tag: str = "str"):
     return arr.cast(pa.large_string()) if tag == "str" else arr
 
 
-def _decode_segment(s: np.ndarray, enc_lens: np.ndarray, flat: np.ndarray,
-                    starts_tab: np.ndarray, sym_lens: np.ndarray,
-                    n_codes: int) -> tuple[np.ndarray, np.ndarray]:
-    """Expand one stream segment. Everything is int32 (segment offsets are
-    bounded by 8 * SEG_BYTES) and the expansion runs as byte-position
-    passes over PROGRESSIVELY SHRINKING index subsets — pass j copies
-    byte j of every symbol longer than j, so total gather work equals the
-    output size with no repeat/arange temporaries of output length
-    (measured 1.3x faster than the previous per-output-byte
-    repeat+arange form; the symbol table averages < 2 bytes/code on
-    source text, so per-EMIT fixed costs dominate and avoiding the
-    output-sized int64 index arrays is what pays)."""
-    n = enc_lens.shape[0]
-    sid = np.repeat(np.arange(n, dtype=np.int32), enc_lens)
+def _decode_segment(s: np.ndarray, cum: np.ndarray, len256: np.ndarray,
+                    pad64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Expand one stream segment via padded-symbol gather + one index
+    compaction. Every stream byte is an "emit": codes emit len256[c]
+    bytes, an escape's raw byte emits 0 (its bytes ride on the ESC
+    position) — so there is no emit-position subset to materialize at
+    all (the previous kernel's ``sid`` repeat / ``pos_e`` flatnonzero /
+    per-byte-position shrinking passes are gone; measured ~2x faster
+    single-thread on source text).
 
-    # -- escape resolution: in each maximal chain of consecutive 0xFF bytes
-    # (chains also break at string boundaries), even offsets are escapes and
-    # odd offsets are their raw bytes; a non-0xFF byte immediately after an
-    # escape is that escape's raw byte.
-    is_ff = s == ESC
-    p = np.flatnonzero(is_ff)
-    is_escape = np.zeros(s.shape[0], dtype=bool)
+    ``cum``: string-boundary byte offsets within ``s`` (cum[0] == 0,
+    cum[-1] == len(s)); int32 index math throughout — offsets are
+    bounded by 8 * SEG_BYTES << 2^31."""
+    ns = s.shape[0]
+    if ns == 0:
+        return (np.empty(0, np.uint8),
+                np.zeros(cum.shape[0] - 1, dtype=np.int64))
+    # -- escape resolution: in each maximal chain of consecutive 0xFF
+    # bytes (chains also break at string boundaries), even offsets are
+    # escapes and odd offsets are their raw bytes. Only the (sparse) 0xFF
+    # positions are touched — string ids come from one searchsorted over
+    # those positions, not a stream-length sid array.
+    p = np.flatnonzero(s == ESC)
+    esc_pos = raw_pos = None
+    L = len256[s]
     if p.size:
-        idx = np.arange(p.size, dtype=np.int32)
+        sid_p = np.searchsorted(cum, p, side="right")
+        idx = np.arange(p.size, dtype=np.int64)
         new_chain = np.empty(p.size, dtype=bool)
         new_chain[0] = True
-        new_chain[1:] = (np.diff(p) > 1) | (sid[p[1:]] != sid[p[:-1]])
+        new_chain[1:] = (np.diff(p) > 1) | (sid_p[1:] != sid_p[:-1])
         chain_first = np.maximum.accumulate(np.where(new_chain, idx, 0))
-        is_escape[p[((idx - chain_first) & 1) == 0]] = True
-    is_raw = np.zeros(s.shape[0], dtype=bool)
-    esc_pos = np.flatnonzero(is_escape)
-    is_raw[esc_pos + 1] = True
-
-    # -- every non-raw position emits: a code expands from the table, an
-    # escape emits the single raw byte that follows it in the stream
-    pos_e = np.flatnonzero(~is_raw).astype(np.int32)
-    codes = s[pos_e]
-    safe = np.minimum(codes, n_codes - 1)
-    L = sym_lens[safe]
-    st = starts_tab[safe]
-    has_esc = esc_pos.size > 0
-    if has_esc:
-        ee = is_escape[pos_e]
+        esc_pos = p[((idx - chain_first) & 1) == 0]
+        raw_pos = esc_pos + 1
         L = L.copy()
-        L[ee] = 1
-    cL = np.zeros(L.shape[0] + 1, dtype=np.int32)
-    np.cumsum(L, out=cL[1:])
-    out = np.empty(int(cL[-1]), dtype=np.uint8)
-    off = cL[:-1]
-    if has_esc:
-        out[off[ee]] = s[pos_e[ee] + 1]
-        ce = ~ee
-        coff, cst, cl = off[ce], st[ce], L[ce]
-    else:
-        coff, cst, cl = off, st, L
-    j = 0
-    while coff.shape[0]:
-        out[coff + j] = flat[cst + j]
-        j += 1
-        k = cl > j
-        if not k.any():
-            break
-        coff, cst, cl = coff[k], cst[k], cl[k]
-
-    # per-string decoded lengths: emits are sid-ordered, so the boundary
-    # of each string in emit space comes from one searchsorted over the
-    # (tiny) string count, and its byte length is a cumsum difference
-    b = np.searchsorted(sid[pos_e], np.arange(n + 1, dtype=np.int32))
-    dec_lens = (cL[b[1:]] - cL[b[:-1]]).astype(np.int64)
+        L[raw_pos] = 0          # raw bytes emit nothing themselves
+    offs = np.zeros(ns + 1, dtype=np.int32)
+    np.cumsum(L, out=offs[1:])
+    total = int(offs[-1])
+    # output byte k of stream position i lives at pad-byte 8*i + (k -
+    # offs[i]); repeat the per-position base by L and add a running
+    # arange — two int32 passes of output length, then ONE byte gather
+    g = pad64[s]
+    base = np.repeat(np.arange(ns, dtype=np.int32) * 8 - offs[:-1], L)
+    sel = base + np.arange(total, dtype=np.int32)
+    out = g.view(np.uint8)[sel]
+    if esc_pos is not None:
+        # ESC emitted 1 placeholder byte (pad64[ESC] is zeros); overwrite
+        # with the true raw byte that follows it in the stream
+        out[offs[esc_pos]] = s[raw_pos]
+    dec_lens = (offs[cum[1:]] - offs[cum[:-1]]).astype(np.int64)
     return out, dec_lens

@@ -79,7 +79,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.7,
                         text_col: str = "text", id_col: str = "doc_id",
                         scope: str = "source", prefix: int = 512,
-                        max_gram_df: int | None = None) -> DataFrame:
+                        max_gram_df: int | None = 256) -> DataFrame:
     """Exact Jaccard similarity over n-gram sets for all same-scope pairs
     with J >= threshold. explode -> equi-join on (scope, gram) ->
     count = |A ∩ B|; |A ∪ B| = |A|+|B|-|A ∩ B|.
@@ -91,7 +91,10 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.7,
     grams are dropped from EVERY doc's shingle set before sizes and
     intersections, so the Jaccard stays a true set Jaccard over the
     retained (discriminative) grams and the join's per-key fan-out is
-    bounded by the cap. Default None = exact textbook Jaccard."""
+    bounded by the cap. The default is a finite cap (256) so a caller
+    who never thinks about skew cannot get the quadratic stopword-gram
+    join at scale; pass ``max_gram_df=None`` to opt in to the exact
+    textbook Jaccard (unbounded per-gram fan-out)."""
     sh = shingles(df, n, text_col, id_col, scope, prefix)
     if max_gram_df is not None:
         keep = (sh.groupBy("scope", "g")

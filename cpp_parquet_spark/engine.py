@@ -489,16 +489,28 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
 
     def decode_pages(batches):
         for b in batches:
+            if b.num_rows == 0:
+                continue
+            # zero-copy page blobs: numpy views over the Arrow data
+            # buffer (same pattern as decode_table) instead of per-blob
+            # .as_py() bytes copies of ~1 MiB pages
+            dcol = b.column("data")
+            doffs = np.frombuffer(dcol.buffers()[1], np.int32,
+                                  count=len(dcol) + 1,
+                                  offset=dcol.offset * 4)
+            dvals = np.frombuffer(dcol.buffers()[2], np.uint8,
+                                  count=int(doffs[-1]))
+            params = b.column("params").to_pylist()
+            codecs_ = b.column("codec").to_pylist()
+            types_ = b.column("type").to_pylist()
+            nvals = b.column("num_values").to_pylist()
+            nnull = b.column("null_count").to_pylist()
             arrs = []
             for i in range(b.num_rows):
                 arr = pagecodec.decode_page(
-                    b.column("data")[i].as_py(), b.column("params")[i].as_py(),
-                    b.column("codec")[i].as_py(), b.column("type")[i].as_py(),
-                    int(b.column("num_values")[i].as_py()),
-                    int(b.column("null_count")[i].as_py()))
+                    dvals[doffs[i]:doffs[i + 1]], params[i], codecs_[i],
+                    types_[i], int(nvals[i]), int(nnull[i]))
                 arrs.append(arr)
-            if not arrs:
-                continue
             merged = pa.chunked_array(arrs).combine_chunks()
             want = out_arrow.field(0).type
             if merged.type != want:

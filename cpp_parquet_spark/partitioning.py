@@ -73,7 +73,19 @@ def plan_range_bounds(df: DataFrame, col: str, num_buckets: int,
         return tuple(df.stat.approxQuantile(col, q, rel_err))
     # strings: ntile over the DISTINCT key domain (a single-partition
     # window, fine while the domain is << the row count — repos, langs;
-    # only num_buckets rows come back to the driver)
+    # only num_buckets rows come back to the driver). Guarded: a
+    # high-cardinality range_on (e.g. `path`) would funnel the whole
+    # domain through one task, so measure it first (approx, one pass)
+    # and refuse rather than silently serialize the job.
+    max_domain = 1 << 16
+    nd = df.agg(F.approx_count_distinct(col).alias("n")).collect()[0]["n"]
+    if nd > max_domain:
+        raise ValueError(
+            f"plan_range_bounds({col!r}): ~{nd} distinct string keys — "
+            f"the exact distinct-quantile path is a single-partition "
+            f"window, safe only for small domains (<= {max_domain}). "
+            "Range-cluster on a lower-cardinality column, or hash the "
+            "string to a numeric key first (approxQuantile path).")
     from pyspark.sql.window import Window
     tiles = (df.select(col).distinct()
                .withColumn("__t", F.ntile(num_buckets).over(Window.orderBy(col)))

@@ -252,8 +252,17 @@ def pack_sequences(df: DataFrame, length_col: str, budget: int,
     Scale note: one shuffle on ``group_cols``; each group's running sum
     is a single window partition, so group granularity (lang, shard,
     source) bounds per-task work. Without group_cols the window is one
-    global partition — fine for tests only."""
+    global partition — allowed only for single-partition (test-sized)
+    input; a multi-partition input without group_cols raises rather
+    than silently funneling the whole table through one task."""
     from pyspark.sql.window import Window
+    if not group_cols and df.rdd.getNumPartitions() > 1:
+        raise ValueError(
+            "pack_sequences without group_cols is one GLOBAL window "
+            "partition — the whole table would funnel through a single "
+            f"task (input has {df.rdd.getNumPartitions()} partitions). "
+            "Pass group_cols=(lang/shard/source,...) to bound per-task "
+            "work, or coalesce(1) explicitly for test-sized data.")
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy()).orderBy(order_col)
     start = F.sum(length_col).over(w) - F.col(length_col)

@@ -146,7 +146,8 @@ def _brute_jaccard(a: str, b: str, n: int = 3, prefix: int = 512) -> float:
 
 def test_ngram_jaccard_vs_brute(spark, docs):
     df = _with_dupes(spark, docs)
-    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.6).collect()
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.6,
+                                      max_gram_df=None).collect()
     texts = {r["doc_id"]: r["text"] for r in df.collect()}
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     # the injected pairs must be found with the exact brute-force value
@@ -192,6 +193,28 @@ def test_ngram_df_cap_drops_boilerplate(spark):
     # scale guard: the boilerplate-only pairs are gone (uncapped would
     # emit O(n^2) candidate rows through the shared grams)
     assert all(ib == 1000 and ia == 0 for ia, ib in got)
+
+
+def test_ngram_default_cap_bounds_skew(spark):
+    """The DEFAULT must be skew-safe: 300 docs sharing a boilerplate
+    prefix put every boilerplate gram at document-frequency 300 > 256
+    (the default cap), so the intersect join must not go quadratic —
+    candidate output stays O(n), not O(n^2). Opting out with
+    max_gram_df=None is what restores the textbook behavior."""
+    boiler = "/* program license header v2 (c) example corp */ " * 6
+    # bodies are gram-disjoint across docs (one unique char per doc), so
+    # the ONLY cross-doc grams are the boilerplate's — all at df 300+
+    rows = [(i, boiler + chr(0x4E00 + i) * 60, "s") for i in range(300)]
+    rows.append((9000, boiler + chr(0x4E00) * 60 + "x", "s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # threshold=0.0 surfaces the whole candidate set the join produced
+    cand = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).count()
+    assert cand <= 4 * len(rows), cand        # O(n), not ~n^2/2 = 45k
+    # the true near-dup is still found at a real threshold
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.ngram_jaccard_pairs(df, n=3,
+                                              threshold=0.5).collect()}
+    assert (0, 9000) in got
 
 
 def test_minhash_lsh_finds_near_dupes(spark, docs):

@@ -42,3 +42,34 @@ def test_unsalted_would_hotspot(spark):
     per_part = sorted(r["b"] for r in sizes)
     total = sum(per_part)
     assert per_part[-1] / total > 0.5  # the hot repo is one indivisible part
+
+
+def test_pack_sequences_global_window_guard(spark):
+    """Multi-partition input without group_cols must raise (one global
+    window partition would funnel the table through a single task)."""
+    import pytest
+    from cpp_parquet_spark.textops import pack_sequences
+    df = spark.range(0, 1000, 1, 8).selectExpr(
+        "id as doc_id", "10 as ln")
+    with pytest.raises(ValueError, match="GLOBAL window"):
+        pack_sequences(df, "ln", 128)
+    # single-partition (test-sized) input stays allowed
+    one = df.coalesce(1)
+    assert pack_sequences(one, "ln", 128).count() == 1000
+
+
+def test_plan_range_bounds_domain_guard(spark):
+    """A high-cardinality string range key must be refused, not funneled
+    through the single-partition distinct-quantile window."""
+    import pytest
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    big = spark.range(0, 200_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    with pytest.raises(ValueError, match="distinct string keys"):
+        plan_range_bounds(big, "k", 16)
+    # small domains still work
+    small = spark.range(0, 10_000).select(
+        F.concat(F.lit("repo_"), (F.col("id") % 50)).alias("k"))
+    bounds = plan_range_bounds(small, "k", 5)
+    assert len(bounds) == 4 and list(bounds) == sorted(bounds)
