@@ -108,6 +108,27 @@ def _roundtrip_hist(table: str, cfg: EncodeConfig, col: str):
     return q
 
 
+def q_roundtrip_date_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE + DECIMAL logical types through the full pipeline (tags
+    ``date`` = epoch-days int32, ``dec:<p>:<s>`` = unscaled int64;
+    pagecodec.spark_type_tag): derive a date and a decimal(14,2) column
+    from orders, encode -> decode, then per-row text histogram so the
+    oracle proves every value (incl. scale formatting) bit-identical."""
+    src = (_read(spark, sf_dir, "orders")
+           .select(F.col("o_orderkey"),
+                   F.to_date("o_orderdate").alias("d"),
+                   F.expr("CAST(o_totalprice AS DECIMAL(14,2))")
+                   .alias("price")))
+    cfg = EncodeConfig(keys=("o_orderkey",), salt_from=(), num_parts=8,
+                       order_keys=("o_orderkey",), table_name="orders_dd")
+    decoded = decode_table(encode_table(src, cfg))
+    row_txt = F.concat_ws(
+        "|", F.coalesce(F.col("d").cast("string"), F.lit("NULL")),
+        F.coalesce(F.col("price").cast("string"), F.lit("NULL")))
+    return (decoded.select(F.sha2(row_txt.cast("binary"), 256).alias("h"))
+            .groupBy("h").agg(F.count("*").alias("cnt")))
+
+
 def _pages_summary(table: str, cfg: EncodeConfig):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _read(spark, sf_dir, table)
@@ -564,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                   "l_quantity"),
         "roundtrip_part_prefix": _roundtrip_hist("part", PART_PREFIX_CFG,
                                                  "p_name"),
+        "roundtrip_date_decimal": q_roundtrip_date_decimal,
         # stats / selection (E8, S6)
         "stats_cardinality": q_stats_cardinality,
         "stats_run_lengths": q_stats_run_lengths,
@@ -700,6 +722,14 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS cnt FROM events GROUP BY 1",
         "roundtrip_lineitem_qty": rt("lineitem", "l_quantity", "VARCHAR"),
         "roundtrip_part_prefix": rt("part", "p_name"),
+        "roundtrip_date_decimal": """
+            SELECT sha256(concat(
+                     coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                              'NULL'), '|',
+                     coalesce(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                   AS VARCHAR), 'NULL'))) AS h,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1""",
         "stats_cardinality": """
             SELECT count(DISTINCT doc_id) AS nd_doc_id,
                    count(DISTINCT text) AS nd_text,

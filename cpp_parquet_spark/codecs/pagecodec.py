@@ -13,6 +13,16 @@ SURVEY.md §1.2 maps pages to rows of the pages table). Layout of the
 
 Type tags: i64 i32 f64 f32 bool str bin ts (timestamp stored as int64
 epoch-microseconds; the tag restores the logical type on decode).
+
+Parameterized tags (the logical-type annotations of parquet.thrift's
+DATE / DECIMAL over int physical storage):
+
+- ``date``: DateType stored as epoch-days int32 through the int codec
+  family (FOR/delta/RLE/dict — dates are the textbook delta column).
+- ``dec:<p>:<s>``: DecimalType(p, s) with p <= 18, stored as the
+  UNSCALED int64 through the int codec family; precision/scale live in
+  the tag so decode rebuilds the exact logical type. Wider decimals
+  (p > 18) are passed through unencoded (spark_type_tag -> None).
 """
 
 from __future__ import annotations
@@ -27,7 +37,7 @@ import pyarrow as pa
 from . import bitpack, dfloat, dictionary, fsst, levels, plain, prefix, rle
 from . import for_ as forc
 
-INT_TAGS = {"i64", "i32", "ts", "tsn"}
+INT_TAGS = {"i64", "i32", "ts", "tsn", "date"}
 FLOAT_TAGS = {"f64", "f32"}
 STR_TAGS = {"str", "bin"}
 ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
@@ -48,8 +58,34 @@ ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
               "f32": pa.float32(), "bool": pa.bool_(),
               "str": pa.large_string(), "bin": pa.large_binary(),
               "ts": pa.timestamp("us"), "tsn": pa.timestamp("us"),
+              "date": pa.date32(),
               "arrf32": pa.list_(pa.float32()),
               "arrf64": pa.list_(pa.float64())}
+
+
+def is_dec(tag: str) -> bool:
+    """True for a parameterized decimal tag ``dec:<p>:<s>``."""
+    return tag.startswith("dec:")
+
+
+def dec_precision_scale(tag: str) -> tuple[int, int]:
+    _, p, s = tag.split(":")
+    return int(p), int(s)
+
+
+def int_like(tag: str) -> bool:
+    """Tags whose value stream rides the int codec family."""
+    return tag in INT_TAGS or is_dec(tag)
+
+
+def legal_codecs(tag: str) -> tuple[str, ...]:
+    return LEGAL["i64"] if is_dec(tag) else LEGAL[tag]
+
+
+def arrow_type_for(tag: str):
+    if is_dec(tag):
+        return pa.decimal128(*dec_precision_scale(tag))
+    return ARROW_TYPE[tag]
 
 
 def spark_type_tag(dt) -> str | None:
@@ -58,24 +94,61 @@ def spark_type_tag(dt) -> str | None:
     m = {T.LongType: "i64", T.IntegerType: "i32", T.DoubleType: "f64",
          T.FloatType: "f32", T.BooleanType: "bool", T.StringType: "str",
          T.BinaryType: "bin", T.TimestampType: "ts",
-         T.TimestampNTZType: "tsn"}
+         T.TimestampNTZType: "tsn", T.DateType: "date"}
     if isinstance(dt, T.ArrayType):
         if isinstance(dt.elementType, T.FloatType):
             return "arrf32"
         if isinstance(dt.elementType, T.DoubleType):
             return "arrf64"
         return None
+    if isinstance(dt, T.DecimalType):
+        # unscaled value must fit int64 (the int codec family's word)
+        if dt.precision <= 18:
+            return f"dec:{dt.precision}:{dt.scale}"
+        return None
     return m.get(type(dt))
 
 
 def spark_type_for(tag: str):
     from pyspark.sql import types as T
+    if is_dec(tag):
+        p, s = dec_precision_scale(tag)
+        return T.DecimalType(p, s)
     return {"i64": T.LongType(), "i32": T.IntegerType(), "f64": T.DoubleType(),
             "f32": T.FloatType(), "bool": T.BooleanType(),
             "str": T.StringType(), "bin": T.BinaryType(),
             "ts": T.TimestampType(), "tsn": T.TimestampNTZType(),
+            "date": T.DateType(),
             "arrf32": T.ArrayType(T.FloatType()),
             "arrf64": T.ArrayType(T.DoubleType())}[tag]
+
+
+def dec_unscaled(arr: pa.Array) -> np.ndarray:
+    """decimal128 array (no nulls) -> unscaled int64 values.
+
+    Arrow stores decimal128 as little-endian 128-bit two's complement;
+    for precision <= 18 the value is exactly the low 64 bits read as
+    int64 (the high word is pure sign extension)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    buf = np.frombuffer(arr.buffers()[1], np.int64, count=2 * (n + arr.offset))
+    pairs = buf.reshape(-1, 2)[arr.offset:]
+    return np.ascontiguousarray(pairs[:, 0])
+
+
+def dec_from_unscaled(v: np.ndarray, p: int, s: int,
+                      mask: np.ndarray | None = None) -> pa.Array:
+    """unscaled int64 -> decimal128(p, s) array (mask = True where NULL)."""
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    pairs = np.empty((v.shape[0], 2), dtype=np.int64)
+    pairs[:, 0] = v
+    pairs[:, 1] = v >> 63                    # sign extension high word
+    validity = None
+    if mask is not None and mask.any():
+        validity = pa.array(~mask).buffers()[1]
+    return pa.Array.from_buffers(pa.decimal128(p, s), v.shape[0],
+                                 [validity, pa.py_buffer(pairs.tobytes())])
 
 
 def to_arrow(values, tag: str) -> pa.Array:
@@ -87,7 +160,7 @@ def to_arrow(values, tag: str) -> pa.Array:
         values = pa.Array.from_pandas(values)
     elif not isinstance(values, pa.Array):
         values = pa.array(values)
-    want = ARROW_TYPE[tag]
+    want = arrow_type_for(tag)
     if tag in ARR_TAGS:
         return values if values.type == want else values.cast(want)
     if tag in ("ts", "tsn") and pa.types.is_timestamp(values.type):
@@ -108,6 +181,10 @@ def _arr_split(arr: pa.Array, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarr
         work = arr
     if tag in ("ts", "tsn"):
         return work.cast(pa.int64()).to_numpy(zero_copy_only=False), valid
+    if tag == "date":
+        return work.cast(pa.int32()).to_numpy(zero_copy_only=False), valid
+    if is_dec(tag):
+        return dec_unscaled(work), valid
     if tag in _NP_FIXED:
         return work.to_numpy(zero_copy_only=False), valid
     if tag == "bool":
@@ -159,7 +236,7 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
             data, p = rle.encode(np.asarray(vals, dtype=np.uint64), bit_width=1)
             return data, p
         raise ValueError(f"bool: unsupported codec {codec}")
-    if tag in INT_TAGS:
+    if int_like(tag):
         v = np.ascontiguousarray(vals, dtype=np.int64)
         if codec == "for":
             return forc.encode(v)
@@ -205,7 +282,7 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
         return prefix.decode(data, params, k, tag)
     if tag == "bool" and codec == "rle":
         return rle.decode(data, {"bw": 1}, k).astype(bool)
-    if tag in INT_TAGS:
+    if int_like(tag):
         if codec == "for":
             return forc.decode(data, params, k)
         if codec == "delta":
@@ -228,9 +305,9 @@ def raw_size(vals, tag: str, n_present: int) -> int:
         w = 4 if tag == "arrf32" else 8
         nvals = len(vals.flatten()) if isinstance(vals, pa.Array) else             sum(len(x) for x in vals)
         return nvals * w + 4 * n_present
-    if tag in ("i64", "f64", "ts", "tsn"):
+    if tag in ("i64", "f64", "ts", "tsn") or is_dec(tag):
         return 8 * n_present
-    if tag in ("i32", "f32"):
+    if tag in ("i32", "f32", "date"):
         return 4 * n_present
     if tag == "bool":
         return (n_present + 7) // 8
@@ -322,12 +399,16 @@ def page_minmax(arr: pa.Array, tag: str) -> tuple[str | None, str | None]:
 
     import pyarrow.compute as pc
 
-    if tag in ARR_TAGS or tag == "bin":
+    if tag in ARR_TAGS or tag == "bin" or is_dec(tag):
+        # decimals: the text form would need scale-aware SQL casts on the
+        # zone-scan side; no pruning is the safe "unknown" default
         return None, None
     if len(arr) - arr.null_count == 0:
         return None, None
     if tag in ("ts", "tsn"):
         arr = arr.cast(pa.int64())
+    elif tag == "date":
+        arr = arr.cast(pa.int32())          # epoch days
     elif tag == "bool":
         arr = arr.cast(pa.int8())
     elif tag in FLOAT_TAGS:
@@ -377,7 +458,7 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
     vals = _decode_values(body, json.loads(params_json), codec, tag, k) \
         if k else None
 
-    arrow_type = ARROW_TYPE[tag]
+    arrow_type = arrow_type_for(tag)
     if k == 0:
         return pa.nulls(n, arrow_type)
     if tag in STR_TAGS or tag in ARR_TAGS:
@@ -387,8 +468,16 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
             take = pa.array(idx, mask=~valid)
             arr = arr.take(take)
         return arr.cast(arrow_type) if arr.type != arrow_type else arr
+    if is_dec(tag):
+        p, s = dec_precision_scale(tag)
+        v = np.ascontiguousarray(vals, dtype=np.int64)
+        if null_count:
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = v
+            return dec_from_unscaled(full, p, s, mask=~valid)
+        return dec_from_unscaled(v, p, s)
     v = np.asarray(vals)
-    if tag == "i32":
+    if tag in ("i32", "date"):
         v = v.astype(np.int32)
     elif tag == "f32":
         v = v.astype(np.float32)

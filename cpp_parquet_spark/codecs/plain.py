@@ -17,7 +17,7 @@ import pyarrow as pa
 # --- fixed-width numerics ----------------------------------------------------
 
 _FIXED = {"i64": "<i8", "i32": "<i4", "f64": "<f8", "f32": "<f4", "u64": "<u8",
-          "ts": "<i8", "tsn": "<i8"}
+          "ts": "<i8", "tsn": "<i8", "date": "<i4"}
 
 
 def encode_fixed(values: np.ndarray, tag: str) -> bytes:
@@ -75,6 +75,8 @@ def decode_binary(data: bytes, n: int, as_str: bool = True) -> pa.Array:
 # --- codec interface (dispatch by type tag) -----------------------------------
 
 def encode(values, tag: str) -> tuple[bytes, dict]:
+    if tag.startswith("dec:"):      # unscaled int64 (pagecodec dec:<p>:<s>)
+        tag = "i64"
     if tag in _FIXED:
         return encode_fixed(values, tag), {}
     if tag == "bool":
@@ -85,6 +87,8 @@ def encode(values, tag: str) -> tuple[bytes, dict]:
 
 
 def decode(data: bytes, params: dict, n: int, tag: str):
+    if tag.startswith("dec:"):
+        tag = "i64"
     if tag in _FIXED:
         return decode_fixed(data, tag, n)
     if tag == "bool":

@@ -85,7 +85,8 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
         targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
     else:
-        w = 8 if tag in ("i64", "f64", "ts", "tsn") else (4 if tag in ("i32", "f32") else 1)
+        w = (8 if tag in ("i64", "f64", "ts", "tsn") or pagecodec.is_dec(tag)
+             else (4 if tag in ("i32", "f32", "date") else 1))
         rows = min(rows_max, max(1024, page_bytes // w))
         cuts = np.arange(rows, n + rows, rows).clip(None, n)
     cuts = np.unique(np.concatenate((cuts, [n])))
@@ -105,7 +106,7 @@ def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
     work = arr.drop_null() if arr.null_count else arr
     if len(work) == 0:
         return None
-    if tag in pagecodec.INT_TAGS:
+    if tag in ("i64", "i32", "ts", "tsn"):
         if tag in ("ts", "tsn"):
             work = work.cast(pa.int64())
         return pd.util.hash_array(
@@ -113,7 +114,9 @@ def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
     if tag in pagecodec.STR_TAGS:
         return pd.util.hash_array(
             work.to_numpy(zero_copy_only=False).astype(object))
-    return None   # floats/arrays: equality pruning is not meaningful
+    # floats/arrays: equality pruning is not meaningful; date/decimal:
+    # no int/str probe form on the lookup side — absence means "scan"
+    return None
 
 
 def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
@@ -199,7 +202,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                             if dec is None:
                                 t_sel = time.monotonic()
                                 planned = plan.get((part, col))
-                                if planned in pagecodec.LEGAL[tag]:
+                                if planned in pagecodec.legal_codecs(tag):
                                     codec0, ftab0 = planned, None
                                 else:
                                     codec0, ftab0 = choose_codec_arrow(piece, tag)
@@ -319,7 +322,9 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
     # Spark's Arrow bridge wants 32-bit-offset string/binary, not large_*
     spark_arrow = dict(pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
                        ts=pa.timestamp("us", tz="UTC"))
-    out_arrow = pa.schema([(c, spark_arrow[t]) for c, t in zip(cols, tags)])
+    out_arrow = pa.schema(
+        [(c, spark_arrow.get(t) or pagecodec.arrow_type_for(t))
+         for c, t in zip(cols, tags)])
 
     def decode_part(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by([("col_idx", "ascending"), ("page_id", "ascending")])
@@ -349,7 +354,7 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         out = []
         for c, t in zip(cols, tags):
             chunks = arrays.get(c, [])
-            want = pagecodec.ARROW_TYPE[t]
+            want = pagecodec.arrow_type_for(t)
             if not chunks:
                 out.append(pa.nulls(0, want))
                 continue
@@ -372,7 +377,7 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
 # strings compare as-is, the int family (incl. epoch-us timestamps and
 # 0/1 bools) as long, floats as double
 _ZONE_CAST = {"i32": "long", "i64": "long", "bool": "long", "ts": "long",
-              "tsn": "long", "f32": "double", "f64": "double"}
+              "tsn": "long", "date": "long", "f32": "double", "f64": "double"}
 
 
 def _column_tag(pages: DataFrame, column: str,
@@ -450,6 +455,8 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
         c = F.col(col)
         if tag in ("ts", "tsn"):  # zone domain is epoch microseconds
             c = F.unix_micros(c.cast("timestamp"))
+        elif tag == "date":       # zone domain is epoch days
+            c = F.datediff(c, F.lit("1970-01-01"))
         elif tag == "bool":
             c = c.cast("long")
         if plo is not None:
@@ -481,9 +488,10 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
                 .filter(keep)
                 .select("data", "params", "codec", "type",
                         "num_values", "null_count"))
-    out_arrow = pa.schema([(column, dict(
-        pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
-        ts=pa.timestamp("us", tz="UTC"))[tag])])
+    _sa = dict(pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
+               ts=pa.timestamp("us", tz="UTC"))
+    out_arrow = pa.schema(
+        [(column, _sa.get(tag) or pagecodec.arrow_type_for(tag))])
     out_schema = T.StructType(
         [T.StructField(column, pagecodec.spark_type_for(tag))])
 
@@ -521,6 +529,8 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
     c = F.col(column)
     if tag in ("ts", "tsn"):
         c = F.unix_micros(c.cast("timestamp"))
+    elif tag == "date":
+        c = F.datediff(c, F.lit("1970-01-01"))
     elif tag == "bool":
         c = c.cast("long")
     if lo is not None:

@@ -174,9 +174,14 @@ def choose_codec_arrow(arr: pa.Array, tag: str):
     work = arr.drop_null() if arr.null_count else arr
     if len(work) == 0:
         return "plain", None
+    from .codecs import pagecodec as _pc
+    if _pc.is_dec(tag):
+        return choose_int_codec(_pc.dec_unscaled(work)), None
     if tag in INT_TAGS:
         if tag in ("ts", "tsn"):
             work = work.cast(pa.int64())
+        elif tag == "date":
+            work = work.cast(pa.int32())
         return choose_int_codec(work.to_numpy(zero_copy_only=False)), None
     if tag in ("f64", "f32"):
         return choose_float_codec(work.to_numpy(zero_copy_only=False)), None

@@ -108,7 +108,12 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
     else:
         if tag in ("ts", "tsn"):
             work = work.cast(pa.int64())
-        v = work.to_numpy(zero_copy_only=False)
+        elif tag == "date":
+            work = work.cast(pa.int32())
+        if pagecodec.is_dec(tag):
+            v = pagecodec.dec_unscaled(work)
+        else:
+            v = work.to_numpy(zero_copy_only=False)
         if tag == "bool":
             v = v.astype(np.int64)
         out["total_bytes"] = int(v.shape[0] * v.dtype.itemsize)
@@ -191,7 +196,8 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
     nd, n = F.col("ndv"), F.col("n_values")
     span_bits = F.ceil(F.log2(F.greatest(F.col("max_v") - F.col("min_v") + 1,
                                          F.lit(2.0))))
-    is_int = F.col("type").isin("i64", "i32", "ts", "tsn")
+    is_int = (F.col("type").isin("i64", "i32", "ts", "tsn", "date")
+              | F.col("type").startswith("dec:"))
     is_str = F.col("type").isin("str", "bin")
     decision = (
         F.when(F.col("type").isin("arrf32", "arrf64"), "listf")
