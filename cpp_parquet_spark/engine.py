@@ -802,16 +802,41 @@ def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
 
 
 def decode_dataset(spark: SparkSession, dst: str,
-                   where: tuple | None = None) -> DataFrame:
+                   where: tuple | None = None,
+                   columns: list[str] | None = None) -> DataFrame:
     """Decode a durable dataset; ``where=(column, lo, hi)`` pushes the
     predicate down to the on-disk zone maps (decode_where) — the pruning
     scan reads only the pages parquet's metadata columns, never the
-    blobs, so at 100 TB a selective range touches a fraction of parts."""
+    blobs, so at 100 TB a selective range touches a fraction of parts.
+
+    ``columns``: projection pushdown for wide tables — only the named
+    columns' page blobs are scanned and decoded (the pages parquet is
+    filtered on its ``column`` metadata field BEFORE any blob read, so a
+    2-column projection of a 100-column table never touches the other
+    98 columns' bytes). The ``where`` column is decoded for its residual
+    filter even when not projected, then dropped."""
     pages = read_committed_pages(spark, dst)
+    if columns is not None:
+        meta = (pages.filter(F.col("col_idx") >= 0)
+                .select("column", "col_idx", "type")
+                .distinct().orderBy("col_idx").collect())
+        known = [r["column"] for r in meta]
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(f"decode_dataset: unknown columns {missing}; "
+                             f"dataset has {known}")
+        need = set(columns) | ({where[0]} if where is not None else set())
+        hint = [(r["column"], r["type"]) for r in meta
+                if r["column"] in need]
+        pages = pages.filter(F.col("column").isin(list(need)))
+        # keep the hint on the filtered frame (decode_table reads it)
+        pages._cps_columns = hint
     if where is not None:
         column, lo, hi = where
-        return decode_where(pages, column, lo, hi, spark)
-    return decode_table(pages, spark)
+        out = decode_where(pages, column, lo, hi, spark)
+    else:
+        out = decode_table(pages, spark)
+    return out.select(*columns) if columns is not None else out
 
 
 def eq_prune(pages: DataFrame, column: str, value) -> DataFrame:

@@ -134,6 +134,69 @@ def sessionize(df: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def stream_dedup_exact(spark: SparkSession, src_dir: str, schema,
+                       dst: str, text_col: str = "content",
+                       id_cols: tuple[str, ...] = (),
+                       checkpoint: str | None = None,
+                       max_files_per_trigger: int = 16):
+    """Cross-micro-batch EXACT dedup at ingest (first-seen wins), the
+    streaming face of ``dedup.exact_*``: a custom stateful operator
+    (``applyInPandasWithState``) keyed by sha256(text) whose state is a
+    single seen flag per key — a duplicate arriving in ANY later
+    micro-batch is dropped, not just within-batch (which is all a plain
+    ``dropDuplicates`` inside ``foreachBatch`` can see).
+
+    Scale shape: one shuffle on the 256-bit content key per micro-batch;
+    state is one boolean per distinct document — the same cardinality a
+    batch exact-dedup's groupBy would shuffle, held incrementally in the
+    checkpoint-backed state store instead of recomputed per run. (For
+    bounded state under unbounded streams, key the state by a rolling
+    retention window via GroupStateTimeout — deliberately NOT defaulted
+    here, because training-corpus dedup wants corpus-lifetime keys.)
+
+    Survivors append to parquet under ``dst/unique``; returns the
+    StreamingQuery."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark.sql.types import StructType
+    checkpoint = checkpoint or os.path.join(dst, "_dedup_checkpoint")
+    if isinstance(schema, str):               # DDL string form
+        schema = StructType.fromDDL(schema)
+    cols = [f.name for f in schema.fields]
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(src_dir)
+           .withColumn("__k", F.sha2(F.col(text_col).cast("binary"), 256)))
+
+    out_type = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in schema.fields)
+
+    def fn(key, pdfs, state):
+        if state.exists:                 # key already emitted: drop all
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][cols]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    out = src.groupBy("__k").applyInPandasWithState(
+        fn, outputStructType=out_type, stateStructType="seen boolean",
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+    return (out.writeStream.format("parquet")
+            .option("path", os.path.join(dst, "unique"))
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_event_counts(spark: SparkSession, src_dir: str, schema,
                           dst: str, window: str = "1 hour",
                           watermark: str = "2 hours",

@@ -265,3 +265,33 @@ def test_corruption_never_silent_without_crc(spark, sf_dir):
         raise
     except Exception:
         pass      # a loud decode failure is an acceptable detection too
+
+
+def test_decode_dataset_column_subset(spark, sf_dir, tmp_path):
+    """Projection pushdown on the durable read path: only the named
+    columns' blobs are scanned/decoded; where-column residual still
+    works when it isn't projected."""
+    from pyspark.sql import functions as F
+    from cpp_parquet_spark.engine import decode_dataset, run_encode
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "ds_subset")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), table_name="documents")
+    run_encode(spark, df, dst, cfg, resume=False)
+    out = decode_dataset(spark, dst, columns=["doc_id", "lang"])
+    assert out.columns == ["doc_id", "lang"]
+    want = df.select("doc_id", "lang")
+    assert out.exceptAll(want).count() == 0
+    assert want.exceptAll(out).count() == 0
+    # where-column (n_chars) not projected: residual filter still applies
+    sel = decode_dataset(spark, dst, where=("n_chars", 100, 2000),
+                         columns=["doc_id"])
+    assert sel.columns == ["doc_id"]
+    want2 = df.filter((F.col("n_chars") >= 100)
+                      & (F.col("n_chars") <= 2000)).select("doc_id")
+    assert sel.exceptAll(want2).count() == 0
+    assert want2.exceptAll(sel).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_dataset(spark, dst, columns=["nope"])

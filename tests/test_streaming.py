@@ -275,3 +275,37 @@ def test_stream_then_compact_and_sql(spark, tmp_path):
     src_rows = src_df.select(*cols)
     assert decoded.exceptAll(src_rows).count() == 0
     assert src_rows.exceptAll(decoded).count() == 0
+
+
+def test_stream_dedup_exact_cross_batch(spark, tmp_path):
+    """Cross-micro-batch stateful dedup: a duplicate document arriving in
+    a LATER micro-batch must be dropped (first-seen wins), which plain
+    within-batch dropDuplicates cannot do."""
+    from cpp_parquet_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "incoming")
+    dst = str(tmp_path / "uniq")
+    # file "a" and file "c" are byte-identical corpora (same seed) in
+    # different files -> guaranteed to land in different micro-batches
+    # with max_files_per_trigger=1; "b" is distinct
+    _drop_files(src, [("a", 100), ("b", 101)], 150)
+    schema = ("repo string, path string, commit string, "
+              "lang string, content string")
+    q = stream_dedup_exact(spark, src, schema, dst,
+                           checkpoint=str(tmp_path / "ck"),
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+    _drop_files(src, [("c", 100)], 150)       # exact dupes of wave "a"
+    q2 = stream_dedup_exact(spark, src, schema, dst,
+                            checkpoint=str(tmp_path / "ck"),
+                            max_files_per_trigger=1)
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(f"{dst}/unique")
+    src_df = spark.read.parquet(f"{src}/*.parquet")
+    n_distinct = src_df.select("content").distinct().count()
+    # one survivor per distinct content, nothing more
+    assert got.count() == n_distinct
+    assert got.select("content").distinct().count() == n_distinct
+    # survivors are real source rows
+    assert got.exceptAll(src_df).count() == 0
