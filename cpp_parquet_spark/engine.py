@@ -448,7 +448,7 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
         p = prune_parts(pages, col, plo, phi,
                         tag=_column_tag(pages, col, cols_hint))
         parts = p if parts is None else parts.join(p, "part_id", "left_semi")
-    pruned = pages.join(F.broadcast(parts), "part_id", "left_semi")
+    pruned = _keep_parts(pages, parts, ["part_id"])
     out = decode_table(pruned, spark, columns=cols_hint)
     for col, plo, phi in preds:
         tag = _column_tag(pages, col, cols_hint)
@@ -930,6 +930,37 @@ def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
     return rows.mapInArrow(kernel, out_schema)
 
 
+#: survivor lists up to this size are applied as a LITERAL part_id
+#: IN-filter (driver-side, metadata-sized) so the parquet scan can skip
+#: whole row groups via min/max stats — a broadcast semi join alone
+#: still SCANS every page blob before dropping the losers, which at
+#: 100 TB makes a point lookup cost a full-table read
+_MAX_LITERAL_PRUNE = 32768
+
+
+def _keep_parts(pages: DataFrame, survivors: DataFrame,
+                keys: list[str]) -> DataFrame:
+    """pages restricted to the survivor (part_id[, run_id]) set.
+
+    Exactness always comes from the broadcast semi join; when the
+    survivor set is small enough to collect (it is metadata-sized — one
+    row per surviving part), a literal ``part_id IN (...)`` filter is
+    applied FIRST so the parquet reader prunes row groups before the
+    blob column is ever materialized."""
+    rows = survivors.limit(_MAX_LITERAL_PRUNE + 1).collect()
+    if len(rows) > _MAX_LITERAL_PRUNE:
+        return pages.join(F.broadcast(survivors), keys, "left_semi")
+    pids = sorted({r["part_id"] for r in rows})
+    if not pids:
+        return pages.limit(0)
+    pre = pages.filter(F.col("part_id").isin(pids))
+    if len(keys) == 1:
+        return pre              # literal filter IS the exact predicate
+    pairs = [f"{r['part_id']}\x1f{r['run_id']}" for r in rows]
+    return pre.filter(F.concat_ws("\x1f", F.col("part_id").cast("string"),
+                                  F.col("run_id")).isin(pairs))
+
+
 def decode_where_in(pages: DataFrame, column: str, values: list,
                     spark: SparkSession | None = None) -> DataFrame:
     """Batched point-lookup decode: one bloom scan for the whole IN list,
@@ -967,7 +998,7 @@ def decode_where_in(pages: DataFrame, column: str, values: list,
                      .join(bloom_parts, keys, "left_anti"))
         survivors = (in_prune(pages, column, values)
                      .unionByName(unindexed).distinct())
-        kept = pages.join(F.broadcast(survivors), keys, "left_semi")
+        kept = _keep_parts(pages, survivors, keys)
     dec = decode_table(kept, spark, columns=cols_hint)
     return dec.filter(F.col(column).isin(values))
 

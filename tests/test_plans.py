@@ -138,3 +138,20 @@ def test_no_shuffle_encode_has_zero_exchanges(docs):
     plan = _plan(encode_table(docs, cfg))
     assert plan.count("Exchange") == 0, plan
     assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+
+
+def test_pushdown_decode_part_filter_reaches_parquet(spark, sf_dir,
+                                                     tmp_path):
+    """decode_where applies the surviving part ids as a LITERAL
+    In(part_id) predicate so the pages-parquet scan skips row groups
+    (a broadcast semi join alone would scan every blob first)."""
+    import os
+    from cpp_parquet_spark.engine import decode_where, read_committed_pages
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "lit")
+    run_encode(spark, df, dst, CFG)
+    pages = read_committed_pages(spark, dst)
+    plan = _plan(decode_where(pages, "n_chars", lo=100, hi=200,
+                              spark=spark))
+    pushed = [seg[:500] for seg in plan.split("PushedFilters")[1:]]
+    assert any("In(part_id" in seg for seg in pushed), plan
