@@ -129,6 +129,22 @@ def q_roundtrip_date_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h").agg(F.count("*").alias("cnt")))
 
 
+def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned decode (projection pushdown, engine.decode_table on
+    a column-filtered pages frame — the decode_dataset(columns=...)
+    mechanism): only doc_id/lang page blobs are touched; aggregate over
+    the decoded subset must match the source table exactly."""
+    df = _read(spark, sf_dir, "documents")
+    pages = encode_table(df, DOCS_CFG)
+    hint = [ct for ct in pages._cps_columns if ct[0] in ("doc_id", "lang")]
+    sub = pages.filter(F.col("column").isin("doc_id", "lang"))
+    decoded = decode_table(sub, columns=hint)
+    return (decoded.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("sum_doc_id"))
+            .orderBy("lang"))
+
+
 def _pages_summary(table: str, cfg: EncodeConfig):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _read(spark, sf_dir, table)
@@ -646,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
         "decode_pushdown_range": q_decode_pushdown_range,
+        "decode_projection": q_decode_projection,
         "scan_column_agg": q_scan_column_agg,
         # training-data pipeline: sequence packing
         "pack_documents": q_pack_documents,
@@ -1260,6 +1277,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
             FROM lineitem
             WHERE l_quantity BETWEEN 10 AND 20""",
+        "decode_projection": """
+            SELECT lang, count(*) AS n, sum(doc_id) AS sum_doc_id
+            FROM documents GROUP BY lang ORDER BY lang""",
         "decode_pushdown_range": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
