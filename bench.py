@@ -327,10 +327,12 @@ QUERIES = {
 }
 
 
-def _membw_at(k: int, mb: int = 64, secs: float = 0.35) -> float:
+def _membw_at(k: int, mb: int = 16, secs: float = 0.35) -> float:
     """Aggregate warmed-buffer memcpy GB/s at EXACTLY k threads (fresh
     buffers — unlike _membw's fixed-k cached probe, this reads the
-    host's bandwidth-vs-parallelism curve)."""
+    host's bandwidth-vs-parallelism curve). 16 MiB per buffer (2 per
+    thread, ~1 GiB transient at k=32) — well past every cache level
+    while leaving the probe itself unable to cause reclaim pressure."""
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
     bufs = []

@@ -65,6 +65,19 @@ _PAGES_ARROW = pa.schema([
 META_COL = "__part_meta__"
 
 
+def _spark_arrow_type(tag: str):
+    """Arrow type for Spark's Arrow bridge: 32-bit-offset string/binary
+    (not large_*), tz-aware us timestamps; parameterized tags (dec:p:s)
+    via pagecodec.arrow_type_for. The ONE place both decode paths read."""
+    override = {"str": pa.string(), "bin": pa.binary(),
+                "ts": pa.timestamp("us", tz="UTC")}
+    if tag in override:
+        return override[tag]
+    if tag in pagecodec.ARROW_TYPE:
+        return pagecodec.ARROW_TYPE[tag]
+    return pagecodec.arrow_type_for(tag)
+
+
 def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[int]:
     """Cut offsets (ascending, ending at len) so each page ~page_bytes."""
     n = len(arr)
@@ -319,15 +332,21 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
     tags = [t for _, t in columns]
     out_fields = [T.StructField(c, pagecodec.spark_type_for(t)) for c, t in zip(cols, tags)]
     out_schema = T.StructType(out_fields)
-    # Spark's Arrow bridge wants 32-bit-offset string/binary, not large_*
-    spark_arrow = dict(pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
-                       ts=pa.timestamp("us", tz="UTC"))
     out_arrow = pa.schema(
-        [(c, spark_arrow.get(t) or pagecodec.arrow_type_for(t))
-         for c, t in zip(cols, tags)])
+        [(c, _spark_arrow_type(t)) for c, t in zip(cols, tags)])
+    # run_id MUST be a page sort key when present: streaming appends
+    # reuse the hash part-id space, so one part_id can hold pages from
+    # several runs with overlapping page_ids — without run_id in the
+    # order, Arrow's stable sort breaks the tie by shuffle-arrival
+    # order, which can differ per column, zipping rows from different
+    # runs together (same bug class as the compact_parts window fix)
+    has_run = "run_id" in pages.columns
+    sort_keys = ([("col_idx", "ascending"), ("run_id", "ascending"),
+                  ("page_id", "ascending")] if has_run else
+                 [("col_idx", "ascending"), ("page_id", "ascending")])
 
     def decode_part(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by([("col_idx", "ascending"), ("page_id", "ascending")])
+        tbl = tbl.sort_by(sort_keys)
         colnames = tbl.column("column").to_pylist()
         params = tbl.column("params").to_pylist()
         codecs = tbl.column("codec").to_pylist()
@@ -488,10 +507,7 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
                 .filter(keep)
                 .select("data", "params", "codec", "type",
                         "num_values", "null_count"))
-    _sa = dict(pagecodec.ARROW_TYPE, str=pa.string(), bin=pa.binary(),
-               ts=pa.timestamp("us", tz="UTC"))
-    out_arrow = pa.schema(
-        [(column, _sa.get(tag) or pagecodec.arrow_type_for(tag))])
+    out_arrow = pa.schema([(column, _spark_arrow_type(tag))])
     out_schema = T.StructType(
         [T.StructField(column, pagecodec.spark_type_for(tag))])
 
@@ -872,12 +888,13 @@ def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
     if not values:
         spark = pages.sparkSession
         return spark.createDataFrame([], out_schema)
+    import numbers
     if all(isinstance(v, (str, bytes)) for v in values):
         tag = "str"
         probe = pa.array([v.decode() if isinstance(v, bytes) else v
                           for v in values])
-    elif all(isinstance(v, int) and not isinstance(v, bool)
-             for v in values):
+    elif all(isinstance(v, numbers.Integral)      # incl. numpy integer
+             and not isinstance(v, (bool, np.bool_)) for v in values):
         tag = "i64"
         probe = pa.array([int(v) for v in values], pa.int64())
     else:
@@ -947,6 +964,10 @@ def _keep_parts(pages: DataFrame, survivors: DataFrame,
     row per surviving part), a literal ``part_id IN (...)`` filter is
     applied FIRST so the parquet reader prunes row groups before the
     blob column is ever materialized."""
+    # one materialization either way: the prune subquery (bloom/zone
+    # kernels) runs once into a local checkpoint; both the literal
+    # collect and the >cap join fallback read the checkpointed rows
+    survivors = survivors.localCheckpoint(eager=False)
     rows = survivors.limit(_MAX_LITERAL_PRUNE + 1).collect()
     if len(rows) > _MAX_LITERAL_PRUNE:
         return pages.join(F.broadcast(survivors), keys, "left_semi")

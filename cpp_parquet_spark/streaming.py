@@ -136,7 +136,6 @@ def sessionize(df: DataFrame, gap: str = "30 minutes",
 
 def stream_dedup_exact(spark: SparkSession, src_dir: str, schema,
                        dst: str, text_col: str = "content",
-                       id_cols: tuple[str, ...] = (),
                        checkpoint: str | None = None,
                        max_files_per_trigger: int = 16):
     """Cross-micro-batch EXACT dedup at ingest (first-seen wins), the

@@ -256,13 +256,15 @@ def pack_sequences(df: DataFrame, length_col: str, budget: int,
     input; a multi-partition input without group_cols raises rather
     than silently funneling the whole table through one task."""
     from pyspark.sql.window import Window
-    if not group_cols and df.rdd.getNumPartitions() > 1:
-        raise ValueError(
-            "pack_sequences without group_cols is one GLOBAL window "
-            "partition — the whole table would funnel through a single "
-            f"task (input has {df.rdd.getNumPartitions()} partitions). "
-            "Pass group_cols=(lang/shard/source,...) to bound per-task "
-            "work, or coalesce(1) explicitly for test-sized data.")
+    if not group_cols:
+        nparts = df.rdd.getNumPartitions()
+        if nparts > 1:
+            raise ValueError(
+                "pack_sequences without group_cols is one GLOBAL window "
+                "partition — the whole table would funnel through a "
+                f"single task (input has {nparts} partitions). Pass "
+                "group_cols=(lang/shard/source,...) to bound per-task "
+                "work, or coalesce(1) explicitly for test-sized data.")
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy()).orderBy(order_col)
     start = F.sum(length_col).over(w) - F.col(length_col)

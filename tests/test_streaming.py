@@ -49,6 +49,15 @@ def test_stream_encode_two_waves(spark, tmp_path):
     res = verify_roundtrip(src_df, decoded, "content")
     assert res["sha256_match_rate"] == 1.0
 
+    # ROW-level multiset equality (per-column sha256 above cannot catch
+    # cross-column misalignment): multi-run parts share part_id AND
+    # page_id across runs, so decode_table's page sort must include
+    # run_id or columns can zip rows from different micro-batches
+    cols = ["repo", "path", "commit", "lang", "content"]
+    d, s = decoded.select(*cols), src_df.select(*cols)
+    assert d.exceptAll(s).count() == 0
+    assert s.exceptAll(d).count() == 0
+
     # manifest lineage: one run_id per micro-batch, all distinct
     manifest = spark.read.parquet(f"{dst}/manifest")
     run_ids = {r["run_id"] for r in manifest.select("run_id").distinct().collect()}

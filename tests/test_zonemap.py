@@ -436,3 +436,23 @@ def test_in_prune_empty_list_and_bad_types(spark, sf_dir):
         in_prune(pages, "doc_id", [1, "x"])
     with _pytest.raises(TypeError):
         in_prune(pages, "doc_id", [True])
+
+
+def test_in_prune_accepts_numpy_integers(spark, sf_dir):
+    """Probe keys often come from numpy/pandas (np.int64) — the type
+    gate must accept Integral, not just builtin int."""
+    import numpy as np
+    from cpp_parquet_spark.engine import (decode_where_eq, encode_table,
+                                          in_prune)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="documents")
+    pages = encode_table(df, cfg)
+    assert in_prune(pages, "doc_id", [np.int64(42)]).count() >= 1
+    got = decode_where_eq(pages, "doc_id", np.int64(42)).count()
+    assert got == 1
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        in_prune(pages, "doc_id", [np.bool_(True)])
