@@ -377,7 +377,11 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
             if not chunks:
                 out.append(pa.nulls(0, want))
                 continue
-            merged = pa.chunked_array(chunks).combine_chunks()
+            # NO combine_chunks: it is a full copy of the decoded
+            # payload (measured ~41 ms / 50 MB even for one chunk);
+            # pa.table accepts chunked columns and to_batches slices
+            # them zero-copy
+            merged = pa.chunked_array(chunks)
             out.append(merged.cast(want) if merged.type != want else merged)
         return pa.table(out, schema=out_arrow)
 
@@ -535,11 +539,15 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
                     dvals[doffs[i]:doffs[i + 1]], params[i], codecs_[i],
                     types_[i], int(nvals[i]), int(nnull[i]))
                 arrs.append(arr)
-            merged = pa.chunked_array(arrs).combine_chunks()
+            # one output batch PER PAGE: no combine_chunks copy of
+            # the decoded payload (the cast is offset-width only)
             want = out_arrow.field(0).type
-            if merged.type != want:
-                merged = merged.cast(want)
-            yield pa.RecordBatch.from_arrays([merged], schema=out_arrow)
+            for arr in arrs:
+                if arr.type != want:
+                    arr = arr.cast(want)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                yield pa.RecordBatch.from_arrays([arr], schema=out_arrow)
 
     out = hot.mapInArrow(decode_pages, out_schema)
     c = F.col(column)
