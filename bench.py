@@ -728,6 +728,8 @@ def main() -> None:
         out["decode_gbps"] = round(
             _DECODE["decoded_bytes"] / _DECODE["decode_s"] / 1e9, 4)
         out["decode_s"] = _DECODE["decode_s"]
+        out["decode_walls"] = _DECODE.get("decode_walls")
+        out["decode_membw"] = _DECODE.get("decode_membw")
     if busy_at:
         out["host_busy_at_query_start"] = busy_at
     if flare_reruns:
