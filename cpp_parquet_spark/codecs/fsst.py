@@ -160,11 +160,22 @@ def _sub_pass(a: np.ndarray, lut_flat: np.ndarray) -> np.ndarray:
 def _with_sentinels(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Interleave SENT after each string: [s0.., SENT, s1.., SENT, ...].
 
-    Index arithmetic in int32 (segment sizes are bounded by SEG_BYTES,
-    far below 2^31) — halves the repeat/arange memory traffic."""
+    Two regimes: few long strings (the usual source-code segment, ~100
+    strings of ~2.5 KB) place each string with ONE slice memcpy — a
+    short Python loop beats building output-length index arrays by ~8x;
+    many tiny strings fall back to the vectorized scatter with int32
+    index arithmetic (segment sizes are bounded by SEG_BYTES << 2^31)."""
     n = lens.shape[0]
     total = codes.shape[0] + n
     a = np.full(total, SENT, dtype=np.uint8)
+    if n <= 512:
+        pos = 0
+        src = 0
+        for ln in lens.tolist():
+            a[pos: pos + ln] = codes[src: src + ln]
+            pos += ln + 1
+            src += ln
+        return a
     sid = np.repeat(np.arange(n, dtype=np.int32), lens)
     a[np.arange(codes.shape[0], dtype=np.int32) + sid] = codes
     return a
@@ -247,10 +258,11 @@ def _encode_segment(data: np.ndarray, lens: np.ndarray,
     # 1:1, in order, onto the OOV bytes of the original data
     is_esc = a == ESC
     is_sent = a == SENT
-    out_w = is_esc.astype(np.int64)       # escape emits 2 bytes
+    # int32 throughout: output size is bounded by 2x the segment bytes
+    out_w = is_esc.astype(np.int32)       # escape emits 2 bytes
     out_w += 1
     out_w[is_sent] = 0                    # sentinels emit nothing
-    offs = np.zeros(a.shape[0] + 1, dtype=np.int64)
+    offs = np.zeros(a.shape[0] + 1, dtype=np.int32)
     np.cumsum(out_w, out=offs[1:])
     out = np.empty(int(offs[-1]), dtype=np.uint8)
     emit = ~is_sent
