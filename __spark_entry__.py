@@ -38,6 +38,12 @@ PART_PREFIX_CFG = EncodeConfig(keys=("p_brand",), salt_from=("p_partkey",),
                                num_parts=4, order_keys=("p_name",),
                                codec_overrides={"p_name": "prefix"},
                                table_name="part")
+# E9 outer block compression (zstd) over the full codec pipeline: same
+# source-histogram oracle as roundtrip_documents_text, so a green row
+# proves zstd-wrapped pages decode bit-identically
+DOCS_ZSTD_CFG = EncodeConfig(keys=("source",), salt_from=("doc_id",),
+                             num_parts=4, order_keys=("doc_id",),
+                             block_codec="zstd", table_name="documents")
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -602,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_part_prefix": _roundtrip_hist("part", PART_PREFIX_CFG,
                                                  "p_name"),
         "roundtrip_date_decimal": q_roundtrip_date_decimal,
+        "roundtrip_documents_zstd": _roundtrip_hist("documents",
+                                                    DOCS_ZSTD_CFG, "text"),
         # stats / selection (E8, S6)
         "stats_cardinality": q_stats_cardinality,
         "stats_run_lengths": q_stats_run_lengths,
@@ -732,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
                 f"count(*) AS cnt FROM {table} GROUP BY 1")
     return {
         "roundtrip_documents_text": rt("documents", "text"),
+        "roundtrip_documents_zstd": rt("documents", "text"),
         "roundtrip_documents_docid": rt("documents", "doc_id", "VARCHAR"),
         "roundtrip_events_props": rt("events", "props"),
         "roundtrip_events_ts":

@@ -34,6 +34,34 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+#: E9 outer block codecs (parquet.thrift:483-494 CompressionCodec analogue).
+#: zlib rides the stdlib; the rest ride pyarrow's bundled compressors.
+#: Arrow decompressors need the uncompressed length, so every non-zlib
+#: blk stores ``ulen`` in params — the same bookkeeping as parquet.thrift's
+#: PageHeader.uncompressed_page_size (parquet.thrift:797-801).
+BLOCK_CODECS = ("zlib", "zstd", "lz4", "snappy", "gzip")
+_ARROW_BLOCK_LEVEL = {"zstd": 3}
+
+
+def _block_compress(name: str, data: bytes) -> bytes:
+    if name == "zlib":
+        return zlib.compress(data, 6)
+    lvl = _ARROW_BLOCK_LEVEL.get(name)
+    codec = pa.Codec(name, compression_level=lvl) if lvl is not None \
+        else pa.Codec(name)
+    return codec.compress(data, asbytes=True)
+
+
+def _block_decompress(name: str, data: bytes, ulen: int | None) -> bytes:
+    if name == "zlib":
+        return zlib.decompress(data)
+    if name not in BLOCK_CODECS:
+        raise ValueError(f"unsupported block codec {name}")
+    if ulen is None:
+        raise ValueError(f"block codec {name} page missing ulen param")
+    return pa.Codec(name).decompress(data, decompressed_size=ulen,
+                                     asbytes=True)
+
 from . import bitpack, dfloat, dictionary, fsst, levels, plain, prefix, rle
 from . import for_ as forc
 
@@ -326,8 +354,12 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
 
     ``block`` (E9, SURVEY.md §2.1): optional outer block compression over
     the framed page bytes — legal for every tag because it wraps the blob
-    AFTER the lightweight codec. ``"zlib"`` is kept only when it actually
-    shrinks the page; the ``blk`` params key tells decode to unwrap.
+    AFTER the lightweight codec. One of ``BLOCK_CODECS`` ("zstd" is the
+    recommended default: ~both faster and smaller than zlib on code/text);
+    kept only when it actually shrinks the page. The ``blk`` params key
+    tells decode to unwrap; non-zlib codecs also store ``ulen`` (the
+    uncompressed length, parquet.thrift:797-801's uncompressed_page_size
+    analogue) because Arrow decompressors require the output size.
     Off by default: the engine's identity is lightweight codecs, and the
     ≤-reference size bar is met without it (BASELINE.md).
 
@@ -358,13 +390,15 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
             codec = "plain"
             body, params = _encode_values(vals, tag, codec, fsst_table)
     data = np.uint32(len(def_stream)).tobytes() + def_stream + body
-    if block == "zlib" and len(data) > 64:
-        comp = zlib.compress(data, 6)
-        if len(comp) < len(data):
-            data = comp
-            params = {**params, "blk": "zlib"}
-    elif block not in (None, "zlib"):
+    if block is not None and block not in BLOCK_CODECS:
         raise ValueError(f"unsupported block codec {block}")
+    if block is not None and len(data) > 64:
+        comp = _block_compress(block, data)
+        if len(comp) < len(data):
+            params = {**params, "blk": block}
+            if block != "zlib":
+                params["ulen"] = len(data)
+            data = comp
     if crc:
         params = {**params, "crc": zlib.crc32(data)}
     return {
@@ -445,8 +479,9 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
                 f"computed {zlib.crc32(data)} over {len(data)} bytes")
     if '"blk"' in params_json:
         p = json.loads(params_json)
-        if p.get("blk") == "zlib":
-            data = zlib.decompress(data)
+        blk = p.get("blk")
+        if blk is not None:
+            data = _block_decompress(blk, data, p.get("ulen"))
     def_len = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
     body = data[4 + def_len :]
     n = num_values

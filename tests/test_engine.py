@@ -146,13 +146,14 @@ def test_embeddings_roundtrip(spark, sf_dir):
             assert math.isclose(a, b, rel_tol=0.0, abs_tol=0.0) or a == b
 
 
-def test_block_zlib_end_to_end(spark, sf_dir):
+@pytest.mark.parametrize("blk", ["zlib", "zstd"])
+def test_block_codec_end_to_end(spark, sf_dir, blk):
     """E9 through the full pipeline: block-compressed pages decode to
     sha256-identical values and shrink compressible text columns."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base_cfg = TABLES["documents"]
     from dataclasses import replace
-    cfg = replace(base_cfg, block_codec="zlib",
+    cfg = replace(base_cfg, block_codec=blk,
                   codec_overrides={"text": "plain"})
     pages = encode_table(df, cfg).cache()
     try:
@@ -173,7 +174,8 @@ def test_suggest_block_codec(spark, sf_dir):
     st = column_stats(df, TABLES["documents"], fraction=1.0).cache()
     try:
         # natural-language text sits well under 6.5 bits/byte
-        assert suggest_block_codec(st) == "zlib"
+        assert suggest_block_codec(st) == "zstd"
+        assert suggest_block_codec(st, prefer="zlib") == "zlib"
         assert suggest_block_codec(st, entropy_max=0.5) is None
     finally:
         st.unpersist()

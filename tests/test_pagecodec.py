@@ -94,12 +94,14 @@ def test_raw_bytes_accounting():
     assert row["enc_bytes"] == len(row["data"])
 
 
+@pytest.mark.parametrize("blk", ["zlib", "zstd"])
 @pytest.mark.parametrize("tag,codec,s", CASES,
                          ids=[f"blk-{t}-{c}" for t, c, _ in CASES])
-def test_page_roundtrip_with_block_zlib(tag, codec, s):
-    """E9: outer zlib wraps every (tag, codec) page and round-trips."""
+def test_page_roundtrip_with_block(blk, tag, codec, s):
+    """E9: outer block compression wraps every (tag, codec) page and
+    round-trips (zlib + the preferred zstd)."""
     s = s.reset_index(drop=True)
-    row = pc.encode_page(s, tag, codec, block="zlib")
+    row = pc.encode_page(s, tag, codec, block=blk)
     assert row["enc_bytes"] == len(row["data"])
     arr = pc.decode_page(row["data"], row["params"], row["codec"],
                          row["type"], row["num_values"], row["null_count"])
@@ -109,6 +111,27 @@ def test_page_roundtrip_with_block_zlib(tag, codec, s):
     elif tag == "str":
         expect = expect.cast(pa.large_string())
     assert arr.cast(expect.type).equals(expect), f"{tag}/{codec} blk mismatch"
+
+
+@pytest.mark.parametrize("blk", ["zstd", "lz4", "snappy", "gzip"])
+def test_block_arrow_codecs_roundtrip_and_ulen(blk):
+    """Non-zlib E9 codecs store ulen (Arrow decompress needs the output
+    size) and round-trip byte-identically."""
+    import json
+    s = pd.Series(["def f(x):\n    return x + 1\n" * 30] * 100)
+    row = pc.encode_page(s, "str", "plain", block=blk)
+    p = json.loads(row["params"])
+    assert p.get("blk") == blk
+    assert p.get("ulen", 0) > row["enc_bytes"]  # it compressed
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert arr.cast(pa.large_string()).to_pylist() == s.tolist()
+
+
+def test_block_unknown_codec_rejected():
+    s = pd.Series(["x" * 200])
+    with pytest.raises(ValueError, match="unsupported block codec"):
+        pc.encode_page(s, "str", "plain", block="lzma")
 
 
 def test_block_zlib_only_kept_when_smaller():
