@@ -508,6 +508,27 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(dot), 6).alias("l2norm"))
 
 
+def q_roundtrip_embeddings_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<float> through the byte-stream-split composite (listb,
+    parquet.thrift:620-630) under E9 zstd block compression: with
+    block_codec set, codec auto-selection routes float arrays to listb so
+    the outer codec compresses the grouped byte planes. Same source-table
+    oracle as roundtrip_embeddings — a green row proves the
+    split+compress+decompress+unsplit trip is bit-identical."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cfg = EncodeConfig(keys=("label",), salt_from=("vec_id",), num_parts=4,
+                       order_keys=("vec_id",), block_codec="zstd",
+                       table_name="embeddings")
+    decoded = decode_table(encode_table(emb, cfg))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return decoded.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2norm"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -664,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_error": q_emb_quantize_error,
         # array<float> codec roundtrip (listf)
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_embeddings_bss": q_roundtrip_embeddings_bss,
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # zone-map predicate-pushdown decode
@@ -1247,6 +1269,12 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS cos_sim
             FROM e ORDER BY id""",
         "roundtrip_embeddings": """
+            SELECT vec_id, len(embedding) AS dim,
+                   round(sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))), 6) AS l2norm
+            FROM embeddings""",
+        "roundtrip_embeddings_bss": """
             SELECT vec_id, len(embedding) AS dim,
                    round(sqrt(list_inner_product(
                        CAST(embedding AS DOUBLE[]),

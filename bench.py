@@ -140,6 +140,27 @@ def q_encode_repofiles(spark: SparkSession) -> None:
              "ratio": round(row["raw"] / row["enc"], 3)}
 
 
+_SIZE_ZSTD: dict | None = None
+
+
+def q_encode_repofiles_zstd(spark: SparkSession) -> None:
+    """Auto codecs + E9 zstd block compression (round 3): the max-
+    compression configuration. bss/listb byte-stream-split layouts kick
+    in for float columns under the block codec; text pages get
+    fsst-then-zstd. Records the size block for the JSON
+    ``size.zstd_*`` ratio receipts."""
+    global _SIZE_ZSTD
+    df = _repofiles_df(spark)
+    cfg = _repo_cfg("repofiles_zstd")
+    from dataclasses import replace
+    cfg = replace(cfg, block_codec="zstd")
+    row = (encode_table(df, cfg)
+           .agg(F.sum("raw_bytes").alias("raw"),
+                F.sum("enc_bytes").alias("enc")).collect()[0])
+    _SIZE_ZSTD = {"raw_bytes": int(row["raw"]), "enc_bytes": int(row["enc"]),
+                  "ratio": round(row["raw"] / row["enc"], 3)}
+
+
 def _standin_sizes() -> dict | None:
     """Stand-in reference writer (pyarrow, the toy cpp-parquet's codec
     set): PLAIN/UNCOMPRESSED file size + single-thread write wall over
@@ -312,6 +333,7 @@ def q_ann_topk(spark: SparkSession) -> None:
 
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
+    "encode_repofiles_zstd": q_encode_repofiles_zstd,
     "encode_repofiles_plain": q_encode_repofiles_plain,
     "encode_repofiles_noshuffle": q_encode_repofiles_noshuffle,
     "roundtrip_repofiles": q_roundtrip_repofiles,
@@ -673,7 +695,8 @@ def main() -> None:
     # ONE re-run after the idle gate and the min is reported, with the
     # re-run recorded in `flare_reruns` so the JSON stays honest
     expected = {
-        "encode_repofiles": 3.5, "encode_repofiles_plain": 1.6,
+        "encode_repofiles": 3.5, "encode_repofiles_zstd": 4.5,
+        "encode_repofiles_plain": 1.6,
         "encode_repofiles_noshuffle": 2.0, "roundtrip_repofiles": 9.0,
         # decode runs 3 reps internally (min-of-reps handles flares
         # itself, so no outer flare-rerun wanted -> generous bound)
@@ -744,6 +767,12 @@ def main() -> None:
                 size["enc_bytes"] / standin["plain_bytes"], 3)
             size["standin_gbps"] = round(
                 content_bytes / standin["plain_write_s"] / 1e9, 4)
+        if _SIZE_ZSTD is not None:
+            size["zstd_enc_bytes"] = _SIZE_ZSTD["enc_bytes"]
+            size["zstd_ratio"] = _SIZE_ZSTD["ratio"]
+            if standin is not None:
+                size["zstd_vs_standin"] = round(
+                    _SIZE_ZSTD["enc_bytes"] / standin["plain_bytes"], 3)
         out["size"] = size
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

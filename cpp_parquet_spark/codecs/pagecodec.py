@@ -62,7 +62,7 @@ def _block_decompress(name: str, data: bytes, ulen: int | None) -> bytes:
     return pa.Codec(name).decompress(data, decompressed_size=ulen,
                                      asbytes=True)
 
-from . import bitpack, dfloat, dictionary, fsst, levels, plain, prefix, rle
+from . import bitpack, bss, dfloat, dictionary, fsst, levels, plain, prefix, rle
 from . import for_ as forc
 
 INT_TAGS = {"i64", "i32", "ts", "tsn", "date"}
@@ -73,10 +73,10 @@ ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
     **{t: ("plain", "for", "delta", "rle", "dict", "bitpack") for t in INT_TAGS},
-    **{t: ("plain", "dict", "dfloat") for t in FLOAT_TAGS},
+    **{t: ("plain", "dict", "dfloat", "bss") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
     **{t: ("plain", "dict", "fsst", "prefix") for t in STR_TAGS},
-    **{t: ("listf",) for t in ARR_TAGS},
+    **{t: ("listf", "listb") for t in ARR_TAGS},
 }
 
 _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
@@ -223,12 +223,15 @@ def _arr_split(arr: pa.Array, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarr
 
 
 def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, dict]:
-    if codec == "listf":
+    if codec in ("listf", "listb"):
         # array<float>/<double>: list lengths through the FOR-framed RLE
         # int path (constant embedding dims collapse to a few bytes),
-        # child values PLAIN little-endian
+        # child values PLAIN little-endian ("listf") or byte-stream-split
+        # ("listb", parquet.thrift:620-630 — size-neutral alone, but the
+        # E9 outer block codec compresses the grouped exponent/sign
+        # planes far better than interleaved floats)
         if tag not in ARR_TAGS:
-            raise ValueError("listf is for array<float>/array<double>")
+            raise ValueError(f"{codec} is for array<float>/array<double>")
         arr = vals
         want = ARROW_TYPE[tag]
         if arr.type != want:
@@ -239,10 +242,16 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
         ldata, lp = _encode_values(lens, "i64", "rle")
         child = arr.flatten()
         dt = np.float32 if tag == "arrf32" else np.float64
-        vbytes = np.ascontiguousarray(
-            child.to_numpy(zero_copy_only=False), dtype=dt).tobytes()
+        cvals = np.ascontiguousarray(
+            child.to_numpy(zero_copy_only=False), dtype=dt)
+        vbytes = bss.split_bytes(cvals) if codec == "listb" \
+            else cvals.tobytes()
         body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
         return body, {"lens": lp}
+    if codec == "bss":
+        if tag not in FLOAT_TAGS:
+            raise ValueError("bss is float-only")
+        return bss.encode(vals, tag)
     if codec == "dfloat":
         if tag not in FLOAT_TAGS:
             raise ValueError("dfloat is float-only")
@@ -288,7 +297,9 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
 def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
     if codec == "dfloat":
         return dfloat.decode(data, params, k)
-    if codec == "listf":
+    if codec == "bss":
+        return bss.decode(data, params, k, tag)
+    if codec in ("listf", "listb"):
         llen = int(np.frombuffer(data[:4], np.uint32)[0])
         lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
                                          "rle", "i64", k))
@@ -296,8 +307,12 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
         offs[1:] = np.cumsum(lens).astype(np.int32)
         dt = pa.float32() if tag == "arrf32" else pa.float64()
         npdt = np.float32 if tag == "arrf32" else np.float64
-        child = np.frombuffer(data[4 + llen:], dtype=npdt,
-                              count=int(offs[-1]))
+        nchild = int(offs[-1])
+        if codec == "listb":
+            child = bss.unsplit_bytes(data[4 + llen:], nchild, npdt)
+        else:
+            child = np.frombuffer(data[4 + llen:], dtype=npdt,
+                                  count=nchild)
         return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                         pa.array(child, dt))
     if codec == "plain":
@@ -387,7 +402,8 @@ def encode_page(values, tag: str, codec: str, fsst_table=None,
                 raise
             # parquet-style per-page fallback: this page isn't exactly
             # scaled-decimal even though the chunk decision said dfloat
-            codec = "plain"
+            # (bss when a block codec will compress the byte planes)
+            codec = "bss" if block else "plain"
             body, params = _encode_values(vals, tag, codec, fsst_table)
     data = np.uint32(len(def_stream)).tobytes() + def_stream + body
     if block is not None and block not in BLOCK_CODECS:

@@ -218,7 +218,8 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                                 if planned in pagecodec.legal_codecs(tag):
                                     codec0, ftab0 = planned, None
                                 else:
-                                    codec0, ftab0 = choose_codec_arrow(piece, tag)
+                                    codec0, ftab0 = choose_codec_arrow(
+                                        piece, tag, block)
                                 if codec0 == "fsst" and ftab0 is None:
                                     # train the chunk-wide table once on the
                                     # first page (256 KiB cap); selection's

@@ -84,7 +84,7 @@ def choose_int_codec(v: np.ndarray) -> str:
     return min(order, key=lambda c: est.get(c, float("inf")))
 
 
-def choose_float_codec(v: np.ndarray) -> str:
+def choose_float_codec(v: np.ndarray, block: str | None = None) -> str:
     n = v.shape[0]
     if n == 0:
         return "plain"
@@ -97,7 +97,11 @@ def choose_float_codec(v: np.ndarray) -> str:
         if bit_width_for(span) <= 48:       # beats 64-bit plain w/ headroom
             return "dfloat"
     nd = len(np.unique(v[idx]))
-    return "dict" if nd <= max(16, idx.shape[0] // 10) else "plain"
+    if nd <= max(16, idx.shape[0] // 10):
+        return "dict"
+    # bss (BYTE_STREAM_SPLIT) is size-neutral alone; only worth it when an
+    # E9 outer block codec will compress the grouped byte planes
+    return "bss" if block else "plain"
 
 
 def choose_string_codec(arr: pa.Array) -> tuple[str, object]:
@@ -164,11 +168,13 @@ def choose_string_codec(arr: pa.Array) -> tuple[str, object]:
     return best, (table if best == "fsst" else None)
 
 
-def choose_codec_arrow(arr: pa.Array, tag: str):
+def choose_codec_arrow(arr: pa.Array, tag: str, block: str | None = None):
     """pa.Array + tag -> (codec, fsst_table_or_None). Deterministic.
 
     The per-page entry point used by the encode kernel (nulls are handled
-    by the page framing; selection looks at present values only)."""
+    by the page framing; selection looks at present values only).
+    ``block`` is the configured E9 outer block codec (or None): floats and
+    float arrays flow to byte-stream-split layouts when it is set."""
     if tag == "bool":
         return "rle", None
     work = arr.drop_null() if arr.null_count else arr
@@ -184,15 +190,16 @@ def choose_codec_arrow(arr: pa.Array, tag: str):
             work = work.cast(pa.int32())
         return choose_int_codec(work.to_numpy(zero_copy_only=False)), None
     if tag in ("f64", "f32"):
-        return choose_float_codec(work.to_numpy(zero_copy_only=False)), None
+        return choose_float_codec(work.to_numpy(zero_copy_only=False),
+                                  block), None
     if tag in STR_TAGS:
         return choose_string_codec(work)
     if tag in pagecodec_ARR_TAGS:
-        return "listf", None
+        return ("listb" if block else "listf"), None
     return "plain", None
 
 
-def choose_codec(s, tag: str):
+def choose_codec(s, tag: str, block: str | None = None):
     """pandas Series + tag -> (codec, fsst_table_or_None). Deterministic."""
     if tag == "bool":
         return "rle", None
@@ -204,7 +211,7 @@ def choose_codec(s, tag: str):
             arr = v.to_numpy(dtype=np.int64)
         return choose_int_codec(arr), None
     if tag in ("f64", "f32"):
-        return choose_float_codec(s.dropna().to_numpy()), None
+        return choose_float_codec(s.dropna().to_numpy(), block), None
     if tag in STR_TAGS:
         arr = pa.Array.from_pandas(s)
         arr = arr.cast(pa.large_string() if tag == "str" else pa.large_binary())

@@ -185,7 +185,8 @@ def column_stats(df: DataFrame, cfg: EncodeConfig, fraction: float = 0.05,
     return prepared.mapInArrow(kernel, STATS_SCHEMA)
 
 
-def decide_codecs(stats: DataFrame) -> DataFrame:
+def decide_codecs(stats: DataFrame,
+                  block_codec: str | None = None) -> DataFrame:
     """Deterministic decision expression over the stats table — the
     plan-level mirror of select.choose_codec's page-level measurement.
 
@@ -199,8 +200,15 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
     is_int = (F.col("type").isin("i64", "i32", "ts", "tsn", "date")
               | F.col("type").startswith("dec:"))
     is_str = F.col("type").isin("str", "bin")
+    # with an E9 outer block codec configured, byte-stream-split layouts
+    # (parquet.thrift:620-630) become the float fallback: size-neutral on
+    # their own, but the grouped exponent/sign byte planes compress far
+    # better under zstd/zlib than interleaved PLAIN floats
+    arr_codec = "listb" if block_codec else "listf"
+    float_fallback = "bss" if block_codec else "plain"
+    is_float = F.col("type").isin("f64", "f32")
     decision = (
-        F.when(F.col("type").isin("arrf32", "arrf64"), "listf")
+        F.when(F.col("type").isin("arrf32", "arrf64"), arr_codec)
         .when(F.col("type") == "bool", "rle")
         # rle is only legal for int/bool tags (pagecodec.LEGAL); gating the
         # run rule keeps run-heavy float/string chunks flowing to their own
@@ -222,9 +230,9 @@ def decide_codecs(stats: DataFrame) -> DataFrame:
               & (1.0 - F.col("prefix_frac") < F.col("byte_entropy") / 8.0),
               "prefix")
         .when(is_str & (F.col("byte_entropy") <= 6.2), "fsst")
-        .when(F.col("type").isin("f64", "f32") & (F.col("dec_scale") > 0),
-              "dfloat")
-        .when(F.col("type").isin("f64", "f32") & (nd <= n / 8), "dict")
+        .when(is_float & (F.col("dec_scale") > 0), "dfloat")
+        .when(is_float & (nd <= n / 8), "dict")
+        .when(is_float, float_fallback)
         .otherwise("plain"))
     return stats.select("part_id", "column", decision.alias("codec"))
 
@@ -260,5 +268,6 @@ def plan_decisions(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                    ) -> dict[tuple[int, str], str]:
     """Run the sampling pass and collect the (small) decisions table into
     the dict the encode kernel consumes. Size = num_parts * n_columns."""
-    dec = decide_codecs(column_stats(df, cfg, fraction, seed))
+    dec = decide_codecs(column_stats(df, cfg, fraction, seed),
+                        block_codec=cfg.block_codec)
     return {(r["part_id"], r["column"]): r["codec"] for r in dec.collect()}

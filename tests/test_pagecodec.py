@@ -186,3 +186,111 @@ def test_page_crc_composes_with_block_zlib():
     with pytest.raises(pc.PageCorruptError):
         pc.decode_page(bytes(bad), row["params"], row["codec"],
                        row["type"], row["num_values"], row["null_count"])
+
+
+# --- BYTE_STREAM_SPLIT (bss / listb, parquet.thrift:620-630) ------------
+
+def _bits(a: np.ndarray) -> np.ndarray:
+    w = a.dtype.itemsize
+    return a.view(np.int32 if w == 4 else np.int64)
+
+
+@pytest.mark.parametrize("tag", ["f32", "f64"])
+def test_bss_bit_exact_specials(tag):
+    """bss is a byte permutation: NaN payloads, -0.0, infinities and
+    subnormals must survive BIT-identically (== would hide -0.0/NaN)."""
+    dt = np.float32 if tag == "f32" else np.float64
+    sub = np.finfo(dt).smallest_subnormal
+    v = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, -np.nan,
+                  sub, -sub, 1.5, -2.75e30], dtype=dt)
+    # a NaN with a non-default payload
+    v[5] = np.array([0x7FC00123 if tag == "f32" else 0x7FF8000000000123],
+                    dtype=np.int32 if tag == "f32" else np.int64
+                    ).view(dt)[0]
+    # Arrow entry (the engine's real mapInArrow path): NaN is a VALUE
+    # there — the pandas Series entry would coerce NaN to null
+    s = pa.array(v, type=pa.float32() if tag == "f32" else pa.float64())
+    row = pc.encode_page(s, tag, "bss")
+    assert row["null_count"] == 0
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    got = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=dt)
+    assert np.array_equal(_bits(got), _bits(v))
+
+
+@pytest.mark.parametrize("tag", ["f32", "f64"])
+def test_bss_roundtrip_with_nulls_and_block(tag):
+    dt = np.float32 if tag == "f32" else np.float64
+    base = (1000.0 + RNG.standard_normal(500)).astype(dt)
+    s = pd.Series(base).mask(pd.Series(RNG.random(500) < 0.2))
+    row = pc.encode_page(s, tag, "bss", block="zstd")
+    assert row["null_count"] == int(s.isna().sum())
+    arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    expect = pa.Array.from_pandas(s).cast(
+        pa.float32() if tag == "f32" else pa.float64())
+    assert arr.cast(expect.type).equals(expect)
+
+
+def test_bss_empty_and_single():
+    for n in (0, 1):
+        s = pd.Series(np.arange(n, dtype=np.float64) + 0.5)
+        row = pc.encode_page(s, "f64", "bss")
+        arr = pc.decode_page(row["data"], row["params"], row["codec"],
+                             row["type"], row["num_values"],
+                             row["null_count"])
+        assert arr.to_pylist() == s.tolist()
+
+
+def test_bss_blocks_compress_better_than_plain():
+    """The reason bss exists: similar-magnitude floats share exponent/sign
+    bytes, so grouping byte planes lets the block codec see the runs."""
+    v = (12345.0 + RNG.standard_normal(8192)).astype(np.float64)
+    s = pd.Series(v)
+    plain_z = pc.encode_page(s, "f64", "plain", block="zstd")
+    bss_z = pc.encode_page(s, "f64", "bss", block="zstd")
+    assert bss_z["enc_bytes"] < plain_z["enc_bytes"]
+
+
+@pytest.mark.parametrize("tag", ["arrf32", "arrf64"])
+def test_listb_roundtrip_bit_exact(tag):
+    dt = np.float32 if tag == "arrf32" else np.float64
+    pdt = pa.float32() if tag == "arrf32" else pa.float64()
+    rows = [((100.0 + RNG.standard_normal(16)).astype(dt)).tolist()
+            for _ in range(64)]
+    rows[3] = []                     # empty vector
+    rows[7] = [float("nan"), float("-inf"), -0.0]
+    arr = pa.array(rows, type=pa.list_(pdt))
+    row = pc.encode_page(arr, tag, "listb", block="zstd")
+    got = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    gf = np.asarray(got.flatten().to_numpy(zero_copy_only=False), dtype=dt)
+    ef = np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=dt)
+    assert np.array_equal(_bits(gf), _bits(ef))
+    assert got.offsets.to_pylist() == [0] + list(
+        np.cumsum([len(r) for r in rows]))
+
+
+def test_listb_smaller_than_listf_under_block():
+    dt = np.float32
+    rows = [((3.0 + RNG.standard_normal(64)).astype(dt)).tolist()
+            for _ in range(256)]
+    arr = pa.array(rows, type=pa.list_(pa.float32()))
+    f = pc.encode_page(arr, "arrf32", "listf", block="zstd")
+    b = pc.encode_page(arr, "arrf32", "listb", block="zstd")
+    assert b["enc_bytes"] < f["enc_bytes"]
+
+
+def test_float_selection_prefers_bss_only_under_block():
+    from cpp_parquet_spark.select import choose_codec_arrow
+    v = pa.array((7.0 + RNG.standard_normal(4096)).astype(np.float64))
+    assert choose_codec_arrow(v, "f64")[0] == "plain"
+    assert choose_codec_arrow(v, "f64", block="zstd")[0] == "bss"
+    emb = pa.array([[1.0, 2.0], [3.5]], type=pa.list_(pa.float32()))
+    assert choose_codec_arrow(emb, "arrf32")[0] == "listf"
+    assert choose_codec_arrow(emb, "arrf32", block="zstd")[0] == "listb"
+    # decimal-like floats still win dfloat even under a block codec
+    # (+10 offset: rounding tiny negatives yields -0.0, which correctly
+    # disqualifies dfloat — int64 storage would drop the sign)
+    dec = pa.array(np.round((10 + RNG.standard_normal(4096)) * 100) / 100)
+    assert choose_codec_arrow(dec, "f64", block="zstd")[0] == "dfloat"

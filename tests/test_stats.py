@@ -116,3 +116,35 @@ def test_prefix_frac_and_plan(spark):
         assert dec[(0, "rnd")] != "prefix"
     finally:
         st.unpersist()
+
+
+def test_decide_codecs_block_codec_flips_float_fallback(spark):
+    """With an E9 block codec configured the plan routes high-cardinality
+    non-decimal floats to bss and float arrays to listb; without it the
+    same stats yield plain/listf (bss is size-neutral alone)."""
+    import numpy as np
+    import pandas as pd
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    from cpp_parquet_spark.stats import column_stats, decide_codecs
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "grp": ["g"] * 2000,
+        "noise": 3.0 + rng.standard_normal(2000),      # non-decimal floats
+        "price": np.round(rng.random(2000) * 90 + 1, 2),   # decimal-like
+        "vec": [rng.standard_normal(8).astype(np.float32).tolist()
+                for _ in range(2000)],
+    })
+    df = spark.createDataFrame(pdf)
+    cfg = EncodeConfig(keys=("grp",), salt_from=(), num_parts=1,
+                       order_keys=(), table_name="fb")
+    st = column_stats(df, cfg, fraction=1.0).cache()
+    try:
+        base = {r["column"]: r["codec"] for r in decide_codecs(st).collect()}
+        blk = {r["column"]: r["codec"]
+               for r in decide_codecs(st, block_codec="zstd").collect()}
+        assert base["noise"] == "plain" and blk["noise"] == "bss"
+        assert base["vec"] == "listf" and blk["vec"] == "listb"
+        # decimal-like floats keep dfloat either way
+        assert base["price"] == "dfloat" and blk["price"] == "dfloat"
+    finally:
+        st.unpersist()
