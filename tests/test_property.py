@@ -138,3 +138,25 @@ def test_float_roundtrip_dfloat_and_plain(xs):
         b = np.asarray(xs, dtype=np.float64)
         # BIT equality: -0.0 vs 0.0 and extreme magnitudes must survive
         assert a.view(np.int64).tolist() == b.view(np.int64).tolist(), codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=300),
+       st.sampled_from(["f32", "f64"]))
+def test_bss_roundtrip_arbitrary_bit_patterns(bits, tag):
+    """bss over ARBITRARY float bit patterns (ints reinterpreted as
+    floats): every NaN payload, subnormal, inf, and -0.0 the bit space
+    can express must survive bit-identically — with and without the E9
+    zstd wrapper."""
+    npdt = np.float32 if tag == "f32" else np.float64
+    idt = np.int32 if tag == "f32" else np.int64
+    v = np.array(bits, dtype=np.int64).astype(idt).view(npdt)
+    arr = pa.array(v, pa.float32() if tag == "f32" else pa.float64())
+    for block in (None, "zstd"):
+        row = pagecodec.encode_page(arr, tag, "bss", block=block)
+        out = pagecodec.decode_page(row["data"], row["params"],
+                                    row["codec"], tag, row["num_values"],
+                                    row["null_count"])
+        got = np.asarray(out.to_numpy(zero_copy_only=False), dtype=npdt)
+        assert np.array_equal(got.view(idt), v.view(idt))

@@ -199,3 +199,28 @@ def test_compact_parts_end_to_end(spark, sf_dir, tmp_path):
     # second compaction: single live bin -> no-op
     res2 = compact_parts(spark, dst, min_bytes=1 << 30)
     assert res2["bins"] == 0
+
+
+def test_submit_entry_auto_block_codec(spark, sf_dir, tmp_path, monkeypatch):
+    """tools/submit_encode --block-codec auto: the stats pass picks the E9
+    codec from byte entropy BEFORE planning (so the plan routes floats to
+    bss/listb), and the decode-verify leg proves bit-identity."""
+    import json
+    import sys
+
+    import tools.submit_encode as se
+
+    printed = []
+    monkeypatch.setattr("builtins.print",
+                        lambda *a, **k: printed.append(a[0] if a else ""))
+    # keep the session alive for the rest of the suite
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    dst = str(tmp_path / "auto_blk")
+    se.main(["--src", sf_dir, "--table", "documents", "--dst", dst,
+             "--parts", "4", "--keys", "source", "--salt-from", "doc_id",
+             "--order-keys", "doc_id", "--stats-pass",
+             "--block-codec", "auto", "--decode-verify"])
+    summary = json.loads(printed[-1])
+    assert summary["block_codec"] == "zstd"
+    assert summary["verify"]["sha256_match_rate"] == 1.0
+    assert summary["enc_bytes"] < summary["raw_bytes"]

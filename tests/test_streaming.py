@@ -318,3 +318,33 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path):
     assert got.select("content").distinct().count() == n_distinct
     # survivors are real source rows
     assert got.exceptAll(src_df).count() == 0
+
+
+def test_stream_encode_with_block_codec_and_bss(spark, tmp_path):
+    """E9/E10 compose with the streaming path: zstd-wrapped pages written
+    by micro-batches decode sha256-identically, and the per-page blk
+    marker is present on compressible pages."""
+    import json as _json
+
+    from dataclasses import replace
+
+    src = str(tmp_path / "in_blk")
+    dst = str(tmp_path / "enc_blk")
+    _drop_files(src, [("a", 100)], 300)
+    schema = ("repo string, path string, commit string, "
+              "lang string, content string")
+    q = stream_encode(spark, src, schema, dst,
+                      replace(CFG, block_codec="zstd"))
+    q.awaitTermination(120)
+
+    from cpp_parquet_spark.engine import read_committed_pages
+    pages = read_committed_pages(spark, dst)
+    blks = [(_json.loads(r["params"]) or {}).get("blk")
+            for r in pages.filter(F.col("column") == "content")
+                          .select("params").collect()]
+    assert "zstd" in blks   # big text pages compressed
+
+    decoded = decode_dataset(spark, dst)
+    src_df = spark.read.parquet(src)
+    res = verify_roundtrip(src_df, decoded, "content")
+    assert res["sha256_match_rate"] == 1.0

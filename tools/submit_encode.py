@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="run the sampling stats pass and drive codec "
                          "selection from its per-(part, column) decisions")
     ap.add_argument("--stats-fraction", type=float, default=0.05)
+    ap.add_argument("--block-codec", default=None,
+                    help="E9 outer block compression: zstd/zlib/lz4/"
+                         "snappy/gzip, or 'auto' to let the stats pass "
+                         "decide from byte entropy (requires "
+                         "--stats-pass); floats flow to byte-stream-"
+                         "split layouts (bss/listb) when set")
     ap.add_argument("--compact", action="store_true",
                     help="after encode, merge live parts smaller than "
                          "--compact-min-bytes into ~--compact-target-bytes "
@@ -95,24 +101,45 @@ def main(argv: list[str] | None = None) -> None:
         ).collect()[0][0] or 0
         parts = plan_num_parts(int(sample * 100))
 
+    block = args.block_codec
+    if block == "auto" and not args.stats_pass:
+        ap.error("--block-codec auto requires --stats-pass")
+
     cfg = EncodeConfig(
         keys=tuple(k for k in args.keys.split(",") if k),
         salt_from=tuple(k for k in args.salt_from.split(",") if k),
         salt_buckets=args.salt_buckets,
         num_parts=parts,
         order_keys=tuple(k for k in args.order_keys.split(",") if k),
+        block_codec=None if block == "auto" else block,
         table_name=name)
 
     plan = None
     if args.stats_pass:
-        from cpp_parquet_spark.stats import plan_decisions
-        plan = plan_decisions(spark, df, cfg, fraction=args.stats_fraction)
+        from dataclasses import replace
+
+        from cpp_parquet_spark.stats import (column_stats, decide_codecs,
+                                             suggest_block_codec)
+        st = column_stats(df, cfg, args.stats_fraction).cache()
+        try:
+            if block == "auto":
+                # decide E9 from the sampled byte entropy BEFORE the codec
+                # plan: the plan's float/array routing (bss/listb) depends
+                # on whether a block codec will compress the byte planes
+                cfg = replace(cfg, block_codec=suggest_block_codec(st))
+            dec = decide_codecs(st, block_codec=cfg.block_codec)
+            plan = {(r["part_id"], r["column"]): r["codec"]
+                    for r in dec.collect()}
+        finally:
+            st.unpersist()
 
     t0 = time.monotonic()
     summary = run_encode(spark, df, args.dst, cfg, plan=plan)
     summary["encode_wall_s"] = round(time.monotonic() - t0, 2)
     if plan is not None:
         summary["stats_pass_decisions"] = len(plan)
+    if cfg.block_codec:
+        summary["block_codec"] = cfg.block_codec
 
     if args.compact:
         from cpp_parquet_spark.engine import compact_parts
