@@ -953,7 +953,11 @@ def in_prune(pages: DataFrame, column: str, values: list) -> DataFrame:
                 out["run_id"] = taken.column("run_id")
             yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
-    return rows.mapInArrow(kernel, out_schema)
+    # distinct: a compacted bin carries one bloom row per SOURCE part
+    # (each covering its row slice; any-match across them is the correct
+    # union), so the same (part_id, run_id) can hit several times — the
+    # result contract is a part-id SET, and it is metadata-sized
+    return rows.mapInArrow(kernel, out_schema).dropDuplicates(keys)
 
 
 #: survivor lists up to this size are applied as a LITERAL part_id

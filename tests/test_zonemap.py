@@ -340,6 +340,14 @@ def test_bloom_survives_compaction(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in df.filter(F.col("doc_id") == 42).collect()]
     assert sorted(got) == sorted(want) and len(got) == 1
     assert decode_where_eq(pages, "doc_id", -77777).count() == 0
+    # survivor contract is a SET: a bin holds several source-part bloom
+    # rows, multiple of which can match — in_prune must dedupe so
+    # count() reads as "parts scanned", never exceeding the live parts
+    from cpp_parquet_spark.engine import in_prune
+    surv = in_prune(pages, "doc_id", list(range(50))).collect()
+    assert len(surv) == len({(r["part_id"], r["run_id"]) for r in surv})
+    live = pages.select("part_id", "run_id").distinct().count()
+    assert len(surv) <= live
 
 
 def test_decode_where_all_pruned_no_hint(spark, sf_dir, tmp_path):

@@ -178,6 +178,21 @@ def main(argv: list[str] | None = None) -> None:
     out["sql_view"] = view
     out["sql_groups"] = len(agg)
 
+    # -- 10. archival re-encode (E9 zstd + E10 byte-stream-split): the
+    # max-compression mode a cold-tier copy would run; non-durable (size
+    # receipt only), decode unchanged because blocks unwrap per page
+    with stage("archive_encode"):
+        from dataclasses import replace
+
+        from cpp_parquet_spark.engine import encode_table
+        zrow = (encode_table(df, replace(cfg, block_codec="zstd",
+                                         table_name="repofiles_zstd"))
+                .agg(F.sum("raw_bytes").alias("raw"),
+                     F.sum("enc_bytes").alias("enc")).collect()[0])
+        out["archive_zstd"] = {
+            "enc_bytes": int(zrow["enc"]),
+            "vs_raw": round(zrow["enc"] / zrow["raw"], 4)}
+
     total = round(sum(out["stages"].values()), 3)
     out["total_s"] = total
     out["encode_gbps"] = round(
