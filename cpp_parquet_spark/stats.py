@@ -239,22 +239,38 @@ def decide_codecs(stats: DataFrame,
 
 def suggest_block_codec(stats: DataFrame,
                         entropy_max: float = 6.5,
-                        prefer: str = "zstd") -> str | None:
+                        prefer: str = "zstd",
+                        float_frac_min: float = 0.5) -> str | None:
     """E9 stats-pass trigger: recommend outer block compression when the
-    sampled string bytes still carry slack (byte entropy under
-    ``entropy_max`` bits/byte — above that, general-purpose compression
-    mostly spins). Returns ``prefer`` (default "zstd": measured ~80x
-    faster to compress and ~20x faster to decompress than zlib-6 on
-    source-code text at better ratio, see BENCH.md) or None; the caller
-    feeds it to ``EncodeConfig.block_codec``. Falls back to "zlib" if the
-    preferred pyarrow compressor is unavailable in the runtime.
-    Deterministic over the same (seeded) stats sample."""
-    row = (stats.filter(F.col("type").isin("str", "bin"))
-           .agg((F.sum(F.col("byte_entropy") * F.col("total_bytes"))
-                 / F.sum("total_bytes")).alias("w_entropy"))
-           .collect()[0])
+    sampled bytes still carry slack. Two independent signals:
+
+    - string/binary byte entropy under ``entropy_max`` bits/byte (above
+      that, general-purpose compression mostly spins);
+    - float / float-array bytes are at least ``float_frac_min`` of the
+      sampled table — a block codec is what unlocks the byte-stream-split
+      layouts (bss/listb, SURVEY §2.1 E10), whose grouped exponent/sign
+      planes compress even when per-byte entropy looks high. Per-page
+      keep-only-when-smaller already bounds the downside to a wasted
+      compress attempt.
+
+    Returns ``prefer`` (default "zstd": measured ~80x faster to compress
+    and ~20x faster to decompress than zlib-6 on source-code text at
+    better ratio, see BENCH.md) or None; the caller feeds it to
+    ``EncodeConfig.block_codec``. Falls back to "zlib" if the preferred
+    pyarrow compressor is unavailable in the runtime. Deterministic over
+    the same (seeded) stats sample."""
+    is_txt = F.col("type").isin("str", "bin")
+    is_flt = F.col("type").isin("f32", "f64", "arrf32", "arrf64")
+    row = (stats.agg(
+        (F.sum(F.when(is_txt, F.col("byte_entropy") * F.col("total_bytes")))
+         / F.sum(F.when(is_txt, F.col("total_bytes")))).alias("w_entropy"),
+        F.sum(F.when(is_flt, F.col("total_bytes"))).alias("float_bytes"),
+        F.sum("total_bytes").alias("all_bytes")).collect()[0])
     w = row["w_entropy"]
-    if w is None or w > entropy_max:
+    txt_slack = w is not None and w <= entropy_max
+    flt_slack = (row["all_bytes"] or 0) > 0 and \
+        (row["float_bytes"] or 0) / row["all_bytes"] >= float_frac_min
+    if not (txt_slack or flt_slack):
         return None
     if prefer != "zlib":
         import pyarrow as pa

@@ -179,6 +179,18 @@ def test_suggest_block_codec(spark, sf_dir):
         assert suggest_block_codec(st, entropy_max=0.5) is None
     finally:
         st.unpersist()
+    # float-dominated table (embeddings): no str bytes to measure, but
+    # the float fraction unlocks the byte-stream-split + block pairing
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    ecfg = EncodeConfig(keys=("label",), salt_from=("vec_id",), num_parts=2,
+                        order_keys=("vec_id",), table_name="embeddings")
+    est = column_stats(emb, ecfg, fraction=1.0).cache()
+    try:
+        assert suggest_block_codec(est) == "zstd"
+        assert suggest_block_codec(est, float_frac_min=1.1) is None
+    finally:
+        est.unpersist()
 
 
 def test_no_shuffle_roundtrip_bit_identical(spark, sf_dir):
