@@ -529,6 +529,28 @@ def q_roundtrip_embeddings_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(dot), 6).alias("l2norm"))
 
 
+def q_roundtrip_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<int> columns through the listi composite codec (round 3:
+    ARRI tags — list lengths via RLE, child ints FOR-bit-packed, so
+    int8-ranged quantized vectors store at ~1 byte/dim): quantize the
+    embeddings, encode the (id, scale, qvec) table, decode, and emit
+    per-vector stats. The oracle recomputes quantization from the SOURCE
+    embeddings in DuckDB, so matching rows prove the quantized ints and
+    the float scale survived the pipeline bit-identically."""
+    q = quantize.quantize(_read(spark, sf_dir, "embeddings"))
+    cfg = EncodeConfig(keys=("id",), salt_from=(), num_parts=4,
+                       order_keys=("id",), table_name="quantized")
+    decoded = decode_table(encode_table(q, cfg))
+    return decoded.select(
+        "id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.size("qvec").alias("dim"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -686,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # array<float> codec roundtrip (listf)
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_embeddings_bss": q_roundtrip_embeddings_bss,
+        "roundtrip_quantized": q_roundtrip_quantized,
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # zone-map predicate-pushdown decode
@@ -1235,6 +1258,28 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(qvec, 'min') AS q_min,
                    list_aggregate(qvec, 'max') AS q_max
             FROM q ORDER BY id""",
+        "roundtrip_quantized": """
+            WITH b AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       / 127.0 AS scale
+              FROM b
+            ), q AS (
+              SELECT id, scale,
+                     CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+                          ELSE list_transform(v,
+                               x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                     END AS qvec
+              FROM s
+            )
+            SELECT id, round(scale, 9) AS scale, len(qvec) AS dim,
+                   CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+                   list_aggregate(qvec, 'min') AS q_min,
+                   list_aggregate(qvec, 'max') AS q_max
+            FROM q""",
         "emb_quantize_error": """
             WITH b AS (
               SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

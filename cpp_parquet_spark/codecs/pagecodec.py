@@ -68,7 +68,13 @@ from . import for_ as forc
 INT_TAGS = {"i64", "i32", "ts", "tsn", "date"}
 FLOAT_TAGS = {"f64", "f32"}
 STR_TAGS = {"str", "bin"}
-ARR_TAGS = {"arrf32", "arrf64"}   # array<float>/array<double> (embeddings)
+ARRF_TAGS = {"arrf32", "arrf64"}  # array<float>/array<double> (embeddings)
+ARRI_TAGS = {"arri8", "arri16", "arri32", "arri64"}  # array<int> (e.g.
+                                  # int8-quantized vectors, token ids)
+ARR_TAGS = ARRF_TAGS | ARRI_TAGS
+#: element byte width per array tag
+ARR_ELEM_W = {"arrf32": 4, "arrf64": 8,
+              "arri8": 1, "arri16": 2, "arri32": 4, "arri64": 8}
 
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
@@ -76,7 +82,8 @@ LEGAL = {
     **{t: ("plain", "dict", "dfloat", "bss") for t in FLOAT_TAGS},
     "bool": ("rle", "plain"),
     **{t: ("plain", "dict", "fsst", "prefix") for t in STR_TAGS},
-    **{t: ("listf", "listb") for t in ARR_TAGS},
+    **{t: ("listf", "listb") for t in ARRF_TAGS},
+    **{t: ("listi",) for t in ARRI_TAGS},
 }
 
 _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
@@ -88,7 +95,11 @@ ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
               "ts": pa.timestamp("us"), "tsn": pa.timestamp("us"),
               "date": pa.date32(),
               "arrf32": pa.list_(pa.float32()),
-              "arrf64": pa.list_(pa.float64())}
+              "arrf64": pa.list_(pa.float64()),
+              "arri8": pa.list_(pa.int8()),
+              "arri16": pa.list_(pa.int16()),
+              "arri32": pa.list_(pa.int32()),
+              "arri64": pa.list_(pa.int64())}
 
 
 def is_dec(tag: str) -> bool:
@@ -128,6 +139,14 @@ def spark_type_tag(dt) -> str | None:
             return "arrf32"
         if isinstance(dt.elementType, T.DoubleType):
             return "arrf64"
+        if isinstance(dt.elementType, T.ByteType):
+            return "arri8"
+        if isinstance(dt.elementType, T.ShortType):
+            return "arri16"
+        if isinstance(dt.elementType, T.IntegerType):
+            return "arri32"
+        if isinstance(dt.elementType, T.LongType):
+            return "arri64"
         return None
     if isinstance(dt, T.DecimalType):
         # unscaled value must fit int64 (the int codec family's word)
@@ -148,7 +167,11 @@ def spark_type_for(tag: str):
             "ts": T.TimestampType(), "tsn": T.TimestampNTZType(),
             "date": T.DateType(),
             "arrf32": T.ArrayType(T.FloatType()),
-            "arrf64": T.ArrayType(T.DoubleType())}[tag]
+            "arrf64": T.ArrayType(T.DoubleType()),
+            "arri8": T.ArrayType(T.ByteType()),
+            "arri16": T.ArrayType(T.ShortType()),
+            "arri32": T.ArrayType(T.IntegerType()),
+            "arri64": T.ArrayType(T.LongType())}[tag]
 
 
 def dec_unscaled(arr: pa.Array) -> np.ndarray:
@@ -230,7 +253,7 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
         # ("listb", parquet.thrift:620-630 — size-neutral alone, but the
         # E9 outer block codec compresses the grouped exponent/sign
         # planes far better than interleaved floats)
-        if tag not in ARR_TAGS:
+        if tag not in ARRF_TAGS:
             raise ValueError(f"{codec} is for array<float>/array<double>")
         arr = vals
         want = ARROW_TYPE[tag]
@@ -248,6 +271,26 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
             else cvals.tobytes()
         body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
         return body, {"lens": lp}
+    if codec == "listi":
+        # array<int> (int8-quantized vectors, token-id lists): list
+        # lengths via the FOR-framed RLE path, child ints through FOR
+        # bit-packing — int8-ranged children store at <=8 bits/value
+        # instead of the element's plain width
+        if tag not in ARRI_TAGS:
+            raise ValueError("listi is for array<tinyint..bigint>")
+        arr = vals
+        want = ARROW_TYPE[tag]
+        if arr.type != want:
+            arr = arr.cast(want)
+        offs = np.frombuffer(arr.buffers()[1], np.int32,
+                             count=len(arr) + 1, offset=arr.offset * 4)
+        lens = np.diff(offs).astype(np.int64)
+        ldata, lp = _encode_values(lens, "i64", "rle")
+        child = np.ascontiguousarray(
+            arr.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+        cdata, cp = forc.encode(child)
+        body = np.uint32(len(ldata)).tobytes() + ldata + cdata
+        return body, {"lens": lp, "child": cp}
     if codec == "bss":
         if tag not in FLOAT_TAGS:
             raise ValueError("bss is float-only")
@@ -315,6 +358,18 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
                                   count=nchild)
         return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                         pa.array(child, dt))
+    if codec == "listi":
+        llen = int(np.frombuffer(data[:4], np.uint32)[0])
+        lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
+                                         "rle", "i64", k))
+        offs = np.zeros(k + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(lens).astype(np.int32)
+        child = np.asarray(forc.decode(data[4 + llen:], params["child"],
+                                       int(offs[-1])), dtype=np.int64)
+        elem = ARROW_TYPE[tag].value_type
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(child, pa.int64()).cast(elem))
     if codec == "plain":
         return plain.decode(data, params, k, tag)
     if codec == "dict":
@@ -345,7 +400,7 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
 def raw_size(vals, tag: str, n_present: int) -> int:
     """PLAIN-equivalent byte size (the 'uncoded' baseline for ratios)."""
     if tag in ARR_TAGS:
-        w = 4 if tag == "arrf32" else 8
+        w = ARR_ELEM_W[tag]
         nvals = len(vals.flatten()) if isinstance(vals, pa.Array) else             sum(len(x) for x in vals)
         return nvals * w + 4 * n_present
     if tag in ("i64", "f64", "ts", "tsn") or is_dec(tag):

@@ -91,7 +91,7 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
         targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
     elif tag in pagecodec.ARR_TAGS:
-        w = 4 if tag == "arrf32" else 8
+        w = pagecodec.ARR_ELEM_W[tag]
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
                              offset=arr.offset * 4).astype(np.int64)
         cum = (offs - offs[0]) * w

@@ -68,7 +68,7 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
     if len(work) == 0:
         return out
     if tag in pagecodec.ARR_TAGS:
-        w = 4 if tag == "arrf32" else 8
+        w = pagecodec.ARR_ELEM_W[tag]
         offs = np.frombuffer(work.buffers()[1], np.int32,
                              count=len(work) + 1,
                              offset=work.offset * 4).astype(np.int64)
@@ -209,6 +209,7 @@ def decide_codecs(stats: DataFrame,
     is_float = F.col("type").isin("f64", "f32")
     decision = (
         F.when(F.col("type").isin("arrf32", "arrf64"), arr_codec)
+        .when(F.col("type").startswith("arri"), "listi")
         .when(F.col("type") == "bool", "rle")
         # rle is only legal for int/bool tags (pagecodec.LEGAL); gating the
         # run rule keeps run-heavy float/string chunks flowing to their own

@@ -309,3 +309,40 @@ def test_decode_dataset_column_subset(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unknown columns"):
         decode_dataset(spark, dst, columns=["nope"])
+
+
+def test_quantized_array_int_roundtrip(spark, sf_dir):
+    """array<int> (ARRI tags, listi composite): a quantized-embeddings
+    table encodes/decodes bit-identically, including null and empty
+    vectors; the stats plan routes arri columns to listi."""
+    from cpp_parquet_spark import quantize
+    from cpp_parquet_spark.stats import column_stats, decide_codecs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize.quantize(emb)
+    # inject edge rows: a null qvec and an empty qvec
+    import pyspark.sql.functions as SF
+    q = q.withColumn(
+        "qvec",
+        SF.when(SF.col("id") == 0, SF.lit(None).cast("array<int>"))
+          .when(SF.col("id") == 1, SF.array().cast("array<int>"))
+          .otherwise(SF.col("qvec")))
+    cfg = EncodeConfig(keys=("id",), salt_from=(), num_parts=4,
+                       order_keys=("id",), table_name="quantized")
+    pages = encode_table(q, cfg).cache()
+    try:
+        codecs = {r["codec"] for r in
+                  pages.filter(SF.col("column") == "qvec")
+                       .select("codec").distinct().collect()}
+        assert codecs == {"listi"}
+        got = {r["id"]: r["qvec"] for r in decode_table(pages).collect()}
+        want = {r["id"]: r["qvec"] for r in q.collect()}
+        assert got == want
+    finally:
+        pages.unpersist()
+    st = column_stats(q, cfg, fraction=1.0).cache()
+    try:
+        dec = {r["column"]: r["codec"] for r in decide_codecs(st).collect()
+               if r["column"] == "qvec"}
+        assert dec["qvec"] == "listi"
+    finally:
+        st.unpersist()

@@ -294,3 +294,58 @@ def test_float_selection_prefers_bss_only_under_block():
     # disqualifies dfloat — int64 storage would drop the sign)
     dec = pa.array(np.round((10 + RNG.standard_normal(4096)) * 100) / 100)
     assert choose_codec_arrow(dec, "f64", block="zstd")[0] == "dfloat"
+
+
+# --- listi: array<int> composite (int8-quantized vectors, token ids) ----
+
+@pytest.mark.parametrize("tag,elem,lo,hi", [
+    ("arri8", pa.int8(), -128, 127),
+    ("arri16", pa.int16(), -(1 << 15), (1 << 15) - 1),
+    ("arri32", pa.int32(), -(1 << 31), (1 << 31) - 1),
+    ("arri64", pa.int64(), -(1 << 62), (1 << 62) - 1),
+])
+def test_listi_roundtrip(tag, elem, lo, hi):
+    rows = [RNG.integers(lo, hi, size=RNG.integers(0, 24),
+                         dtype=np.int64).tolist() for _ in range(128)]
+    rows[0] = []                              # leading empty
+    rows[5] = [lo, hi]                        # extremes
+    arr = pa.array(rows, type=pa.list_(elem))
+    row = pc.encode_page(arr, tag, "listi")
+    got = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert got.cast(pa.list_(elem)).to_pylist() == rows
+
+
+def test_listi_nulls_and_block():
+    rows = [[1, -2, 3], None, [], [127, -128], None, [0]]
+    arr = pa.array(rows, type=pa.list_(pa.int8()))
+    row = pc.encode_page(arr, "arri8", "listi", block="zstd")
+    assert row["null_count"] == 2
+    got = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert got.cast(pa.list_(pa.int8())).to_pylist() == rows
+
+
+def test_listi_int8_packs_below_plain_width():
+    """FOR bit-packing stores int8-ranged children at <= 8 bits/value:
+    a quantized int32 vector column shrinks ~4x vs its plain width."""
+    rows = [RNG.integers(-127, 128, 64, dtype=np.int64).tolist()
+            for _ in range(256)]
+    arr = pa.array(rows, type=pa.list_(pa.int32()))
+    row = pc.encode_page(arr, "arri32", "listi")
+    assert row["enc_bytes"] < row["raw_bytes"] / 3
+    got = pc.decode_page(row["data"], row["params"], row["codec"],
+                         row["type"], row["num_values"], row["null_count"])
+    assert got.cast(pa.list_(pa.int32())).to_pylist() == rows
+
+
+def test_arri_selection_and_tags():
+    from pyspark.sql import types as T
+    from cpp_parquet_spark.select import choose_codec_arrow
+    assert pc.spark_type_tag(T.ArrayType(T.IntegerType())) == "arri32"
+    assert pc.spark_type_tag(T.ArrayType(T.ByteType())) == "arri8"
+    assert pc.spark_type_tag(T.ArrayType(T.StringType())) is None
+    assert pc.spark_type_for("arri16") == T.ArrayType(T.ShortType())
+    arr = pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))
+    assert choose_codec_arrow(arr, "arri32")[0] == "listi"
+    assert choose_codec_arrow(arr, "arri32", block="zstd")[0] == "listi"
