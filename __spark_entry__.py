@@ -551,6 +551,25 @@ def q_roundtrip_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").alias("q_max"))
 
 
+def q_roundtrip_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<string> columns through the lists composite codec (round 3:
+    ARRS tags — list lengths via RLE, null elements via a child
+    definition-level stream, flattened children through the measured
+    string-codec selector, here FSST for code/prose lines). Splits each
+    document into its lines, encodes/decodes the array column, and joins
+    the lines back — the oracle is the SOURCE text itself, so a green row
+    proves no line was lost, reordered, or altered."""
+    docs = _read(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.split("text", "\n").alias("lines"))
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), table_name="doc_lines")
+    decoded = decode_table(encode_table(df, cfg))
+    return decoded.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.array_join("lines", "\n").alias("text"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -709,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_embeddings_bss": q_roundtrip_embeddings_bss,
         "roundtrip_quantized": q_roundtrip_quantized,
+        # array<string> codec roundtrip (lists)
+        "roundtrip_doc_lines": q_roundtrip_doc_lines,
         # training-data pipeline: multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         # zone-map predicate-pushdown decode
@@ -1258,6 +1279,12 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(qvec, 'min') AS q_min,
                    list_aggregate(qvec, 'max') AS q_max
             FROM q ORDER BY id""",
+        "roundtrip_doc_lines": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, chr(10), ''))
+                        + 1 AS INTEGER) AS n_lines,
+                   text
+            FROM documents ORDER BY doc_id""",
         "roundtrip_quantized": """
             WITH b AS (
               SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

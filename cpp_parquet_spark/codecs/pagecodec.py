@@ -71,10 +71,15 @@ STR_TAGS = {"str", "bin"}
 ARRF_TAGS = {"arrf32", "arrf64"}  # array<float>/array<double> (embeddings)
 ARRI_TAGS = {"arri8", "arri16", "arri32", "arri64"}  # array<int> (e.g.
                                   # int8-quantized vectors, token ids)
-ARR_TAGS = ARRF_TAGS | ARRI_TAGS
-#: element byte width per array tag
+ARRS_TAGS = {"arrs", "arrb"}      # array<string>/array<binary> (token
+                                  # lists, code lines, shingle sets)
+ARR_TAGS = ARRF_TAGS | ARRI_TAGS | ARRS_TAGS
+#: element byte width per fixed-width array tag (arrs/arrb are
+#: variable-width — callers size those via the child offsets instead)
 ARR_ELEM_W = {"arrf32": 4, "arrf64": 8,
               "arri8": 1, "arri16": 2, "arri32": 4, "arri64": 8}
+#: child value tag per variable-width array tag
+ARRS_CHILD = {"arrs": "str", "arrb": "bin"}
 
 #: codecs legal per tag (selection never goes outside these)
 LEGAL = {
@@ -84,6 +89,7 @@ LEGAL = {
     **{t: ("plain", "dict", "fsst", "prefix") for t in STR_TAGS},
     **{t: ("listf", "listb") for t in ARRF_TAGS},
     **{t: ("listi",) for t in ARRI_TAGS},
+    **{t: ("lists",) for t in ARRS_TAGS},
 }
 
 _NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
@@ -99,7 +105,9 @@ ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
               "arri8": pa.list_(pa.int8()),
               "arri16": pa.list_(pa.int16()),
               "arri32": pa.list_(pa.int32()),
-              "arri64": pa.list_(pa.int64())}
+              "arri64": pa.list_(pa.int64()),
+              "arrs": pa.list_(pa.large_string()),
+              "arrb": pa.list_(pa.large_binary())}
 
 
 def is_dec(tag: str) -> bool:
@@ -147,6 +155,10 @@ def spark_type_tag(dt) -> str | None:
             return "arri32"
         if isinstance(dt.elementType, T.LongType):
             return "arri64"
+        if isinstance(dt.elementType, T.StringType):
+            return "arrs"
+        if isinstance(dt.elementType, T.BinaryType):
+            return "arrb"
         return None
     if isinstance(dt, T.DecimalType):
         # unscaled value must fit int64 (the int codec family's word)
@@ -171,7 +183,9 @@ def spark_type_for(tag: str):
             "arri8": T.ArrayType(T.ByteType()),
             "arri16": T.ArrayType(T.ShortType()),
             "arri32": T.ArrayType(T.IntegerType()),
-            "arri64": T.ArrayType(T.LongType())}[tag]
+            "arri64": T.ArrayType(T.LongType()),
+            "arrs": T.ArrayType(T.StringType()),
+            "arrb": T.ArrayType(T.BinaryType())}[tag]
 
 
 def dec_unscaled(arr: pa.Array) -> np.ndarray:
@@ -271,6 +285,44 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
             else cvals.tobytes()
         body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
         return body, {"lens": lp}
+    if codec == "lists":
+        # array<string>/array<binary> (token lists, code lines, shingle
+        # sets): list lengths via the FOR-framed RLE path, a child
+        # validity stream for null ELEMENTS (definition level 2 of
+        # parquet.thrift's repeated-optional group), and the flattened
+        # child values through the regular string codec family — the
+        # inner codec is re-selected per page by the same measured
+        # sampler the scalar string path uses (dict for token vocab,
+        # fsst for prose/code lines, plain for incompressible)
+        if tag not in ARRS_TAGS:
+            raise ValueError("lists is for array<string>/array<binary>")
+        arr = vals
+        want = ARROW_TYPE[tag]
+        if arr.type != want:
+            arr = arr.cast(want)
+        offs = np.frombuffer(arr.buffers()[1], np.int32,
+                             count=len(arr) + 1, offset=arr.offset * 4)
+        lens = np.diff(offs).astype(np.int64)
+        ldata, lp = _encode_values(lens, "i64", "rle")
+        child = arr.flatten()
+        ctag = ARRS_CHILD[tag]
+        cnul = child.null_count
+        if cnul:
+            cvalid = child.is_valid().to_numpy(zero_copy_only=False)
+            cdef = levels.encode_validity(cvalid)
+            cwork = child.drop_null()
+        else:
+            cdef = b""
+            cwork = child
+        if len(cwork):
+            from ..select import choose_string_codec
+            ic, ftab = choose_string_codec(cwork)
+            cdata, cp = _encode_values(cwork, ctag, ic, ftab)
+        else:
+            ic, cdata, cp = "plain", b"", {}
+        body = (np.array([len(ldata), len(cdef)], np.uint32).tobytes()
+                + ldata + cdef + cdata)
+        return body, {"lens": lp, "ic": ic, "child": cp, "cnul": int(cnul)}
     if codec == "listi":
         # array<int> (int8-quantized vectors, token-id lists): list
         # lengths via the FOR-framed RLE path, child ints through FOR
@@ -358,6 +410,30 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
                                   count=nchild)
         return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                         pa.array(child, dt))
+    if codec == "lists":
+        head = np.frombuffer(data[:8], np.uint32)
+        llen, dlen = int(head[0]), int(head[1])
+        lens = np.asarray(_decode_values(data[8: 8 + llen], params["lens"],
+                                         "rle", "i64", k))
+        offs = np.zeros(k + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(lens).astype(np.int32)
+        nchild = int(offs[-1])
+        cnul = int(params.get("cnul", 0))
+        ctag = ARRS_CHILD[tag]
+        ckid = nchild - cnul
+        cbody = data[8 + llen + dlen:]
+        if ckid:
+            child = _decode_values(cbody, params["child"], params["ic"],
+                                   ctag, ckid)
+            child = to_arrow(child, ctag)
+        else:
+            child = pa.array([], type=arrow_type_for(ctag))
+        if cnul:
+            cvalid = levels.decode_validity(data[8 + llen: 8 + llen + dlen],
+                                            nchild)
+            idx = np.cumsum(cvalid, dtype=np.int64) - 1
+            child = child.take(pa.array(idx, mask=~cvalid))
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), child)
     if codec == "listi":
         llen = int(np.frombuffer(data[:4], np.uint32)[0])
         lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
@@ -399,6 +475,15 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
 
 def raw_size(vals, tag: str, n_present: int) -> int:
     """PLAIN-equivalent byte size (the 'uncoded' baseline for ratios)."""
+    if tag in ARRS_TAGS:
+        child = vals.flatten() if isinstance(vals, pa.Array) else \
+            pa.array([e for x in vals for e in x],
+                     type=arrow_type_for(ARRS_CHILD[tag]))
+        cb = child.cast(pa.large_binary()) if not pa.types.is_large_binary(
+            child.type) else child
+        vbytes = int(pa.compute.sum(
+            pa.compute.binary_length(cb)).as_py() or 0)
+        return vbytes + 4 * len(child) + 4 * n_present
     if tag in ARR_TAGS:
         w = ARR_ELEM_W[tag]
         nvals = len(vals.flatten()) if isinstance(vals, pa.Array) else             sum(len(x) for x in vals)

@@ -70,7 +70,9 @@ def _spark_arrow_type(tag: str):
     (not large_*), tz-aware us timestamps; parameterized tags (dec:p:s)
     via pagecodec.arrow_type_for. The ONE place both decode paths read."""
     override = {"str": pa.string(), "bin": pa.binary(),
-                "ts": pa.timestamp("us", tz="UTC")}
+                "ts": pa.timestamp("us", tz="UTC"),
+                "arrs": pa.list_(pa.string()),
+                "arrb": pa.list_(pa.binary())}
     if tag in override:
         return override[tag]
     if tag in pagecodec.ARROW_TYPE:
@@ -88,6 +90,20 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
         buf_off = np.frombuffer(a.buffers()[1], dtype=np.int64, count=n + 1,
                                 offset=a.offset * 8)
         cum = buf_off - buf_off[0]
+        targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
+        cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
+    elif tag in pagecodec.ARRS_TAGS:
+        # variable-width children: per-row bytes = child string bytes in
+        # the row's offset window (child offsets gathered at the outer
+        # list boundaries)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
+                             offset=arr.offset * 4).astype(np.int64)
+        child = arr.flatten()
+        cl = child.cast(pa.large_binary()) if not pa.types.is_large_binary(
+            child.type) else child
+        coffs = np.frombuffer(cl.buffers()[1], dtype=np.int64,
+                              count=len(cl) + 1, offset=cl.offset * 8)
+        cum = coffs[offs - offs[0]] - coffs[0] + 4 * (offs - offs[0])
         targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
     elif tag in pagecodec.ARR_TAGS:

@@ -195,6 +195,8 @@ def choose_codec_arrow(arr: pa.Array, tag: str, block: str | None = None):
     if tag in STR_TAGS:
         return choose_string_codec(work)
     if tag in pagecodec_ARR_TAGS:
+        if tag in ("arrs", "arrb"):
+            return "lists", None
         if tag.startswith("arri"):
             return "listi", None
         return ("listb" if block else "listf"), None

@@ -67,6 +67,20 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
            "delta_bits": 64.0, "dec_scale": 0.0, "prefix_frac": 0.0}
     if len(work) == 0:
         return out
+    if tag in pagecodec.ARRS_TAGS:
+        offs = np.frombuffer(work.buffers()[1], np.int32,
+                             count=len(work) + 1,
+                             offset=work.offset * 4).astype(np.int64)
+        lens = np.diff(offs)
+        child = work.flatten()
+        cl = child.cast(pa.large_binary()) if not pa.types.is_large_binary(
+            child.type) else child
+        out["total_bytes"] = int(pa.compute.sum(
+            pa.compute.binary_length(cl)).as_py() or 0) + 4 * len(child)
+        out["ndv"] = int(np.unique(lens).shape[0])   # distinct list lens
+        if lens.shape[0]:
+            out["min_v"], out["max_v"] = float(lens.min()), float(lens.max())
+        return out
     if tag in pagecodec.ARR_TAGS:
         w = pagecodec.ARR_ELEM_W[tag]
         offs = np.frombuffer(work.buffers()[1], np.int32,
@@ -209,6 +223,7 @@ def decide_codecs(stats: DataFrame,
     is_float = F.col("type").isin("f64", "f32")
     decision = (
         F.when(F.col("type").isin("arrf32", "arrf64"), arr_codec)
+        .when(F.col("type").isin("arrs", "arrb"), "lists")
         .when(F.col("type").startswith("arri"), "listi")
         .when(F.col("type") == "bool", "rle")
         # rle is only legal for int/bool tags (pagecodec.LEGAL); gating the

@@ -344,7 +344,8 @@ def test_arri_selection_and_tags():
     from cpp_parquet_spark.select import choose_codec_arrow
     assert pc.spark_type_tag(T.ArrayType(T.IntegerType())) == "arri32"
     assert pc.spark_type_tag(T.ArrayType(T.ByteType())) == "arri8"
-    assert pc.spark_type_tag(T.ArrayType(T.StringType())) is None
+    assert pc.spark_type_tag(T.ArrayType(T.StringType())) == "arrs"
+    assert pc.spark_type_tag(T.ArrayType(T.ArrayType(T.IntegerType()))) is None
     assert pc.spark_type_for("arri16") == T.ArrayType(T.ShortType())
     arr = pa.array([[1, 2], [3]], type=pa.list_(pa.int32()))
     assert choose_codec_arrow(arr, "arri32")[0] == "listi"
