@@ -344,7 +344,14 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         meta = (pages.filter(F.col("col_idx") >= 0)
                      .select("column", "col_idx", "type")
                      .distinct().orderBy("col_idx").collect())
-        columns = [(r["column"], r["type"]) for r in meta]
+        # dedup by name: appended runs may place the same column at a
+        # different col_idx (schema evolution), and a column dropped by
+        # a later run still decodes (as NULL for runs that lack it)
+        seen, columns = set(), []
+        for r in meta:
+            if r["column"] not in seen:
+                seen.add(r["column"])
+                columns.append((r["column"], r["type"]))
     cols = [c for c, _ in columns]
     tags = [t for _, t in columns]
     out_fields = [T.StructField(c, pagecodec.spark_type_for(t)) for c, t in zip(cols, tags)]
@@ -380,17 +387,42 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         dvals = np.frombuffer(dcol.buffers()[2], np.uint8,
                               count=int(doffs[-1]))
         datas = [dvals[doffs[i]:doffs[i + 1]] for i in range(len(dcol))]
-        arrays = {}
+        # schema evolution: appended runs may add or drop columns, so a
+        # part can hold pages for different column sets per run. Decode
+        # per (column, run) and splice NULL runs where a column is absent
+        # — without this, a column missing from one run would zip rows
+        # from DIFFERENT runs together (silent misalignment) or shear
+        # the table (unequal column lengths).
+        run_ids = (tbl.column("run_id").to_pylist() if has_run
+                   else [""] * len(colnames))
+        arrays: dict[tuple[str, str], list] = {}
+        run_rows: dict[str, int] = {}
+        col_rows: dict[tuple[str, str], int] = {}
         for i in range(len(colnames)):
             if colnames[i] == META_COL or codecs[i] == "__bloom__":
                 continue
             arr = pagecodec.decode_page(datas[i], params[i], codecs[i],
                                         types_[i], int(nvals[i]), int(nnull[i]))
-            arrays.setdefault(colnames[i], []).append(arr)
+            key = (colnames[i], run_ids[i])
+            arrays.setdefault(key, []).append(arr)
+            col_rows[key] = col_rows.get(key, 0) + len(arr)
+        for (c, r), n in col_rows.items():
+            prev = run_rows.setdefault(r, n)
+            if prev != n:
+                raise ValueError(
+                    f"run {r!r}: column {c!r} decodes {n} rows but a "
+                    f"sibling column decodes {prev} — corrupt part")
+        runs = sorted(run_rows)          # matches the (run_id, page_id) sort
         out = []
         for c, t in zip(cols, tags):
-            chunks = arrays.get(c, [])
             want = pagecodec.arrow_type_for(t)
+            chunks = []
+            for r in runs:
+                got = arrays.get((c, r))
+                if got is not None:
+                    chunks.extend(got)
+                elif run_rows[r]:
+                    chunks.append(pa.nulls(run_rows[r], want))
             if not chunks:
                 out.append(pa.nulls(0, want))
                 continue

@@ -6,6 +6,7 @@ import pyarrow as pa
 import pytest
 
 from cpp_parquet_spark.codecs import bitpack, dictionary, plain
+from cpp_parquet_spark.codecs import pagecodec as pc
 from cpp_parquet_spark.codecs import for_ as forc
 
 
@@ -173,3 +174,54 @@ def test_prefix_selected_for_sorted_keys():
                   for i in range(4000))
     codec, tab = choose_string_codec(pa.array(keys, pa.large_binary()))
     assert codec == "prefix" and tab is None
+
+
+def test_dict_of_fsst_cascade_on_pathlike_vocab():
+    """Dict pages with a big internally-repetitive vocabulary (paths)
+    FSST-encode the dictionary blob itself (params dv=fsst) — the
+    two-level shape of Parquet's dictionary page under page compression,
+    with the lightweight symbol table instead of a block codec."""
+    import json
+
+    import pyarrow as pa
+
+    import cpp_parquet_spark.codecs.dictionary as d
+
+    vocab = [f"src/main/java/com/example/mod_{i // 50}/Handler_{i}.java"
+             for i in range(2000)]
+    rows = [vocab[i % len(vocab)] for i in range(16000)]
+    arr = pa.array(rows, type=pa.large_string())
+    row = pc.encode_page(arr, "str", "dict")
+    p = json.loads(row["params"])
+    assert p.get("dv") == "fsst"
+    out = pc.decode_page(row["data"], row["params"], "dict", "str",
+                         row["num_values"], row["null_count"])
+    assert out.to_pylist() == rows
+    # must actually pay: re-encode with the cascade disabled and compare
+    old = d.DICT_FSST_MIN
+    d.DICT_FSST_MIN = 1 << 60
+    try:
+        base = pc.encode_page(arr, "str", "dict")
+    finally:
+        d.DICT_FSST_MIN = old
+    assert row["enc_bytes"] < base["enc_bytes"] * 0.9
+    # small vocabularies skip the cascade (table overhead won't amortize)
+    small = pc.encode_page(pa.array(["a", "b", "c"] * 100,
+                                    type=pa.large_string()), "str", "dict")
+    assert "dv" not in json.loads(small["params"])
+
+
+def test_dict_of_fsst_binary_and_nulls():
+    import json
+
+    import pyarrow as pa
+
+    vocab = [("k/%06d/" % (i // 10)).encode() * 40 + b"%04d" % (i % 1000)
+             for i in range(1500)]
+    rows = [vocab[i % len(vocab)] if i % 7 else None for i in range(9000)]
+    arr = pa.array(rows, type=pa.large_binary())
+    row = pc.encode_page(arr, "bin", "dict")
+    assert json.loads(row["params"]).get("dv") == "fsst"
+    out = pc.decode_page(row["data"], row["params"], "dict", "bin",
+                         row["num_values"], row["null_count"])
+    assert out.to_pylist() == rows
