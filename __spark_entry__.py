@@ -575,6 +575,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_meta(media)
 
 
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM decode (round 3, pure numpy — no ffmpeg):
+    deterministic int16 PCM payloads are built with encode_wav (real
+    44-byte RIFF headers, interleaved channels), then wav_features walks
+    the chunk list and decodes the sample stream. The oracle recomputes
+    the exact integer features from the generation formula, so matching
+    rows prove the header/chunk/interleave parse is bit-exact."""
+    media = multimodal.synth_wav_media(_read(spark, sf_dir, "documents"))
+    return multimodal.wav_features(media)
+
+
+def q_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 24-bit BMP decode (round 3, pure numpy — no Pillow):
+    payloads are real BMP files (BITMAPINFOHEADER, bottom-up rows,
+    4-byte stride padding, BGR order); bmp_features decodes pixels and a
+    2x2 nearest-neighbor thumbnail (resize_nearest). Formula oracle as
+    above — stride/flip/channel-order bugs cannot hide."""
+    media = multimodal.synth_bmp_media(_read(spark, sf_dir, "documents"))
+    return multimodal.bmp_features(media)
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -730,8 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_quantized": q_roundtrip_quantized,
         # array<string> codec roundtrip (lists)
         "roundtrip_doc_lines": q_roundtrip_doc_lines,
-        # training-data pipeline: multimodal plumbing
+        # training-data pipeline: multimodal plumbing + real decoders
         "multimodal_meta": q_multimodal_meta,
+        "audio_wav_features": q_audio_wav_features,
+        "image_bmp_features": q_image_bmp_features,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -1352,6 +1375,82 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))), 6) AS l2norm
             FROM embeddings""",
+        "audio_wav_features": """
+            WITH base AS (
+              SELECT doc_id, 64 + doc_id % 64 AS n, 1 + doc_id % 2 AS ch,
+                     8000 + (doc_id % 3) * 4000 AS rate
+              FROM documents
+            ), ks AS (
+              SELECT doc_id, n, ch, rate,
+                     unnest(generate_series(0, n * ch - 1)) AS k
+              FROM base
+            ), samp AS (
+              SELECT doc_id, n, ch, rate,
+                     (doc_id * 31 + k * 7) % 65536 - 32768 AS s
+              FROM ks
+            )
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_frames,
+                   CAST(max(ch) AS INTEGER) AS channels,
+                   CAST(max(rate) AS INTEGER) AS rate,
+                   CAST(min(s) AS INTEGER) AS amp_min,
+                   CAST(max(s) AS INTEGER) AS amp_max,
+                   CAST(sum(s) AS BIGINT) AS amp_sum
+            FROM samp GROUP BY doc_id ORDER BY doc_id""",
+        "image_bmp_features": """
+            WITH base AS (
+              SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents
+            ), ys AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, h - 1)) AS y
+              FROM base
+            ), px AS (
+              SELECT doc_id, w, h, y,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM ys
+            ), sums AS (
+              SELECT doc_id,
+                     CAST(sum((doc_id + 11*y + 3*x) % 256) AS BIGINT)
+                       AS r_sum,
+                     CAST(sum((doc_id + 11*y + 3*x + 77) % 256) AS BIGINT)
+                       AS g_sum,
+                     CAST(sum((doc_id + 11*y + 3*x + 154) % 256) AS BIGINT)
+                       AS b_sum
+              FROM px GROUP BY doc_id
+            ), th AS (
+              -- 2x2 nearest thumbnail sample points: yi=(2i+1)*h//4
+              SELECT doc_id, w, h,
+                     least(h // 4, h - 1) AS y0,
+                     least((3 * h) // 4, h - 1) AS y1,
+                     least(w // 4, w - 1) AS x0,
+                     least((3 * w) // 4, w - 1) AS x1
+              FROM base
+            ), thsum AS (
+              SELECT doc_id, w, h, CAST(
+                  (doc_id + 11*y0 + 3*x0) % 256
+                + (doc_id + 11*y0 + 3*x0 + 77) % 256
+                + (doc_id + 11*y0 + 3*x0 + 154) % 256
+                + (doc_id + 11*y0 + 3*x1) % 256
+                + (doc_id + 11*y0 + 3*x1 + 77) % 256
+                + (doc_id + 11*y0 + 3*x1 + 154) % 256
+                + (doc_id + 11*y1 + 3*x0) % 256
+                + (doc_id + 11*y1 + 3*x0 + 77) % 256
+                + (doc_id + 11*y1 + 3*x0 + 154) % 256
+                + (doc_id + 11*y1 + 3*x1) % 256
+                + (doc_id + 11*y1 + 3*x1 + 77) % 256
+                + (doc_id + 11*y1 + 3*x1 + 154) % 256 AS BIGINT)
+                AS thumb_sum
+              FROM th
+            )
+            SELECT s.doc_id,
+                   CAST(t.w AS INTEGER) AS width,
+                   CAST(t.h AS INTEGER) AS height,
+                   s.r_sum, s.g_sum, s.b_sum, t2.thumb_sum
+            FROM sums s
+            JOIN th t ON s.doc_id = t.doc_id
+            JOIN thsum t2 ON s.doc_id = t2.doc_id
+            ORDER BY s.doc_id""",
         "multimodal_meta": """
             WITH ch AS (
               SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b

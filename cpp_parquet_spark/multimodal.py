@@ -3,11 +3,22 @@
 Media lives in the lake as opaque ``binary`` payload columns plus typed
 metadata — the Spark-side concerns (schema, partition sizing for wide
 binary rows, Arrow batch shape through mapInPandas, deterministic
-feature extraction) are real and tested here; the actual pixel/sample
-decoding depends on libraries this container doesn't ship (Pillow,
-ffmpeg, soundfile), so the decode step is STUBBED: it raises
-``NotImplementedError`` unless the payload is our deterministic synthetic
-format, which the fake decoder parses for the tests.
+feature extraction) are real and tested here.
+
+Decoders come in two tiers (round 3):
+
+* **Real container formats, pure numpy** — ``decode_wav`` (RIFF/WAVE
+  PCM, 8/16-bit, any channel count) and ``decode_bmp`` (Windows
+  BITMAPINFOHEADER, uncompressed 24-bit, bottom-up or top-down). These
+  parse actual industry byte layouts with no external libraries, so the
+  feature-extraction pipeline exercises genuine header/stride/alignment
+  logic (4-byte BMP row padding, chunk walking past LIST/fact chunks).
+  ``encode_wav``/``encode_bmp`` build valid files for synthesis + tests.
+* **Compressed codecs (JPEG/PNG/MP3/H.264)** — these require
+  Pillow/ffmpeg/soundfile, which this container does not ship; the
+  dispatchers raise ``NotImplementedError`` with the dependency named,
+  and the deterministic SIMG/SAUD synthetic formats remain decodable
+  for plumbing tests.
 
 Synthetic payload format (deterministic, self-describing)::
 
@@ -94,6 +105,129 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return body, rate
 
 
+# --- real container formats: RIFF/WAVE PCM and BMP, pure numpy ---------------
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 PCM samples (shape [n] mono or [n, ch]) -> canonical 44-byte
+    RIFF/WAVE file (format 1 = PCM, 16 bits/sample, little-endian)."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    body = s.tobytes()
+    block = ch * 2
+    hdr = (b"RIFF" + np.uint32(36 + len(body)).tobytes() + b"WAVE"
+           + b"fmt " + np.uint32(16).tobytes()
+           + np.uint16(1).tobytes() + np.uint16(ch).tobytes()
+           + np.uint32(rate).tobytes()
+           + np.uint32(rate * block).tobytes()
+           + np.uint16(block).tobytes() + np.uint16(16).tobytes()
+           + b"data" + np.uint32(len(body)).tobytes())
+    return hdr + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> (samples int16[n, ch] (int16 even for
+    8-bit input, rescaled per the WAV unsigned-8-bit convention), rate).
+
+    Walks the chunk list (skipping LIST/fact/etc.), honors the fmt
+    block alignment, and handles both 8- and 16-bit PCM. Compressed
+    formats (format tag != 1) raise NotImplementedError naming the
+    dependency that real decoding would need."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    raw = np.frombuffer(payload, np.uint8)
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos: pos + 4]
+        size = int(raw[pos + 4: pos + 8].view("<u4")[0])
+        body0 = pos + 8
+        if cid == b"fmt ":
+            f = raw[body0: body0 + 16]
+            fmt = {"tag": int(f[0:2].view("<u2")[0]),
+                   "ch": int(f[2:4].view("<u2")[0]),
+                   "rate": int(f[4:8].view("<u4")[0]),
+                   "bits": int(f[14:16].view("<u2")[0])}
+        elif cid == b"data":
+            data = raw[body0: body0 + size]
+        pos = body0 + size + (size & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt["tag"] != 1:
+        raise NotImplementedError(
+            f"WAV format tag {fmt['tag']} (non-PCM) needs ffmpeg/soundfile, "
+            "not shipped in this container")
+    ch = max(fmt["ch"], 1)
+    if fmt["bits"] == 16:
+        s = data.view("<i2")
+    elif fmt["bits"] == 8:                  # unsigned 8-bit convention
+        s = (data.astype(np.int16) - 128) << 8
+    else:
+        raise NotImplementedError(f"{fmt['bits']}-bit PCM not supported")
+    n = s.shape[0] // ch
+    return s[: n * ch].reshape(n, ch).astype(np.int16), fmt["rate"]
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 RGB image [h, w, 3] -> uncompressed 24-bit bottom-up BMP
+    (BITMAPINFOHEADER, rows padded to 4 bytes — the format's layout)."""
+    h, w, c = img.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up rows, BGR channel order (the BMP on-disk convention)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    off = 14 + 40
+    hdr = (b"BM" + np.uint32(off + len(body)).tobytes()
+           + np.uint32(0).tobytes() + np.uint32(off).tobytes()
+           + np.uint32(40).tobytes()
+           + np.int32(w).tobytes() + np.int32(h).tobytes()
+           + np.uint16(1).tobytes() + np.uint16(24).tobytes()
+           + np.uint32(0).tobytes() + np.uint32(len(body)).tobytes()
+           + np.int32(2835).tobytes() + np.int32(2835).tobytes()
+           + np.uint32(0).tobytes() + np.uint32(0).tobytes())
+    return hdr + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> uint8 RGB image [h, w, 3].
+
+    Handles the 4-byte row stride and both bottom-up (positive height)
+    and top-down (negative height) layouts. Compressed BMP (BI_RLE*) and
+    other bit depths raise NotImplementedError."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    raw = np.frombuffer(payload, np.uint8)
+    off = int(raw[10:14].view("<u4")[0])
+    w = int(raw[18:22].view("<i4")[0])
+    h_raw = int(raw[22:26].view("<i4")[0])
+    bpp = int(raw[28:30].view("<u2")[0])
+    comp = int(raw[30:34].view("<u4")[0])
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp} needs Pillow/libvips, "
+            "not shipped in this container")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    rows = raw[off: off + h * stride].reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]       # BGR -> RGB
+    if h_raw > 0:
+        img = img[::-1]                            # bottom-up -> top-down
+    return np.ascontiguousarray(img)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pixel-center sampling) — the pure-index
+    numpy kernel a thumbnail/feature stage uses; no interpolation libs."""
+    h, w = img.shape[:2]
+    yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                    h - 1)
+    xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                    w - 1)
+    return img[yi][:, xi]
+
+
 META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media_type", T.StringType()),
@@ -129,3 +263,129 @@ def extract_meta(media: DataFrame) -> DataFrame:
                 "body_mean": np.floor(np.array(mean) * 1e6) / 1e6})
 
     return media.mapInPandas(kernel, META_SCHEMA)
+
+
+# --- real-format pipeline: synth WAV/BMP tables + feature extraction ---------
+#
+# Synthesis is a pure integer formula of doc_id, so a SQL oracle can
+# recompute every feature from the SAME formula while the Spark side
+# derives it by DECODING THE ACTUAL BYTES — matching rows prove the
+# RIFF/BMP encode+decode round trip (headers, stride padding, bottom-up
+# rows, interleaved channels) is bit-exact.
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, channels, rate) — all small, all integer."""
+    return 64 + doc_id % 64, 1 + doc_id % 2, 8000 + (doc_id % 3) * 4000
+
+
+def _bmp_params(doc_id: int) -> tuple[int, int]:
+    """(width, height)."""
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+WAV_MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def synth_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV payloads: interleaved sample k of doc d is
+    ``((d*31 + k*7) % 65536) - 32768`` (int16), frames/channels/rate from
+    ``_wav_params``. Real RIFF bytes via encode_wav."""
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            pays = []
+            for d in ids.tolist():
+                n, ch, rate = _wav_params(d)
+                k = np.arange(n * ch, dtype=np.int64)
+                s = ((d * 31 + k * 7) % 65536 - 32768).astype(np.int16)
+                pays.append(encode_wav(s.reshape(n, ch), rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+             .mapInPandas(kernel, WAV_MEDIA_SCHEMA)
+
+
+WAV_FEAT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("rate", T.IntegerType()),
+    T.StructField("amp_min", T.IntegerType()),
+    T.StructField("amp_max", T.IntegerType()),
+    T.StructField("amp_sum", T.LongType()),
+])
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Decode the RIFF bytes and emit exact-integer audio features."""
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("n_frames", "channels", "rate",
+                                    "amp_min", "amp_max", "amp_sum")}
+            for p in pdf["payload"]:
+                s, rate = decode_wav(p)
+                rows["n_frames"].append(s.shape[0])
+                rows["channels"].append(s.shape[1])
+                rows["rate"].append(rate)
+                rows["amp_min"].append(int(s.min()))
+                rows["amp_max"].append(int(s.max()))
+                rows["amp_sum"].append(int(s.astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return media.mapInPandas(kernel, WAV_FEAT_SCHEMA)
+
+
+def synth_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 24-bit BMP payloads: pixel (y, x) channel c of doc d
+    is ``(d + 11*y + 3*x + 77*c) % 256``; real BMP bytes via encode_bmp
+    (bottom-up rows, 4-byte stride)."""
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            pays = []
+            for d in ids.tolist():
+                w, h = _bmp_params(d)
+                y, x, c = np.ogrid[:h, :w, :3]
+                img = ((d + 11 * y + 3 * x + 77 * c) % 256).astype(np.uint8)
+                pays.append(encode_bmp(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+             .mapInPandas(kernel, WAV_MEDIA_SCHEMA)
+
+
+BMP_FEAT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+    T.StructField("thumb_sum", T.LongType()),
+])
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """Decode the BMP bytes, emit exact channel sums + a 2x2
+    nearest-neighbor thumbnail sum (exercises resize_nearest)."""
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "r_sum", "g_sum",
+                                    "b_sum", "thumb_sum")}
+            for p in pdf["payload"]:
+                img = decode_bmp(p)
+                h, w = img.shape[:2]
+                rows["width"].append(w)
+                rows["height"].append(h)
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows["r_sum"].append(int(s[0]))
+                rows["g_sum"].append(int(s[1]))
+                rows["b_sum"].append(int(s[2]))
+                rows["thumb_sum"].append(
+                    int(resize_nearest(img, 2, 2).astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return media.mapInPandas(kernel, BMP_FEAT_SCHEMA)

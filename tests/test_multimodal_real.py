@@ -1,0 +1,119 @@
+"""Real container-format decoders (round 3): RIFF/WAVE PCM and 24-bit
+BMP, pure numpy — the multimodal decode tier that needs no external
+libraries. Compressed codecs still raise NotImplementedError naming
+their dependency (the documented env limit)."""
+
+import numpy as np
+import pytest
+
+from cpp_parquet_spark import multimodal as mm
+
+
+def _wav_blob(tag=1, bits=16, ch=1, rate=8000, body=b"\x01\x00\x02\x00"):
+    return (b"RIFF" + np.uint32(36 + len(body)).tobytes() + b"WAVE"
+            + b"fmt " + np.uint32(16).tobytes()
+            + np.uint16(tag).tobytes() + np.uint16(ch).tobytes()
+            + np.uint32(rate).tobytes()
+            + np.uint32(rate * ch * bits // 8).tobytes()
+            + np.uint16(ch * bits // 8).tobytes()
+            + np.uint16(bits).tobytes()
+            + b"data" + np.uint32(len(body)).tobytes() + body)
+
+
+def test_wav_roundtrip_mono_stereo_extremes():
+    for ch in (1, 2, 4):
+        s = np.arange(-6, 6, dtype=np.int16).reshape(-1, ch)
+        s[0, 0], s[-1, -1] = -32768, 32767
+        out, rate = mm.decode_wav(mm.encode_wav(s, 44100))
+        assert rate == 44100
+        assert np.array_equal(out, s)
+
+
+def test_wav_chunk_walk_skips_list_chunks():
+    """Real-world WAVs carry LIST/INFO chunks between fmt and data —
+    the parser must walk past them (incl. odd-size word alignment)."""
+    base = mm.encode_wav(np.array([[100], [-200]], np.int16), 8000)
+    fmt_chunk = base[12:12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16:]
+    junk = b"LIST" + np.uint32(5).tobytes() + b"INFOx" + b"\x00"  # padded
+    blob = base[:12] + fmt_chunk + junk + data_chunk
+    blob = blob[:4] + np.uint32(len(blob) - 8).tobytes() + blob[8:]
+    s, rate = mm.decode_wav(blob)
+    assert s.ravel().tolist() == [100, -200] and rate == 8000
+
+
+def test_wav_8bit_unsigned_convention():
+    s, _ = mm.decode_wav(_wav_blob(bits=8, body=bytes([0, 128, 255])))
+    assert s.ravel().tolist() == [-32768, 0, 32512]
+
+
+def test_wav_non_pcm_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(_wav_blob(tag=85))       # MP3-in-WAV
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_bmp_roundtrip_all_strides_and_topdown():
+    for w in range(1, 9):          # covers every 4-byte padding case
+        img = (np.arange(w * 5 * 3) % 256).astype(np.uint8).reshape(5, w, 3)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+    # top-down variant (negative height)
+    img = (np.arange(4 * 4 * 3) % 256).astype(np.uint8).reshape(4, 4, 3)
+    blob = bytearray(mm.encode_bmp(img))
+    blob[22:26] = np.int32(-4).tobytes()
+    stride = 4 * 3                              # w=4 -> already aligned
+    rows = np.frombuffer(bytes(blob[54:]), np.uint8).reshape(4, stride)
+    flipped = rows[::-1].tobytes()
+    assert np.array_equal(
+        mm.decode_bmp(bytes(blob[:54]) + flipped), img)
+
+
+def test_bmp_unsupported_depth_raises():
+    img = np.zeros((2, 2, 3), np.uint8)
+    blob = bytearray(mm.encode_bmp(img))
+    blob[28:30] = np.uint16(8).tobytes()
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(bytes(blob))
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG\x00" + bytes(60))
+
+
+def test_resize_nearest_pixel_centers():
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    th = mm.resize_nearest(img, 2, 2)
+    assert np.array_equal(th, img[np.ix_([1, 4], [2, 6])])
+    up = mm.resize_nearest(img, 12, 16)        # upscale is legal too
+    assert up.shape == (12, 16, 3)
+
+
+def test_spark_wav_features_match_formula(spark, sf_dir):
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    feats = mm.wav_features(mm.synth_wav_media(docs)).collect()
+    assert len(feats) == 40
+    for r in feats:
+        d = r["doc_id"]
+        n, ch, rate = mm._wav_params(d)
+        k = np.arange(n * ch, dtype=np.int64)
+        s = (d * 31 + k * 7) % 65536 - 32768
+        assert (r["n_frames"], r["channels"], r["rate"]) == (n, ch, rate)
+        assert (r["amp_min"], r["amp_max"]) == (int(s.min()), int(s.max()))
+        assert r["amp_sum"] == int(s.sum())
+
+
+def test_spark_bmp_features_match_formula(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    feats = mm.bmp_features(mm.synth_bmp_media(docs)).collect()
+    assert len(feats) == 40
+    for r in feats:
+        d = r["doc_id"]
+        w, h = mm._bmp_params(d)
+        y, x, c = np.ogrid[:h, :w, :3]
+        img = ((d + 11 * y + 3 * x + 77 * c) % 256).astype(np.int64)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(
+            int(v) for v in img.sum(axis=(0, 1)))
+        assert r["thumb_sum"] == int(
+            mm.resize_nearest(img.astype(np.uint8), 2, 2)
+              .astype(np.int64).sum())
