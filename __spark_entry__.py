@@ -596,6 +596,20 @@ def q_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_features(media)
 
 
+def q_roundtrip_media_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads THROUGH the codec pipeline (round 3): real
+    RIFF/WAVE blobs ride a `bin` column into encode_table (string-codec
+    family on bytes), decode back, then wav_features parses the decoded
+    bytes. The oracle recomputes the features from the generation
+    formula — a single flipped byte anywhere in the encode/decode path
+    would shift a sample and break amp_sum."""
+    media = multimodal.synth_wav_media(_read(spark, sf_dir, "documents"))
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), table_name="media")
+    decoded = decode_table(encode_table(media, cfg))
+    return multimodal.wav_features(decoded)
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -755,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
+        "roundtrip_media_payload": q_roundtrip_media_payload,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -827,7 +842,7 @@ def oracle_sql() -> dict[str, str]:
         expr = col if cast is None else f"CAST({col} AS {cast})"
         return (f"SELECT sha256({expr}) AS h, "
                 f"count(*) AS cnt FROM {table} GROUP BY 1")
-    return {
+    d = {
         "roundtrip_documents_text": rt("documents", "text"),
         "roundtrip_documents_zstd": rt("documents", "text"),
         "roundtrip_documents_docid": rt("documents", "doc_id", "VARCHAR"),
@@ -1515,3 +1530,8 @@ def oracle_sql() -> dict[str, str]:
             FROM packed GROUP BY lang, pack_id
             ORDER BY lang, pack_id""",
     }
+    # media payloads through the codec pipeline decode to the SAME bytes,
+    # so the features -- and therefore the oracle -- are identical to the
+    # direct-decode query
+    d["roundtrip_media_payload"] = d["audio_wav_features"]
+    return d

@@ -117,3 +117,17 @@ def test_spark_bmp_features_match_formula(spark, sf_dir):
         assert r["thumb_sum"] == int(
             mm.resize_nearest(img.astype(np.uint8), 2, 2)
               .astype(np.int64).sum())
+
+
+def test_media_payload_codec_roundtrip_bytes(spark, sf_dir):
+    """WAV payload bytes through encode_table/decode_table are
+    byte-identical (the bin-column codec path on real RIFF blobs)."""
+    from cpp_parquet_spark.engine import (EncodeConfig, decode_table,
+                                          encode_table)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.synth_wav_media(docs)
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=2,
+                       order_keys=("doc_id",), table_name="m")
+    dec = decode_table(encode_table(media, cfg))
+    assert media.exceptAll(dec).count() == 0
+    assert dec.exceptAll(media).count() == 0
