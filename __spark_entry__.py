@@ -610,6 +610,36 @@ def q_roundtrip_media_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_features(decoded)
 
 
+def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes via deletion-vector sidecars (round 3 — the
+    Iceberg-v2 deletion-vector analogue): encode documents to a durable
+    dataset, delete an int IN-list on the bloom-indexed id column AND a
+    string value on an unindexed column (absence-means-scan fallback),
+    then decode through the dataset path. The oracle applies the same
+    predicates to the SOURCE, so matching per-lang aggregates prove the
+    vectors removed exactly the right rows and no others."""
+    import tempfile
+
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_in,
+                                          run_encode)
+    dst = tempfile.mkdtemp(prefix="cps_del_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_del")
+    run_encode(spark, docs.select("doc_id", "text", "lang", "n_chars"),
+               dst, cfg, run_id="r1", resume=False)
+    delete_where_in(spark, dst, "doc_id",
+                    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 200, 300])
+    delete_where_in(spark, dst, "lang", ["de"])
+    out = decode_dataset(spark, dst)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -770,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
         "roundtrip_media_payload": q_roundtrip_media_payload,
+        # row-level deletes (deletion-vector sidecars)
+        "delete_documents": q_delete_documents,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -1390,6 +1422,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))), 6) AS l2norm
             FROM embeddings""",
+        "delete_documents": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM documents
+            WHERE doc_id NOT IN (0,1,2,3,4,5,6,7,8,9,100,200,300)
+              AND lang <> 'de'
+            GROUP BY lang ORDER BY lang""",
         "audio_wav_features": """
             WITH base AS (
               SELECT doc_id, 64 + doc_id % 64 AS n, 1 + doc_id % 2 AS ch,

@@ -398,8 +398,13 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         arrays: dict[tuple[str, str], list] = {}
         run_rows: dict[str, int] = {}
         col_rows: dict[tuple[str, str], int] = {}
+        del_bits: dict[str, list] = {}      # run -> deletion bitmaps (OR'd)
         for i in range(len(colnames)):
             if colnames[i] == META_COL or codecs[i] == "__bloom__":
+                continue
+            if codecs[i] == "__delete__":
+                del_bits.setdefault(run_ids[i], []).append(
+                    (datas[i], int(nvals[i])))
                 continue
             arr = pagecodec.decode_page(datas[i], params[i], codecs[i],
                                         types_[i], int(nvals[i]), int(nnull[i]))
@@ -432,7 +437,26 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
             # them zero-copy
             merged = pa.chunked_array(chunks)
             out.append(merged.cast(want) if merged.type != want else merged)
-        return pa.table(out, schema=out_arrow)
+        result = pa.table(out, schema=out_arrow)
+        if del_bits:
+            # deletion vectors (row-level delete sidecars): OR the
+            # bitmaps per run, splice into one keep mask over the runs'
+            # concatenation order, one filter pass
+            keeps = []
+            for r in runs:
+                n = run_rows[r]
+                dead = np.zeros(n, dtype=bool)
+                for blob, n_rows in del_bits.get(r, ()):
+                    if n_rows != n:
+                        raise ValueError(
+                            f"run {r!r}: deletion vector covers {n_rows} "
+                            f"rows but the run decodes {n} — stale sidecar")
+                    dead |= np.unpackbits(np.asarray(blob, np.uint8),
+                                          count=n).view(bool)
+                keeps.append(~dead)
+            mask = np.concatenate(keeps) if keeps else np.ones(0, bool)
+            result = result.filter(pa.array(mask))
+        return result
 
     grouped = pages.groupBy("part_id")
     if hasattr(grouped, "applyInArrow"):
@@ -764,7 +788,17 @@ def compact_parts(spark: SparkSession, dst: str,
     live = live_manifest(_read_manifest(spark, dst))
     rows = live.select("table", "part_id", "run_id", "enc_bytes",
                        "num_parts").collect()
-    small = sorted((r for r in rows if r["enc_bytes"] < min_bytes),
+    # parts carrying deletion vectors stay uncompacted: moving their
+    # pages would re-key the (part_id, run_id) the bitmaps point at.
+    # (A rewrite-compaction that APPLIES the vectors is the eventual
+    # maintenance op; until then exclusion is the safe semantics.)
+    dels = _read_deletes(spark, dst)
+    protected: set = set()
+    if dels is not None:
+        protected = {(r["part_id"], r["run_id"]) for r in
+                     dels.select("part_id", "run_id").distinct().collect()}
+    small = sorted((r for r in rows if r["enc_bytes"] < min_bytes
+                    and (r["part_id"], r["run_id"]) not in protected),
                    key=lambda r: (r["table"], r["part_id"]))
     out = {"run_id": run_id, "bins": 0, "parts_compacted": 0,
            "bytes_moved": 0}
@@ -888,7 +922,7 @@ def decode_dataset(spark: SparkSession, dst: str,
     2-column projection of a 100-column table never touches the other
     98 columns' bytes). The ``where`` column is decoded for its residual
     filter even when not projected, then dropped."""
-    pages = read_committed_pages(spark, dst)
+    pages = read_live_pages(spark, dst)
     if columns is not None:
         meta = (pages.filter(F.col("col_idx") >= 0)
                 .select("column", "col_idx", "type")
@@ -901,7 +935,9 @@ def decode_dataset(spark: SparkSession, dst: str,
         need = set(columns) | ({where[0]} if where is not None else set())
         hint = [(r["column"], r["type"]) for r in meta
                 if r["column"] in need]
-        pages = pages.filter(F.col("column").isin(list(need)))
+        # DELETE_CODEC rows must survive the projection: deletion vectors
+        # apply to every decode regardless of which columns are read
+        pages = pages.filter(F.col("column").isin(list(need) + [DELETE_CODEC]))
         # keep the hint on the filtered frame (decode_table reads it)
         pages._cps_columns = hint
     if where is not None:
@@ -1092,6 +1128,159 @@ def decode_where_eq(pages: DataFrame, column: str, value,
     negatives — correctness never depends on the filter; a column with
     no bloom rows falls back to a full decode)."""
     return decode_where_in(pages, column, [value], spark)
+
+
+# --- row-level deletes: deletion-vector sidecars ------------------------------
+#
+# The Iceberg-v2 / Delta deletion-vector analogue for this engine: a
+# delete writes one bitmap per affected (part_id, run_id) into
+# ``dst/deletes/`` (position i set = row i of that run's slice of the
+# part is deleted, positions in the canonical (run_id, page_id) decode
+# order). Data pages are never rewritten — the GDPR/poisoned-document
+# removal path for a training-data lake costs one narrow column scan +
+# tiny sidecars, not a table rewrite. decode_table applies the vectors
+# for every decode entry point (decode_dataset, decode_where*, the SQL
+# front door) because the sidecars ride the pages DataFrame as
+# ``__delete__`` rows. compact_parts leaves deleted parts uncompacted
+# (moving pages would re-key the bitmaps).
+
+DELETE_CODEC = "__delete__"
+
+
+def _read_deletes(spark: SparkSession, dst: str) -> DataFrame | None:
+    d = os.path.join(dst, "deletes")
+    if not _exists(spark, d):
+        return None
+    return spark.read.parquet(d)
+
+
+def delete_where_in(spark: SparkSession, dst: str, column: str,
+                    values: list) -> dict:
+    """Mark rows where ``column IN values`` as deleted (str/bin/int
+    columns — the bloom-probe family). Bloom sidecars prune the parts
+    scanned when present; only the predicate column's pages are decoded.
+    Idempotent: re-deleting the same values rewrites the same bitmaps
+    (sidecars OR together at decode)."""
+    if not values:
+        return {"parts": 0, "rows_deleted": 0}
+    pages = read_committed_pages(spark, dst)
+    keys = (["part_id", "run_id"] if "run_id" in pages.columns
+            else ["part_id"])
+    hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
+                              & (F.col("column") == column))
+    if bool(bloom_rows.limit(1).take(1)):
+        # same absence-means-scan contract as decode_where_in: bloom
+        # MAYBE-hits plus every part with no bloom row for this column
+        bloom_parts = bloom_rows.select(*keys).distinct()
+        unindexed = (pages.select(*keys).distinct()
+                     .join(bloom_parts, keys, "left_anti"))
+        surv = in_prune(pages, column, values).unionByName(unindexed) \
+                                              .distinct()
+        hot = hot.join(F.broadcast(surv), keys, "left_semi")
+    hot = hot.select("part_id", "run_id", "page_id", "codec", "type",
+                     "params", "data", "num_values", "null_count")
+    out_schema = T.StructType([
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_del", T.LongType()),
+        T.StructField("bitmap", T.BinaryType()),
+    ])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tbl = tbl.sort_by([("run_id", "ascending"), ("page_id", "ascending")])
+        part = int(tbl.column("part_id")[0].as_py())
+        runs = tbl.column("run_id").to_pylist()
+        params = tbl.column("params").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        types_ = tbl.column("type").to_pylist()
+        nvals = tbl.column("num_values").to_pylist()
+        nnull = tbl.column("null_count").to_pylist()
+        dcol = tbl.column("data").combine_chunks()
+        doffs = np.frombuffer(dcol.buffers()[1], np.int32,
+                              count=len(dcol) + 1, offset=dcol.offset * 4)
+        dvals = np.frombuffer(dcol.buffers()[2], np.uint8,
+                              count=int(doffs[-1]))
+        out = {"part_id": [], "run_id": [], "n_rows": [], "n_del": [],
+               "bitmap": []}
+        by_run: dict[str, list] = {}
+        for i in range(len(runs)):
+            by_run.setdefault(runs[i], []).append(i)
+        for r, idxs in by_run.items():
+            masks = []
+            for i in idxs:
+                arr = pagecodec.decode_page(
+                    dvals[doffs[i]:doffs[i + 1]], params[i], codecs[i],
+                    types_[i], int(nvals[i]), int(nnull[i]))
+                vs = pa.array(values)
+                if vs.type != arr.type:
+                    vs = vs.cast(arr.type)
+                m = pc.fill_null(pc.is_in(arr, value_set=vs), False)
+                masks.append(m.to_numpy(zero_copy_only=False))
+            mask = np.concatenate(masks)
+            nd = int(mask.sum())
+            if nd:
+                out["part_id"].append(part)
+                out["run_id"].append(r)
+                out["n_rows"].append(mask.shape[0])
+                out["n_del"].append(nd)
+                out["bitmap"].append(np.packbits(mask).tobytes())
+        return pa.Table.from_pydict(out, schema=pa.schema([
+            ("part_id", pa.int32()), ("run_id", pa.string()),
+            ("n_rows", pa.int64()), ("n_del", pa.int64()),
+            ("bitmap", pa.binary())]))
+
+    found = hot.groupBy("part_id").applyInArrow(kernel, out_schema)
+    delete_id = uuid.uuid4().hex[:12]
+    (found.withColumn("delete_id", F.lit(delete_id))
+          .write.mode("append").parquet(os.path.join(dst, "deletes")))
+    mine = (_read_deletes(spark, dst)
+            .filter(F.col("delete_id") == delete_id)
+            .agg(F.count("*").alias("parts"),
+                 F.sum("n_del").alias("rows_deleted")).collect()[0])
+    return {"parts": int(mine["parts"] or 0),
+            "rows_deleted": int(mine["rows_deleted"] or 0),
+            "delete_id": delete_id}
+
+
+def _deletes_as_page_rows(dels: DataFrame) -> DataFrame:
+    """Deletion sidecars -> pages-schema rows (codec __delete__, run_id =
+    the TARGET run) so they ride every part-grained pruning join into
+    decode_table, which applies them."""
+    return dels.select(
+        F.lit("").alias("table"),
+        F.col("part_id").cast("int").alias("part_id"),
+        F.lit(DELETE_CODEC).alias("column"),
+        F.lit(-1).cast("int").alias("col_idx"),
+        F.lit(0).cast("int").alias("page_id"),
+        F.lit(DELETE_CODEC).alias("codec"),
+        F.lit("bin").alias("type"),
+        F.lit("{}").alias("params"),
+        F.col("bitmap").alias("data"),
+        F.col("n_rows").cast("long").alias("num_values"),
+        F.col("n_del").cast("long").alias("null_count"),
+        F.lit(0).cast("long").alias("raw_bytes"),
+        F.octet_length("bitmap").cast("long").alias("enc_bytes"),
+        F.lit(None).cast("string").alias("min_v"),
+        F.lit(None).cast("string").alias("max_v"),
+        F.col("run_id"))
+
+
+def read_live_pages(spark: SparkSession, dst: str) -> DataFrame:
+    """Committed pages + deletion-vector rows: THE read entry point for
+    decodes that must honor row-level deletes. Sidecars for superseded
+    parts drop out via the same live-manifest semi join as pages."""
+    pages = read_committed_pages(spark, dst)
+    dels = _read_deletes(spark, dst)
+    if dels is None:
+        return pages
+    committed = live_manifest(_read_manifest(spark, dst)) \
+        .select("part_id", "run_id")
+    live_dels = _deletes_as_page_rows(dels).join(
+        F.broadcast(committed), ["part_id", "run_id"], "left_semi")
+    return pages.unionByName(live_dels.select(*pages.columns))
 
 
 def register_sql(spark: SparkSession, dst: str,

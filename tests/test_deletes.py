@@ -1,0 +1,120 @@
+"""Row-level deletes via deletion-vector sidecars (round 3 — the
+Iceberg-v2/Delta deletion-vector analogue): delete_where_in writes one
+bitmap per affected (part_id, run_id); every decode entry point applies
+them; compaction leaves deleted parts in place."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.engine import (EncodeConfig, compact_parts,
+                                      decode_dataset, decode_where,
+                                      decode_where_eq, delete_where_in,
+                                      read_live_pages, register_sql,
+                                      run_encode)
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _make(spark, docs, dst, **cfg_over):
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_del", **cfg_over)
+    run_encode(spark, docs.select("doc_id", "text", "lang"), dst, cfg,
+               run_id="r1", resume=False)
+    return cfg
+
+
+def test_delete_int_values_all_paths(spark, docs, tmp_path):
+    dst = str(tmp_path / "d1")
+    _make(spark, docs, dst)
+    total = decode_dataset(spark, dst).count()
+    st = delete_where_in(spark, dst, "doc_id", [1, 5, 7, 10 ** 9])
+    assert st["rows_deleted"] == 3
+    out = decode_dataset(spark, dst)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert out.count() == total - 3
+    assert ids.isdisjoint({1, 5, 7})
+    # projection decode drops the same rows
+    assert decode_dataset(spark, dst, columns=["text"]).count() == total - 3
+    # zone-pruned decode drops them
+    w = decode_where(read_live_pages(spark, dst), "doc_id", 0, 10, spark)
+    assert {r["doc_id"] for r in w.collect()} == set(range(11)) - {1, 5, 7}
+    # bloom point lookup on a deleted key returns nothing
+    assert decode_where_eq(read_live_pages(spark, dst), "doc_id", 5,
+                           spark).count() == 0
+    # SQL front door
+    view = register_sql(spark, dst, view="docs_del_v")
+    assert spark.sql(f"SELECT count(*) c FROM {view}").collect()[0]["c"] \
+        == total - 3
+
+
+def test_delete_string_values_and_or_combining(spark, docs, tmp_path):
+    dst = str(tmp_path / "d2")
+    _make(spark, docs, dst)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    victim = sorted(langs)[0]
+    n_victim = docs.filter(F.col("lang") == victim).count()
+    total = docs.count()
+    st1 = delete_where_in(spark, dst, "lang", [victim])
+    assert st1["rows_deleted"] == n_victim
+    # overlapping second delete: doc 0..4 regardless of lang
+    delete_where_in(spark, dst, "doc_id", [0, 1, 2, 3, 4])
+    out = decode_dataset(spark, dst)
+    expect = docs.filter((F.col("lang") != victim)
+                         & (~F.col("doc_id").isin([0, 1, 2, 3, 4]))).count()
+    assert out.count() == expect
+    assert out.filter(F.col("lang") == victim).count() == 0
+    # text content of survivors is untouched (full bit identity)
+    src = docs.filter((F.col("lang") != victim)
+                      & (~F.col("doc_id").isin([0, 1, 2, 3, 4]))) \
+              .select("doc_id", "text", "lang")
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
+
+
+def test_delete_across_appended_runs(spark, docs, tmp_path):
+    dst = str(tmp_path / "d3")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=2,
+                       order_keys=("doc_id",), table_name="docs_del")
+    a = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    b = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)) \
+            .select("doc_id", "text")
+    run_encode(spark, a, dst, cfg, run_id="ra", resume=False)
+    run_encode(spark, b, dst, cfg, run_id="rb", resume=False)
+    st = delete_where_in(spark, dst, "doc_id", [10, 60])   # one per run
+    assert st["rows_deleted"] == 2
+    out = decode_dataset(spark, dst)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == set(range(100)) - {10, 60}
+
+
+def test_empty_delete_is_noop(spark, docs, tmp_path):
+    dst = str(tmp_path / "d4")
+    _make(spark, docs, dst)
+    st = delete_where_in(spark, dst, "doc_id", [])
+    assert st == {"parts": 0, "rows_deleted": 0}
+    assert not os.path.exists(os.path.join(dst, "deletes"))
+
+
+def test_compaction_leaves_deleted_parts(spark, docs, tmp_path):
+    dst = str(tmp_path / "d5")
+    _make(spark, docs, dst)
+    total = decode_dataset(spark, dst).count()
+    delete_where_in(spark, dst, "doc_id", [3])
+    # tiny parts => all compactable except the delete-protected ones
+    st = compact_parts(spark, dst, min_bytes=1 << 30)
+    out = decode_dataset(spark, dst)
+    assert out.count() == total - 1
+    assert out.filter(F.col("doc_id") == 3).count() == 0
+    # the affected parts kept their original ids (not compacted away)
+    from cpp_parquet_spark.engine import _read_deletes
+    dels = _read_deletes(spark, dst)
+    live = read_live_pages(spark, dst).select("part_id").distinct()
+    del_parts = {r["part_id"] for r in dels.select("part_id").collect()}
+    live_parts = {r["part_id"] for r in live.collect()}
+    assert del_parts <= live_parts
