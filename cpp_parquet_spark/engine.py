@@ -584,6 +584,33 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
                 .filter(keep)
                 .select("data", "params", "codec", "type",
                         "num_values", "null_count"))
+    # deletion vectors: when the pages frame carries __delete__ sidecar
+    # rows (read_live_pages), each decoded page masks its slice of the
+    # (part, run) bitmap. The bitmap + page row-offset attach via a
+    # BROADCAST join (both metadata-sized), so the blob stream still
+    # never shuffles; absent deletes, the plan is unchanged.
+    del_rows = pages.filter(F.col("codec") == DELETE_CODEC)
+    has_dels = bool(del_rows.limit(1).take(1))
+    if has_dels:
+        from pyspark.sql.window import Window
+        pkeys = (["part_id", "run_id"] if "run_id" in pages.columns
+                 else ["part_id"])
+        base = pages.filter((F.col("column") == column)
+                            & (F.col("col_idx") >= 0))
+        w = Window.partitionBy(*pkeys).orderBy("page_id") \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+        offs = (base.select(*pkeys, "page_id", "num_values")
+                .withColumn("row_off",
+                            F.coalesce(F.sum("num_values").over(w),
+                                       F.lit(0))))
+        dmap = (del_rows.groupBy(*pkeys)
+                .agg(F.collect_list("data").alias("bitmaps")))
+        aux = (offs.join(dmap, pkeys, "left")
+                   .select(*pkeys, "page_id", "row_off", "bitmaps"))
+        hot = (base.filter(keep)
+               .join(F.broadcast(aux), pkeys + ["page_id"])
+               .select("data", "params", "codec", "type",
+                       "num_values", "null_count", "row_off", "bitmaps"))
     out_arrow = pa.schema([(column, _spark_arrow_type(tag))])
     out_schema = T.StructType(
         [T.StructField(column, pagecodec.spark_type_for(tag))])
@@ -606,11 +633,23 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
             types_ = b.column("type").to_pylist()
             nvals = b.column("num_values").to_pylist()
             nnull = b.column("null_count").to_pylist()
+            if has_dels:
+                row_offs = b.column("row_off").to_pylist()
+                bitmaps = b.column("bitmaps").to_pylist()
             arrs = []
             for i in range(b.num_rows):
                 arr = pagecodec.decode_page(
                     dvals[doffs[i]:doffs[i + 1]], params[i], codecs_[i],
                     types_[i], int(nvals[i]), int(nnull[i]))
+                if has_dels and bitmaps[i]:
+                    off, n = int(row_offs[i]), len(arr)
+                    dead = np.zeros(n, dtype=bool)
+                    for blob in bitmaps[i]:
+                        bits = np.unpackbits(
+                            np.frombuffer(blob, np.uint8))
+                        dead |= bits[off: off + n].view(bool)
+                    if dead.any():
+                        arr = arr.filter(pa.array(~dead))
                 arrs.append(arr)
             # one output batch PER PAGE: no combine_chunks copy of
             # the decoded payload (the cast is offset-width only)
@@ -1281,6 +1320,80 @@ def read_live_pages(spark: SparkSession, dst: str) -> DataFrame:
     live_dels = _deletes_as_page_rows(dels).join(
         F.broadcast(committed), ["part_id", "run_id"], "left_semi")
     return pages.unionByName(live_dels.select(*pages.columns))
+
+
+def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
+                  run_id: str | None = None) -> dict:
+    """Rewrite maintenance op (the counterpart to compact_parts for
+    deletion vectors): re-encode the live (part, run)s that carry
+    vectors with the vectors APPLIED, superseding the originals via
+    ``replaces`` tombstones in ONE manifest append — the same crash-safe
+    commit protocol as compaction (orphan pages before the append are
+    harmless; never duplicates or holes). Sidecars of superseded parts
+    stop matching the live manifest, so no sidecar file surgery happens.
+
+    Scheduling guidance at 100 TB: deletes stay cheap as sidecars; run
+    purge when the deleted fraction justifies a rewrite of the affected
+    parts (it re-encodes ONLY those parts, not the table)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    out = {"run_id": run_id, "parts_rewritten": 0, "rows_purged": 0}
+    dels = _read_deletes(spark, dst)
+    if dels is None:
+        return out
+    live = live_manifest(_read_manifest(spark, dst))
+    targets = (dels.select("part_id", "run_id").distinct()
+               .join(F.broadcast(live.select("part_id", "run_id")),
+                     ["part_id", "run_id"], "left_semi").collect())
+    if not targets:
+        return out
+    tpairs = [(int(r["part_id"]), r["run_id"]) for r in targets]
+    tdf = spark.createDataFrame(tpairs, "part_id int, run_id string")
+    old_rows = (live.join(F.broadcast(tdf), ["part_id", "run_id"],
+                          "left_semi")
+                .agg(F.sum("num_rows")).collect()[0][0]) or 0
+    kept = read_live_pages(spark, dst).join(
+        F.broadcast(tdf), ["part_id", "run_id"], "left_semi")
+    decoded = decode_table(kept, spark)          # vectors applied here
+    # re-encode through the standard pipeline under a fresh run_id —
+    # (part_id, run_id) uniqueness makes hash-id reuse safe, and
+    # cfg.bloom_cols/block_codec/etc. apply to the rewritten parts
+    cols, tags = encodable_columns(decoded)
+    src = with_part_id(decoded.select(*cols), cfg)
+    prepared = cluster_by_part(src, cfg)
+    pages_dir = os.path.join(dst, "pages")
+    new_pages = (prepared.mapInArrow(make_encode_kernel(cols, tags, cfg),
+                                     PAGES_SCHEMA)
+                 .withColumn("run_id", F.lit(run_id)))
+    new_pages.write.mode("append").partitionBy("run_id").parquet(pages_dir)
+    written = (_read_pages(spark, pages_dir)
+               .filter(F.col("run_id") == run_id).drop("data", "run_id"))
+    mani = manifest_from_pages(written, run_id, cfg)
+    tomb = [{"part_id": p, "run_id": r} for p, r in tpairs]
+    n_new = mani.count()
+    new_rows = (mani.agg(F.sum("num_rows")).collect()[0][0] or 0) \
+        if n_new else 0
+    if n_new:
+        # every rewritten row carries the full tombstone list —
+        # live_manifest's explode+distinct kills each target once
+        tomb_col = F.array(*[
+            F.struct(F.lit(p).cast("int").alias("part_id"),
+                     F.lit(r).alias("run_id")) for p, r in tpairs])
+        mani = mani.withColumn("replaces", tomb_col)
+    else:
+        # every row of every target was deleted: commit a tombstone-only
+        # manifest row (no pages reference it, so reads see nothing)
+        mani = spark.createDataFrame(
+            [("", -1, 0, 0, 0, [], [], 0, None, run_id, 0, tomb)],
+            "table string, part_id int, num_pages bigint, raw_bytes bigint,"
+            "enc_bytes bigint, codecs array<string>, columns array<string>,"
+            "num_rows bigint, encode_wall_s double, run_id string,"
+            "num_parts int,"
+            "replaces array<struct<part_id:int,run_id:string>>") \
+            .withColumn("committed_at", F.current_timestamp())
+    mani.write.mode("append").parquet(os.path.join(dst, "manifest"))
+    out.update(parts_rewritten=len(tpairs),
+               rows_purged=int(old_rows - new_rows))
+    return out
 
 
 def register_sql(spark: SparkSession, dst: str,

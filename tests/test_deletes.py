@@ -118,3 +118,58 @@ def test_compaction_leaves_deleted_parts(spark, docs, tmp_path):
     del_parts = {r["part_id"] for r in dels.select("part_id").collect()}
     live_parts = {r["part_id"] for r in live.collect()}
     assert del_parts <= live_parts
+
+
+def test_purge_rewrites_and_supersedes(spark, docs, tmp_path):
+    """purge_deletes applies the vectors, supersedes the vectored parts
+    via replaces tombstones, and leaves decode output identical."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.engine import (_read_deletes, _read_manifest,
+                                          live_manifest, purge_deletes)
+    dst = str(tmp_path / "p1")
+    cfg = _make(spark, docs, dst)
+    delete_where_in(spark, dst, "doc_id", [1, 5, 7])
+    before = sorted(tuple(r) for r in decode_dataset(spark, dst).collect())
+    st = purge_deletes(spark, dst, cfg)
+    assert st["parts_rewritten"] > 0 and st["rows_purged"] == 3
+    after = sorted(tuple(r) for r in decode_dataset(spark, dst).collect())
+    assert after == before
+    # no live vectored parts remain; second purge is a no-op
+    dels = _read_deletes(spark, dst)
+    live = live_manifest(_read_manifest(spark, dst)) \
+        .select("part_id", "run_id")
+    assert dels.select("part_id", "run_id").distinct().join(
+        F.broadcast(live), ["part_id", "run_id"], "left_semi").count() == 0
+    assert purge_deletes(spark, dst, cfg)["parts_rewritten"] == 0
+    # compaction is allowed again on the rewritten parts
+    compact_parts(spark, dst, min_bytes=1 << 30)
+    assert sorted(tuple(r) for r in
+                  decode_dataset(spark, dst).collect()) == before
+
+
+def test_purge_all_rows_deleted_tombstone_only(spark, docs, tmp_path):
+    """Deleting every row of the dataset exercises the tombstone-only
+    manifest path (no new pages, targets still superseded)."""
+    from cpp_parquet_spark.engine import purge_deletes
+    dst = str(tmp_path / "p2")
+    cfg = _make(spark, docs, dst)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    delete_where_in(spark, dst, "doc_id", ids)
+    st = purge_deletes(spark, dst, cfg)
+    assert st["parts_rewritten"] > 0
+    assert decode_dataset(spark, dst).count() == 0
+
+
+def test_scan_column_honors_deletes(spark, docs, tmp_path):
+    """Single-column page-pruned scans mask their slice of the deletion
+    bitmap via page row-offsets (broadcast join; blobs never shuffle)."""
+    from cpp_parquet_spark.engine import scan_column
+    dst = str(tmp_path / "d6")
+    _make(spark, docs, dst)
+    delete_where_in(spark, dst, "doc_id", [1, 5, 7, 11, 13])
+    pages = read_live_pages(spark, dst)
+    ids = sorted(r["doc_id"] for r in
+                 scan_column(pages, "doc_id", lo=0, hi=20).collect())
+    assert ids == [i for i in range(21) if i not in (1, 5, 7, 11, 13)]
+    assert scan_column(pages, "doc_id").count() == docs.count() - 5
