@@ -640,6 +640,40 @@ def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"))
 
 
+def q_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (round 3): same-key rows replaced via a
+    deletion-vector pass, new keys appended in a fresh run. The oracle
+    rebuilds the merged table with SQL set ops over the SOURCE, so
+    matching per-lang aggregates (incl. text lengths) prove replacement
+    hit exactly the batch keys and appended rows landed once."""
+    import tempfile
+
+    from cpp_parquet_spark.engine import (decode_dataset, run_encode,
+                                          upsert)
+    dst = tempfile.mkdtemp(prefix="cps_ups_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_ups")
+    run_encode(spark, docs.select("doc_id", "text", "lang"), dst, cfg,
+               run_id="r1", resume=False)
+    batch = (docs.filter(F.col("doc_id") < 20)
+             .select("doc_id",
+                     F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                     "lang")
+             .unionByName(
+                 docs.filter(F.col("doc_id") < 5)
+                     .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                             "text", F.lit("zz").alias("lang"))))
+    upsert(spark, batch, dst, cfg, "doc_id")
+    out = decode_dataset(spark, dst)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("tlen"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -800,8 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
         "roundtrip_media_payload": q_roundtrip_media_payload,
-        # row-level deletes (deletion-vector sidecars)
+        # row-level deletes (deletion-vector sidecars) + upsert
         "delete_documents": q_delete_documents,
+        "upsert_documents": q_upsert_documents,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -1422,6 +1457,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))), 6) AS l2norm
             FROM embeddings""",
+        "upsert_documents": """
+            WITH updated AS (
+              SELECT doc_id, 'U:' || text AS text, lang
+              FROM documents WHERE doc_id < 20
+            ), new_rows AS (
+              SELECT doc_id + 1000000 AS doc_id, text, 'zz' AS lang
+              FROM documents WHERE doc_id < 5
+            ), merged AS (
+              SELECT doc_id, text, lang FROM documents WHERE doc_id >= 20
+              UNION ALL SELECT * FROM updated
+              UNION ALL SELECT * FROM new_rows
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS tlen,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM merged GROUP BY lang ORDER BY lang""",
         "delete_documents": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n,

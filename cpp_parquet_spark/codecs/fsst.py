@@ -261,13 +261,15 @@ def _encode_segment(data: np.ndarray, lens: np.ndarray,
     a = _with_sentinels(codes8, lens)
     for lut in round_flat:
         a = _sub_pass(a, lut)
-    if not oov.any():
-        # no-OOV fast path (the common case: the training sample's byte
-        # set covers the segment, so no ESC codes exist): every surviving
-        # code emits exactly 1 byte, so the output is just the stream
-        # minus sentinels and per-string lengths fall out of the sentinel
-        # positions directly — skips the cumsum + scatter emit (measured
-        # 16x faster on source-code segments)
+    n_oov = int(oov.sum())
+    if n_oov * 16 < a.shape[0]:
+        # low-OOV fast path (the common case: the training sample's byte
+        # set covers almost all of the segment): every surviving code
+        # emits 1 byte, so the output is the stream minus sentinels with
+        # the few OOV raw bytes np.insert-ed after their ESC markers,
+        # and per-string lengths fall out of the sentinel positions —
+        # skips the full-width cumsum + double-scatter emit (measured
+        # 16x faster at zero OOV, ~4x at 1/16 OOV density)
         is_sent = a == SENT
         sent_pos = np.flatnonzero(is_sent)
         out = a[~is_sent]
@@ -276,6 +278,13 @@ def _encode_segment(data: np.ndarray, lens: np.ndarray,
         np.subtract(sent_pos[1:], sent_pos[:-1], out=enc_lens[1:],
                     casting="unsafe")
         enc_lens[1:] -= 1
+        if n_oov:
+            esc_pos = np.flatnonzero(a == ESC)
+            owner = np.searchsorted(sent_pos, esc_pos)   # string index
+            # position of each ESC inside `out` = its position in `a`
+            # minus the sentinels before it (= its owner index)
+            out = np.insert(out, esc_pos - owner + 1, data[oov])
+            enc_lens += np.bincount(owner, minlength=n).astype(np.uint32)
         return out, enc_lens
     # merges never consume ESC or SENT, so the surviving ESC positions map
     # 1:1, in order, onto the OOV bytes of the original data

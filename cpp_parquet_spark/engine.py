@@ -1396,6 +1396,29 @@ def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
     return out
 
 
+def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
+           key: str, run_id: str | None = None) -> dict:
+    """MERGE-style upsert: rows of ``df`` REPLACE existing rows with the
+    same ``key`` value and new keys append — composed from the engine's
+    own primitives: one deletion-vector pass over the key column
+    (bloom-pruned when indexed) + one append run. Both halves are
+    individually crash-safe; a crash between them leaves the deletes
+    committed and the append absent — rerunning the same upsert
+    (idempotent delete, fresh append run) converges.
+
+    The key column should be in ``cfg.bloom_cols`` so the delete pass
+    prunes instead of scanning every part. The key list of the upsert
+    BATCH (not the table) comes to the driver — upsert batches are
+    incremental by nature; bulk rewrites belong to purge/compact."""
+    keys = [r[0] for r in df.select(key).distinct().collect()]
+    dstats = delete_where_in(spark, dst, key, keys)
+    astats = run_encode(spark, df, dst, cfg, run_id=run_id, resume=False)
+    return {"rows_replaced": dstats.get("rows_deleted", 0),
+            "delete_id": dstats.get("delete_id"),
+            "run_id": astats["run_id"],
+            "dataset_rows": astats["rows"]}
+
+
 def register_sql(spark: SparkSession, dst: str,
                  view: str | None = None) -> str:
     """SQL front door: register a durable dataset as a temp view so

@@ -173,3 +173,32 @@ def test_scan_column_honors_deletes(spark, docs, tmp_path):
                  scan_column(pages, "doc_id", lo=0, hi=20).collect())
     assert ids == [i for i in range(21) if i not in (1, 5, 7, 11, 13)]
     assert scan_column(pages, "doc_id").count() == docs.count() - 5
+
+
+def test_upsert_replaces_and_appends(spark, docs, tmp_path):
+    """MERGE-style upsert: same-key rows replaced, new keys appended,
+    untouched rows bit-identical."""
+    from cpp_parquet_spark.engine import upsert
+    dst = str(tmp_path / "u1")
+    cfg = _make(spark, docs, dst)
+    batch = (docs.filter(F.col("doc_id") < 20)
+             .select("doc_id",
+                     F.concat(F.lit("U:"), F.col("text")).alias("text"),
+                     "lang")
+             .unionByName(
+                 docs.filter(F.col("doc_id") < 5)
+                     .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                             "text", F.lit("zz").alias("lang"))))
+    st = upsert(spark, batch, dst, cfg, "doc_id")
+    assert st["rows_replaced"] == 20
+    out = decode_dataset(spark, dst)
+    want = (docs.filter(F.col("doc_id") >= 20)
+                .select("doc_id", "text", "lang")
+                .unionByName(batch))
+    assert out.exceptAll(want).count() == 0
+    assert want.exceptAll(out).count() == 0
+    # idempotence: re-running the same upsert converges to the same table
+    upsert(spark, batch, dst, cfg, "doc_id")
+    out2 = decode_dataset(spark, dst)
+    assert out2.exceptAll(want).count() == 0
+    assert want.exceptAll(out2).count() == 0
