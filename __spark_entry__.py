@@ -674,6 +674,47 @@ def q_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"))
 
 
+def q_time_travel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (round 3): snapshot reads by commit timestamp —
+    encode half the docs, capture a timestamp, append the rest, delete
+    two ids, then read BOTH the historical snapshot and the current
+    state. The oracle rebuilds each snapshot from the SOURCE with plain
+    filters, so matching rows prove as_of excludes exactly the later
+    commits (append + deletion vectors) and nothing else."""
+    import datetime
+    import tempfile
+    import time
+
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_in,
+                                          run_encode)
+    dst = tempfile.mkdtemp(prefix="cps_tt_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_tt")
+    run_encode(spark, docs.filter(F.col("doc_id") < 250)
+               .select("doc_id", "text", "lang"), dst, cfg, run_id="r1",
+               resume=False)
+    time.sleep(0.8)
+    t_mid = datetime.datetime.now()
+    time.sleep(0.8)
+    run_encode(spark, docs.filter(F.col("doc_id") >= 250)
+               .select("doc_id", "text", "lang"), dst, cfg, run_id="r2",
+               resume=False)
+    delete_where_in(spark, dst, "doc_id", [5, 300])
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snap"),
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("tlen"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"))
+
+    return agg(decode_dataset(spark, dst, as_of=t_mid), "asof") \
+        .unionByName(agg(decode_dataset(spark, dst), "now"))
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -837,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level deletes (deletion-vector sidecars) + upsert
         "delete_documents": q_delete_documents,
         "upsert_documents": q_upsert_documents,
+        "time_travel_documents": q_time_travel_documents,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -1457,6 +1499,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))), 6) AS l2norm
             FROM embeddings""",
+        "time_travel_documents": """
+            WITH snap_a AS (
+              SELECT 'asof' AS snap, count(*) AS n,
+                     sum(length(text)) AS tlen,
+                     min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM documents WHERE doc_id < 250
+            ), snap_b AS (
+              SELECT 'now' AS snap, count(*) AS n,
+                     sum(length(text)) AS tlen,
+                     min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM documents WHERE doc_id NOT IN (5, 300)
+            )
+            SELECT snap, CAST(n AS BIGINT) AS n,
+                   CAST(tlen AS BIGINT) AS tlen,
+                   CAST(min_id AS BIGINT) AS min_id,
+                   CAST(max_id AS BIGINT) AS max_id
+            FROM (SELECT * FROM snap_a UNION ALL SELECT * FROM snap_b)
+            ORDER BY snap""",
         "upsert_documents": """
             WITH updated AS (
               SELECT doc_id, 'U:' || text AS text, lang

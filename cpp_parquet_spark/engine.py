@@ -787,12 +787,26 @@ def live_manifest(manifest: DataFrame) -> DataFrame:
                          "left_anti")
 
 
-def read_committed_pages(spark: SparkSession, dst: str) -> DataFrame:
+def _manifest_cutoff(manifest: DataFrame, as_of) -> DataFrame:
+    """Time travel: restrict the manifest to rows committed at or before
+    ``as_of`` (datetime or ISO string). Tombstones committed later are
+    excluded WITH their rows, so a snapshot taken before a compaction or
+    purge sees the original parts — page files are never deleted, only
+    superseded, which is what makes historical reads possible."""
+    return manifest.filter(
+        F.col("committed_at") <= F.lit(as_of).cast("timestamp"))
+
+
+def read_committed_pages(spark: SparkSession, dst: str,
+                         as_of=None) -> DataFrame:
     """Pages joined against the LIVE manifest — orphans from crashed runs
-    and compaction-superseded parts both drop out."""
+    and compaction-superseded parts both drop out. ``as_of`` reads the
+    snapshot as of that commit timestamp."""
     pages = _read_pages(spark, os.path.join(dst, "pages"))
-    committed = live_manifest(_read_manifest(spark, dst)) \
-        .select("part_id", "run_id")
+    mani = _read_manifest(spark, dst)
+    if as_of is not None:
+        mani = _manifest_cutoff(mani, as_of)
+    committed = live_manifest(mani).select("part_id", "run_id")
     return pages.join(F.broadcast(committed), ["part_id", "run_id"], "left_semi")
 
 
@@ -949,11 +963,17 @@ def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
 
 def decode_dataset(spark: SparkSession, dst: str,
                    where: tuple | None = None,
-                   columns: list[str] | None = None) -> DataFrame:
+                   columns: list[str] | None = None,
+                   as_of=None) -> DataFrame:
     """Decode a durable dataset; ``where=(column, lo, hi)`` pushes the
     predicate down to the on-disk zone maps (decode_where) — the pruning
     scan reads only the pages parquet's metadata columns, never the
     blobs, so at 100 TB a selective range touches a fraction of parts.
+
+    ``as_of`` (datetime or ISO timestamp string): time-travel snapshot —
+    the table as committed at that instant (appends, compactions, purges
+    and row-level deletes after it are invisible; possible because page
+    files are only ever superseded, never destroyed).
 
     ``columns``: projection pushdown for wide tables — only the named
     columns' page blobs are scanned and decoded (the pages parquet is
@@ -961,7 +981,7 @@ def decode_dataset(spark: SparkSession, dst: str,
     2-column projection of a 100-column table never touches the other
     98 columns' bytes). The ``where`` column is decoded for its residual
     filter even when not projected, then dropped."""
-    pages = read_live_pages(spark, dst)
+    pages = read_live_pages(spark, dst, as_of=as_of)
     if columns is not None:
         meta = (pages.filter(F.col("col_idx") >= 0)
                 .select("column", "col_idx", "type")
@@ -1274,6 +1294,7 @@ def delete_where_in(spark: SparkSession, dst: str, column: str,
     found = hot.groupBy("part_id").applyInArrow(kernel, out_schema)
     delete_id = uuid.uuid4().hex[:12]
     (found.withColumn("delete_id", F.lit(delete_id))
+          .withColumn("created_at", F.current_timestamp())
           .write.mode("append").parquet(os.path.join(dst, "deletes")))
     mine = (_read_deletes(spark, dst)
             .filter(F.col("delete_id") == delete_id)
@@ -1307,16 +1328,23 @@ def _deletes_as_page_rows(dels: DataFrame) -> DataFrame:
         F.col("run_id"))
 
 
-def read_live_pages(spark: SparkSession, dst: str) -> DataFrame:
+def read_live_pages(spark: SparkSession, dst: str, as_of=None) -> DataFrame:
     """Committed pages + deletion-vector rows: THE read entry point for
     decodes that must honor row-level deletes. Sidecars for superseded
-    parts drop out via the same live-manifest semi join as pages."""
-    pages = read_committed_pages(spark, dst)
+    parts drop out via the same live-manifest semi join as pages.
+    ``as_of`` (datetime/ISO string) gives a time-travel snapshot:
+    manifest rows AND delete sidecars created later are excluded."""
+    pages = read_committed_pages(spark, dst, as_of=as_of)
     dels = _read_deletes(spark, dst)
     if dels is None:
         return pages
-    committed = live_manifest(_read_manifest(spark, dst)) \
-        .select("part_id", "run_id")
+    if as_of is not None and "created_at" in dels.columns:
+        dels = dels.filter(
+            F.col("created_at") <= F.lit(as_of).cast("timestamp"))
+    mani = _read_manifest(spark, dst)
+    if as_of is not None:
+        mani = _manifest_cutoff(mani, as_of)
+    committed = live_manifest(mani).select("part_id", "run_id")
     live_dels = _deletes_as_page_rows(dels).join(
         F.broadcast(committed), ["part_id", "run_id"], "left_semi")
     return pages.unionByName(live_dels.select(*pages.columns))

@@ -202,3 +202,46 @@ def test_upsert_replaces_and_appends(spark, docs, tmp_path):
     out2 = decode_dataset(spark, dst)
     assert out2.exceptAll(want).count() == 0
     assert want.exceptAll(out2).count() == 0
+
+
+def test_time_travel_snapshots(spark, docs, tmp_path):
+    """as_of reads reconstruct the table at a past commit: appends,
+    deletes, and compactions after the cutoff are invisible (page files
+    are only superseded, never destroyed)."""
+    import datetime
+    import time
+
+    dst = str(tmp_path / "tt1")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=2,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="tt")
+    run_encode(spark, docs.filter(F.col("doc_id") < 250)
+               .select("doc_id", "text"), dst, cfg, run_id="r1",
+               resume=False)
+    time.sleep(0.8)
+    t1 = datetime.datetime.now()
+    time.sleep(0.8)
+    run_encode(spark, docs.filter(F.col("doc_id") >= 250)
+               .select("doc_id", "text"), dst, cfg, run_id="r2",
+               resume=False)
+    time.sleep(0.8)
+    t2 = datetime.datetime.now()
+    time.sleep(0.8)
+    delete_where_in(spark, dst, "doc_id", [5, 300])
+    time.sleep(0.8)
+    t3 = datetime.datetime.now()
+    time.sleep(0.8)
+    compact_parts(spark, dst, min_bytes=1 << 30)
+
+    a1 = decode_dataset(spark, dst, as_of=t1)
+    assert a1.count() == 250
+    assert a1.filter(F.col("doc_id") >= 250).count() == 0
+    assert a1.filter(F.col("doc_id") == 5).count() == 1   # delete is later
+    assert decode_dataset(spark, dst, as_of=t2).count() == 500
+    a3 = decode_dataset(spark, dst, as_of=t3)
+    assert a3.count() == 498
+    assert decode_dataset(spark, dst).count() == 498
+    # string form works too
+    assert decode_dataset(
+        spark, dst,
+        as_of=t1.isoformat(sep=" ", timespec="milliseconds")).count() == 250
