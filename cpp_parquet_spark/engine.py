@@ -1447,6 +1447,59 @@ def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
             "dataset_rows": astats["rows"]}
 
 
+def vacuum(spark: SparkSession, dst: str,
+           retain_hours: float = 168.0) -> dict:
+    """Physically remove page files no snapshot inside the retention
+    window can reference (the Delta VACUUM trade: time travel keeps
+    working within ``retain_hours``; older snapshots are given up).
+
+    Removal unit is a ``pages/run_id=<id>/`` directory: pages parquet is
+    partitioned by run only, so a run's files are removable exactly when
+    EVERY (part_id, run_id) of the run is superseded (compaction or
+    purge tombstones) and its LAST part's supersession committed more
+    than ``retain_hours`` ago. Manifest rows stay (history() still lists
+    the run); delete sidecars stay too — they are metadata-sized and
+    drop out of reads via the live-manifest join."""
+    import datetime
+
+    m = _read_manifest(spark, dst)
+    if "replaces" not in m.columns:
+        return {"runs_removed": [], "bytes_freed": 0}
+    cutoff = (datetime.datetime.now()
+              - datetime.timedelta(hours=retain_hours))
+    # (part, run) -> earliest supersession commit time
+    tomb = (m.filter(F.col("replaces").isNotNull())
+            .select(F.explode("replaces").alias("t"), "committed_at")
+            .select(F.col("t.part_id").alias("part_id"),
+                    F.col("t.run_id").alias("run_id"),
+                    F.col("committed_at").alias("superseded_at"))
+            .groupBy("part_id", "run_id")
+            .agg(F.min("superseded_at").alias("superseded_at")))
+    per_run = (m.select("part_id", "run_id", "enc_bytes")
+               .join(tomb, ["part_id", "run_id"], "left")
+               .groupBy("run_id")
+               .agg(F.count("*").alias("parts"),
+                    F.count("superseded_at").alias("superseded"),
+                    F.max("superseded_at").alias("last_superseded_at"),
+                    F.sum("enc_bytes").alias("enc_bytes"))
+               .filter((F.col("parts") == F.col("superseded"))
+                       & (F.col("last_superseded_at")
+                          <= F.lit(cutoff).cast("timestamp")))
+               .collect())
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    removed, freed = [], 0
+    for r in per_run:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(dst, "pages", f"run_id={r['run_id']}"))
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(r["run_id"])
+            freed += int(r["enc_bytes"] or 0)
+    return {"runs_removed": sorted(removed), "bytes_freed": freed}
+
+
 def register_sql(spark: SparkSession, dst: str,
                  view: str | None = None) -> str:
     """SQL front door: register a durable dataset as a temp view so

@@ -245,3 +245,30 @@ def test_time_travel_snapshots(spark, docs, tmp_path):
     assert decode_dataset(
         spark, dst,
         as_of=t1.isoformat(sep=" ", timespec="milliseconds")).count() == 250
+
+
+def test_vacuum_removes_only_fully_superseded_runs(spark, docs, tmp_path):
+    """vacuum removes a run's page files only when EVERY part of the run
+    is superseded and the retention window passed; partially-superseded
+    runs are protected; decode is unaffected."""
+    import os as _os
+
+    from cpp_parquet_spark.engine import purge_deletes, vacuum
+    dst = str(tmp_path / "v1")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=2,
+                       order_keys=("doc_id",), table_name="v")
+    run_encode(spark, docs.select("doc_id", "text"), dst, cfg,
+               run_id="r1", resume=False)
+    compact_parts(spark, dst, min_bytes=1 << 30)     # supersedes all of r1
+    assert vacuum(spark, dst, retain_hours=1.0)["runs_removed"] == []
+    v = vacuum(spark, dst, retain_hours=0.0)
+    assert v["runs_removed"] == ["r1"] and v["bytes_freed"] > 0
+    assert not _os.path.exists(_os.path.join(dst, "pages", "run_id=r1"))
+    assert decode_dataset(spark, dst).count() == docs.count()
+    # partially superseded run is protected
+    dst2 = str(tmp_path / "v2")
+    cfg2 = _make(spark, docs, dst2)
+    delete_where_in(spark, dst2, "doc_id", [7])
+    purge_deletes(spark, dst2, cfg2)                 # one part rewritten
+    assert vacuum(spark, dst2, retain_hours=0.0)["runs_removed"] == []
+    assert decode_dataset(spark, dst2).count() == docs.count() - 1

@@ -193,6 +193,33 @@ def main(argv: list[str] | None = None) -> None:
             "enc_bytes": int(zrow["enc"]),
             "vs_raw": round(zrow["enc"] / zrow["raw"], 4)}
 
+    # -- 11. row lifecycle: delete (vector sidecars) -> time-travel
+    # snapshot -> purge rewrite -> vacuum retention cleanup — the
+    # GDPR-removal runbook a training-data lake needs, on the same
+    # durable dataset the earlier stages built
+    with stage("lifecycle"):
+        import datetime
+
+        from cpp_parquet_spark.engine import (decode_dataset,
+                                              delete_where_in,
+                                              purge_deletes, vacuum)
+        t_before = datetime.datetime.now()
+        time.sleep(0.3)
+        vic = [r["repo"] for r in
+               df.select("repo").distinct().limit(2).collect()]
+        dstats = delete_where_in(spark, dst, "repo", vic)
+        n_now = decode_dataset(spark, dst, columns=["repo"]).count()
+        n_then = decode_dataset(spark, dst, columns=["repo"],
+                                as_of=t_before).count()
+        pstats = purge_deletes(spark, dst, cfg)
+        vstats = vacuum(spark, dst, retain_hours=0.0)
+        out["lifecycle"] = {
+            "rows_deleted": dstats["rows_deleted"],
+            "rows_now": int(n_now), "rows_at_snapshot": int(n_then),
+            "parts_rewritten": pstats["parts_rewritten"],
+            "vacuumed_runs": len(vstats["runs_removed"]),
+            "bytes_freed": vstats["bytes_freed"]}
+
     total = round(sum(out["stages"].values()), 3)
     out["total_s"] = total
     out["encode_gbps"] = round(
