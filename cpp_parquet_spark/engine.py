@@ -1501,15 +1501,16 @@ def vacuum(spark: SparkSession, dst: str,
 
 
 def register_sql(spark: SparkSession, dst: str,
-                 view: str | None = None) -> str:
+                 view: str | None = None, as_of=None) -> str:
     """SQL front door: register a durable dataset as a temp view so
     plain ``spark.sql("SELECT ... FROM <view>")`` runs against encoded
     pages (decode happens lazily inside the view's plan; Catalyst prunes
     and pushes around it as usual). The view name defaults to the
-    manifest's table name. Returns the view name."""
+    manifest's table name. ``as_of`` registers a time-travel snapshot
+    view instead of the current state. Returns the view name."""
     m = live_manifest(_read_manifest(spark, dst))
     name = view or m.select("table").first()["table"]
-    decode_dataset(spark, dst).createOrReplaceTempView(name)
+    decode_dataset(spark, dst, as_of=as_of).createOrReplaceTempView(name)
     return name
 
 

@@ -245,6 +245,9 @@ def test_time_travel_snapshots(spark, docs, tmp_path):
     assert decode_dataset(
         spark, dst,
         as_of=t1.isoformat(sep=" ", timespec="milliseconds")).count() == 250
+    # snapshot SQL view
+    v = register_sql(spark, dst, view="tt_snap", as_of=t1)
+    assert spark.sql(f"SELECT count(*) c FROM {v}").collect()[0]["c"] == 250
 
 
 def test_vacuum_removes_only_fully_superseded_runs(spark, docs, tmp_path):

@@ -348,3 +348,36 @@ def test_stream_encode_with_block_codec_and_bss(spark, tmp_path):
     src_df = spark.read.parquet(src)
     res = verify_roundtrip(src_df, decoded, "content")
     assert res["sha256_match_rate"] == 1.0
+
+
+def test_stream_then_delete_and_time_travel(spark, tmp_path):
+    """Deletion vectors over STREAMED runs (batch-<epoch>-<uuid> run ids
+    in the same hash part-id space): rows deleted across micro-batches
+    drop from every read, and an as_of snapshot taken before the delete
+    still sees them."""
+    import datetime
+    import time as _time
+
+    from cpp_parquet_spark.engine import decode_dataset, delete_where_in
+    src = str(tmp_path / "in3")
+    dst = str(tmp_path / "enc3")
+    _drop_files(src, [("a", 100), ("b", 101)], 150)
+    schema = ("repo string, path string, commit string, "
+              "lang string, content string")
+    q = stream_encode(spark, src, schema, dst, CFG)
+    q.awaitTermination(120)
+    _time.sleep(0.8)
+    t_before = datetime.datetime.now()
+    _time.sleep(0.8)
+    src_df = spark.read.parquet(f"{src}/*.parquet")
+    victim = src_df.select("repo").distinct().orderBy("repo").first()[0]
+    n_victim = src_df.filter(F.col("repo") == victim).count()
+    assert n_victim > 0
+    st = delete_where_in(spark, dst, "repo", [victim])
+    assert st["rows_deleted"] == n_victim
+    now = decode_dataset(spark, dst)
+    assert now.count() == 300 - n_victim
+    assert now.filter(F.col("repo") == victim).count() == 0
+    snap = decode_dataset(spark, dst, as_of=t_before)
+    assert snap.count() == 300
+    assert snap.filter(F.col("repo") == victim).count() == n_victim
