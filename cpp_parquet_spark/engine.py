@@ -1375,6 +1375,20 @@ def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
     if not targets:
         return out
     tpairs = [(int(r["part_id"]), r["run_id"]) for r in targets]
+    old_rows, new_rows = _rewrite_parts(spark, dst, cfg, run_id, tpairs)
+    out.update(parts_rewritten=len(tpairs),
+               rows_purged=int(old_rows - new_rows))
+    return out
+
+
+def _rewrite_parts(spark: SparkSession, dst: str, cfg: EncodeConfig,
+                   run_id: str, tpairs: list[tuple[int, str]]) -> tuple:
+    """Shared rewrite machinery (purge_deletes, rewrite_dataset): decode
+    the target (part, run)s with deletion vectors applied, re-encode
+    under ``cfg`` in a fresh run, supersede the targets via ``replaces``
+    tombstones in ONE crash-safe manifest append. Returns
+    (old_live_rows, new_rows)."""
+    live = live_manifest(_read_manifest(spark, dst))
     tdf = spark.createDataFrame(tpairs, "part_id int, run_id string")
     old_rows = (live.join(F.broadcast(tdf), ["part_id", "run_id"],
                           "left_semi")
@@ -1384,7 +1398,7 @@ def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
     decoded = decode_table(kept, spark)          # vectors applied here
     # re-encode through the standard pipeline under a fresh run_id —
     # (part_id, run_id) uniqueness makes hash-id reuse safe, and
-    # cfg.bloom_cols/block_codec/etc. apply to the rewritten parts
+    # cfg.bloom_cols/block_codec/range layout/etc. apply to the output
     cols, tags = encodable_columns(decoded)
     src = with_part_id(decoded.select(*cols), cfg)
     prepared = cluster_by_part(src, cfg)
@@ -1419,9 +1433,28 @@ def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
             "replaces array<struct<part_id:int,run_id:string>>") \
             .withColumn("committed_at", F.current_timestamp())
     mani.write.mode("append").parquet(os.path.join(dst, "manifest"))
-    out.update(parts_rewritten=len(tpairs),
-               rows_purged=int(old_rows - new_rows))
-    return out
+    return old_rows, new_rows
+
+
+def rewrite_dataset(spark: SparkSession, dst: str, cfg: EncodeConfig,
+                    run_id: str | None = None) -> dict:
+    """Layout evolution (Iceberg rewrite-data-files analogue): rewrite
+    the ENTIRE live table under a new EncodeConfig — switch to range
+    clustering for zone-pruned scans, add bloom columns, change the
+    block codec or part sizing — superseding every live part in one
+    crash-safe manifest append. Deletion vectors are applied during the
+    rewrite (subsumes purge_deletes for the whole table). Old page
+    files stay until ``vacuum``, so time travel across the rewrite
+    keeps working."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    live = live_manifest(_read_manifest(spark, dst))
+    tpairs = [(int(r["part_id"]), r["run_id"])
+              for r in live.select("part_id", "run_id").collect()]
+    if not tpairs:
+        return {"run_id": run_id, "parts_rewritten": 0, "rows": 0}
+    old_rows, new_rows = _rewrite_parts(spark, dst, cfg, run_id, tpairs)
+    return {"run_id": run_id, "parts_rewritten": len(tpairs),
+            "rows": int(new_rows), "rows_purged": int(old_rows - new_rows)}
 
 
 def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,

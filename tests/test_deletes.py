@@ -275,3 +275,33 @@ def test_vacuum_removes_only_fully_superseded_runs(spark, docs, tmp_path):
     purge_deletes(spark, dst2, cfg2)                 # one part rewritten
     assert vacuum(spark, dst2, retain_hours=0.0)["runs_removed"] == []
     assert decode_dataset(spark, dst2).count() == docs.count() - 1
+
+
+def test_rewrite_dataset_layout_evolution(spark, docs, tmp_path):
+    """rewrite_dataset re-lays the whole live table under a new config
+    (hash -> range clustering + blooms): decode identical, pending
+    deletes applied, zone pruning effective, old run vacuumable."""
+    from cpp_parquet_spark.engine import (prune_parts, rewrite_dataset,
+                                          vacuum)
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    dst = str(tmp_path / "rw1")
+    _make(spark, docs, dst)
+    delete_where_in(spark, dst, "doc_id", [2, 9])
+    before = sorted(tuple(r) for r in decode_dataset(spark, dst).collect())
+    bounds = plan_range_bounds(docs, "doc_id", 4)
+    cfg2 = EncodeConfig(keys=("doc_id",), salt_from=(), num_parts=4,
+                        order_keys=("doc_id",), range_on="doc_id",
+                        range_bounds=bounds, bloom_cols=("doc_id",),
+                        table_name="docs_del")
+    st = rewrite_dataset(spark, dst, cfg2)
+    assert st["parts_rewritten"] > 0 and st["rows"] == len(before)
+    after = sorted(tuple(r) for r in decode_dataset(spark, dst).collect())
+    assert after == before
+    pages = read_live_pages(spark, dst)
+    total = pages.select("part_id").distinct().count()
+    surv = prune_parts(pages, "doc_id", 0, 50).count()
+    assert surv < total                   # range layout actually prunes
+    v = vacuum(spark, dst, retain_hours=0.0)
+    assert "r1" in v["runs_removed"]
+    assert sorted(tuple(r) for r in
+                  decode_dataset(spark, dst).collect()) == before
