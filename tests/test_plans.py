@@ -155,3 +155,31 @@ def test_pushdown_decode_part_filter_reaches_parquet(spark, sf_dir,
                               spark=spark))
     pushed = [seg[:500] for seg in plan.split("PushedFilters")[1:]]
     assert any("In(part_id" in seg for seg in pushed), plan
+
+
+def test_delete_and_snapshot_paths_stay_broadcast(spark, sf_dir, tmp_path):
+    """Deletion-vector reads keep the 100 TB shape: survivors and
+    sidecars attach via broadcast joins — no full-data exchange enters
+    the decode or scan plan because deletes exist."""
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_in,
+                                          read_live_pages, run_encode,
+                                          scan_column)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "pl1")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="pl")
+    run_encode(spark, docs.select("doc_id", "text"), dst, cfg,
+               run_id="r1", resume=False)
+    delete_where_in(spark, dst, "doc_id", [1, 2])
+    dec = decode_dataset(spark, dst)
+    plan = _plan(dec)
+    # the live-manifest and delete-sidecar attachments broadcast; the
+    # only exchange is the groupBy(part_id) reassembly shuffle
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange(") + plan.count("Exchange hashpartitioning") \
+        <= 2, plan
+    sc = scan_column(read_live_pages(spark, dst), "doc_id", lo=0, hi=50)
+    plan2 = _plan(sc)
+    # bitmap/offset aux join must be broadcast, never a sort-merge join
+    assert "SortMergeJoin" not in plan2, plan2
