@@ -1496,29 +1496,29 @@ def vacuum(spark: SparkSession, dst: str,
     import datetime
 
     m = _read_manifest(spark, dst)
-    if "replaces" not in m.columns:
-        return {"runs_removed": [], "bytes_freed": 0}
     cutoff = (datetime.datetime.now()
               - datetime.timedelta(hours=retain_hours))
-    # (part, run) -> earliest supersession commit time
-    tomb = (m.filter(F.col("replaces").isNotNull())
-            .select(F.explode("replaces").alias("t"), "committed_at")
-            .select(F.col("t.part_id").alias("part_id"),
-                    F.col("t.run_id").alias("run_id"),
-                    F.col("committed_at").alias("superseded_at"))
-            .groupBy("part_id", "run_id")
-            .agg(F.min("superseded_at").alias("superseded_at")))
-    per_run = (m.select("part_id", "run_id", "enc_bytes")
-               .join(tomb, ["part_id", "run_id"], "left")
-               .groupBy("run_id")
-               .agg(F.count("*").alias("parts"),
-                    F.count("superseded_at").alias("superseded"),
-                    F.max("superseded_at").alias("last_superseded_at"),
-                    F.sum("enc_bytes").alias("enc_bytes"))
-               .filter((F.col("parts") == F.col("superseded"))
-                       & (F.col("last_superseded_at")
-                          <= F.lit(cutoff).cast("timestamp")))
-               .collect())
+    per_run = []
+    if "replaces" in m.columns:
+        # (part, run) -> earliest supersession commit time
+        tomb = (m.filter(F.col("replaces").isNotNull())
+                .select(F.explode("replaces").alias("t"), "committed_at")
+                .select(F.col("t.part_id").alias("part_id"),
+                        F.col("t.run_id").alias("run_id"),
+                        F.col("committed_at").alias("superseded_at"))
+                .groupBy("part_id", "run_id")
+                .agg(F.min("superseded_at").alias("superseded_at")))
+        per_run = (m.select("part_id", "run_id", "enc_bytes")
+                   .join(tomb, ["part_id", "run_id"], "left")
+                   .groupBy("run_id")
+                   .agg(F.count("*").alias("parts"),
+                        F.count("superseded_at").alias("superseded"),
+                        F.max("superseded_at").alias("last_superseded_at"),
+                        F.sum("enc_bytes").alias("enc_bytes"))
+                   .filter((F.col("parts") == F.col("superseded"))
+                           & (F.col("last_superseded_at")
+                              <= F.lit(cutoff).cast("timestamp")))
+                   .collect())
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     removed, freed = [], 0
@@ -1530,7 +1530,27 @@ def vacuum(spark: SparkSession, dst: str,
             fs.delete(p, True)
             removed.append(r["run_id"])
             freed += int(r["enc_bytes"] or 0)
-    return {"runs_removed": sorted(removed), "bytes_freed": freed}
+    # orphan cleanup: a crashed attempt writes pages/run_id=<id>/ but
+    # never commits a manifest row — reads already ignore it (manifest
+    # semi join), and nothing else would ever reclaim the bytes. The
+    # retention window (dir modification time) protects an attempt whose
+    # manifest append is in flight RIGHT NOW.
+    known = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    pages_root = jvm.org.apache.hadoop.fs.Path(os.path.join(dst, "pages"))
+    fs = pages_root.getFileSystem(conf)
+    orphans = []
+    if fs.exists(pages_root):
+        cutoff_ms = int(cutoff.timestamp() * 1000)
+        for st in fs.listStatus(pages_root):
+            name = st.getPath().getName()
+            if not name.startswith("run_id="):
+                continue
+            rid = name.split("=", 1)[1]
+            if rid not in known and st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), True)
+                orphans.append(rid)
+    return {"runs_removed": sorted(removed), "bytes_freed": freed,
+            "orphans_removed": sorted(orphans)}
 
 
 def register_sql(spark: SparkSession, dst: str,

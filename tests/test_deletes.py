@@ -305,3 +305,27 @@ def test_rewrite_dataset_layout_evolution(spark, docs, tmp_path):
     assert "r1" in v["runs_removed"]
     assert sorted(tuple(r) for r in
                   decode_dataset(spark, dst).collect()) == before
+
+
+def test_vacuum_reclaims_orphan_attempts(spark, docs, tmp_path):
+    """A crashed attempt leaves a pages/run_id dir with no manifest row:
+    reads already ignore it; vacuum reclaims it after the retention
+    window (dir mtime), never touching committed runs."""
+    import os as _os
+    import shutil as _shutil
+
+    from cpp_parquet_spark.engine import vacuum
+    dst = str(tmp_path / "v3")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=2,
+                       order_keys=("doc_id",), table_name="v")
+    run_encode(spark, docs.select("doc_id", "text"), dst, cfg,
+               run_id="r1", resume=False)
+    orphan = _os.path.join(dst, "pages", "run_id=crashed1")
+    _shutil.copytree(_os.path.join(dst, "pages", "run_id=r1"), orphan)
+    assert decode_dataset(spark, dst).count() == docs.count()
+    assert vacuum(spark, dst, retain_hours=1.0)["orphans_removed"] == []
+    v = vacuum(spark, dst, retain_hours=0.0)
+    assert v["orphans_removed"] == ["crashed1"]
+    assert not _os.path.exists(orphan)
+    assert _os.path.exists(_os.path.join(dst, "pages", "run_id=r1"))
+    assert decode_dataset(spark, dst).count() == docs.count()
