@@ -610,6 +610,20 @@ def q_roundtrip_media_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_features(decoded)
 
 
+def q_fast_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (round 3, engine.column_stats_fast):
+    count/min/max of a column computed purely from per-page zone maps
+    and null counts — no page blob is ever read (plan pinned in
+    tests/test_zonemap.py). The oracle aggregates the SOURCE, so a hash
+    match proves the zone metadata is exact, not approximate."""
+    from cpp_parquet_spark.engine import column_stats_fast
+    pages = encode_table(_read(spark, sf_dir, "lineitem"), LINEITEM_CFG)
+    return column_stats_fast(pages, "l_quantity").select(
+        "n",
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"))
+
+
 def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level deletes via deletion-vector sidecars (round 3 — the
     Iceberg-v2 deletion-vector analogue): encode documents to a durable
@@ -879,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_documents": q_delete_documents,
         "upsert_documents": q_upsert_documents,
         "time_travel_documents": q_time_travel_documents,
+        # metadata-only aggregates (zone maps, no blob read)
+        "fast_stats_lineitem": q_fast_stats_lineitem,
         # zone-map predicate-pushdown decode
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
@@ -1499,6 +1515,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))), 6) AS l2norm
             FROM embeddings""",
+        "fast_stats_lineitem": """
+            SELECT CAST(count(l_quantity) AS BIGINT) AS n,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_v
+            FROM lineitem""",
         "time_travel_documents": """
             WITH snap_a AS (
               SELECT 'asof' AS snap, count(*) AS n,

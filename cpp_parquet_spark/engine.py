@@ -1457,6 +1457,55 @@ def rewrite_dataset(spark: SparkSession, dst: str, cfg: EncodeConfig,
             "rows": int(new_rows), "rows_purged": int(old_rows - new_rows)}
 
 
+def column_stats_fast(pages: DataFrame, column: str,
+                      columns: list[tuple[str, str]] | None = None
+                      ) -> DataFrame:
+    """count/min/max of one column WITHOUT reading any page blob — the
+    O(metadata) aggregate path a 100 TB table needs for planner-style
+    questions. Sources of exactness:
+
+    - ``n`` (non-null count): sum(num_values - null_count) over the
+      column's pages, minus the popcounts of any deletion-vector
+      sidecars riding the frame (their ``null_count`` field carries
+      n_del). Exact — except when deletes AND column nulls coexist (a
+      deleted row might be one of the nulls), where ``n`` comes back
+      NULL for the caller to fall back.
+    - ``min_v``/``max_v``: aggregated from the per-page zone maps, which
+      store EXACT page min/max. Legal only when every page with present
+      values carries a zone (numeric/ts/date columns always do;
+      NaN-bearing float pages and long strings record "unknown") AND no
+      deletion vectors exist (a deleted row could be the extremum).
+      When not legal the min/max columns come back NULL — the caller
+      falls back to ``scan_column``; the count stays exact either way.
+    """
+    tag = _column_tag(pages, column, columns)
+    cast = _ZONE_CAST.get(tag)
+    hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+    dels = pages.filter(F.col("codec") == DELETE_CODEC)
+    n_del = dels.agg(F.coalesce(F.sum("null_count"), F.lit(0))) \
+                .collect()[0][0]
+    has_dels = bool(n_del)
+    mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
+    mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
+    agg = hot.agg(
+        (F.coalesce(F.sum(F.col("num_values") - F.col("null_count")),
+                    F.lit(0)) - F.lit(int(n_del))).alias("n"),
+        F.coalesce(F.sum("null_count"), F.lit(0)).alias("nulls"),
+        F.min(mn).alias("zmin"), F.max(mx).alias("zmax"),
+        F.max(F.when(F.col("min_v").isNull()
+                     & (F.col("null_count") < F.col("num_values")), 1)
+              .otherwise(0)).alias("unknown"))
+    blind = F.col("unknown") == 1
+    n_blind = F.lit(False)
+    if has_dels:
+        blind = F.lit(True)
+        n_blind = F.col("nulls") > 0
+    return agg.select(
+        F.when(~n_blind, F.col("n")).cast("long").alias("n"),
+        F.when(~blind, F.col("zmin")).alias("min_v"),
+        F.when(~blind, F.col("zmax")).alias("max_v"))
+
+
 def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
            key: str, run_id: str | None = None) -> dict:
     """MERGE-style upsert: rows of ``df`` REPLACE existing rows with the

@@ -464,3 +464,48 @@ def test_in_prune_accepts_numpy_integers(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         in_prune(pages, "doc_id", [np.bool_(True)])
+
+
+def test_column_stats_fast_metadata_only(spark, sf_dir, tmp_path):
+    """count/min/max from zone metadata: exact vs the source, and the
+    parquet scan never reads the data blob column. Deletes and unknown
+    zones blank the non-exact fields instead of lying."""
+    from pyspark.sql import functions as F
+
+    from cpp_parquet_spark.engine import (EncodeConfig, column_stats_fast,
+                                          delete_where_in, read_live_pages,
+                                          run_encode)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dst = str(tmp_path / "fs")
+    cfg = EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
+                       num_parts=4, order_keys=("l_orderkey",),
+                       bloom_cols=("l_orderkey",), table_name="li")
+    run_encode(spark, li, dst, cfg, run_id="r1", resume=False)
+    pages = read_live_pages(spark, dst)
+    for col in ("l_quantity", "l_orderkey", "l_shipdate"):
+        r = column_stats_fast(pages, col).collect()[0]
+        s = li.agg(F.count(col), F.min(col), F.max(col)).collect()[0]
+        assert r["n"] == s[0], col
+        if col == "l_shipdate":       # zone domain = epoch micros
+            eps = li.agg(
+                F.unix_micros(F.min(col).cast("timestamp")),
+                F.unix_micros(F.max(col).cast("timestamp"))).collect()[0]
+            assert (r["min_v"], r["max_v"]) == (eps[0], eps[1]), col
+        else:
+            assert (r["min_v"], r["max_v"]) == (s[1], s[2]), col
+    # plan: metadata columns only — the heavy `data` blob is pruned
+    plan = column_stats_fast(pages, "l_quantity") \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all(
+        "data" not in ln.split("ReadSchema")[1] for ln in scan_lines), plan
+    # deletes blank min/max (a deleted row could be the extremum) but
+    # keep the count exact on a null-free column
+    delete_where_in(spark, dst, "l_orderkey",
+                    [int(li.select("l_orderkey").first()[0])])
+    pages2 = read_live_pages(spark, dst)
+    r2 = column_stats_fast(pages2, "l_quantity").collect()[0]
+    n_del = li.filter(
+        li.l_orderkey == li.select("l_orderkey").first()[0]).count()
+    assert r2["n"] == li.count() - n_del
+    assert r2["min_v"] is None and r2["max_v"] is None
