@@ -729,6 +729,64 @@ def q_time_travel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(decode_dataset(spark, dst), "now"))
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round 3, joins.asof_join — merge_asof / kdb aj /
+    DuckDB ASOF JOIN analogue): every click joined to the user's most
+    recent at-or-before purchase. Implemented as the union-sort
+    formulation (one window shuffle, NO inequality-join row explosion —
+    plan pinned join-free in tests/test_asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN over the same deduped right side,
+    so a hash match proves the semantics coincide exactly, NULLs for
+    never-purchased users included."""
+    from cpp_parquet_spark.joins import asof_join
+    ev = _read(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("value", "event_id").alias("v")))
+    return asof_join(left, right, on="ts", by=("user_id",),
+                     value_cols=("v",))
+
+
+def q_table_changes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net change-data-feed between snapshots (round 3,
+    engine.table_changes — the Delta CDF analogue): encode half the
+    docs, stamp the window start, append the rest, then delete one old
+    id and one id that was BORN inside the window. The feed must show
+    the appended rows as inserts (minus the born-and-deleted one, which
+    nets out) and the old id as the only delete; the oracle rebuilds
+    both sides from the SOURCE with plain filters. Metadata-pruned:
+    only changed (part, run)s are decoded."""
+    import tempfile
+
+    from cpp_parquet_spark.engine import (delete_where_in, run_encode,
+                                          table_changes)
+    dst = tempfile.mkdtemp(prefix="cps_cdc_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_cdc")
+    run_encode(spark, docs.filter(F.col("doc_id") < 250)
+               .select("doc_id", "text", "lang"), dst, cfg, run_id="r1",
+               resume=False)
+    import datetime
+    import time
+    time.sleep(0.8)
+    t_mid = datetime.datetime.now()
+    time.sleep(0.8)
+    run_encode(spark, docs.filter(F.col("doc_id") >= 250)
+               .select("doc_id", "text", "lang"), dst, cfg, run_id="r2",
+               resume=False)
+    delete_where_in(spark, dst, "doc_id", [5, 300])
+    ch = table_changes(spark, dst, t_mid)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("tlen"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+
+
 def q_decode_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map predicate-pushdown decode (engine.decode_where): encode
     lineitem, skip whole parts via per-page min/max statistics, decode
@@ -893,6 +951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_documents": q_delete_documents,
         "upsert_documents": q_upsert_documents,
         "time_travel_documents": q_time_travel_documents,
+        "table_changes_documents": q_table_changes_documents,
+        # temporal joins
+        "asof_join_events": q_asof_join_events,
         # metadata-only aggregates (zone maps, no blob read)
         "fast_stats_lineitem": q_fast_stats_lineitem,
         # zone-map predicate-pushdown decode
@@ -1538,6 +1599,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max_id AS BIGINT) AS max_id
             FROM (SELECT * FROM snap_a UNION ALL SELECT * FROM snap_b)
             ORDER BY snap""",
+        "asof_join_events": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), r AS (
+              SELECT user_id, ts, arg_max("value", event_id) AS v
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS r_ts, r.v AS r_v
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
+        "table_changes_documents": """
+            WITH ins AS (
+              SELECT 'insert' AS _change_type, lang, text, doc_id
+              FROM documents WHERE doc_id >= 250 AND doc_id <> 300
+            ), del AS (
+              SELECT 'delete' AS _change_type, lang, text, doc_id
+              FROM documents WHERE doc_id = 5
+            ), feed AS (
+              SELECT * FROM ins UNION ALL SELECT * FROM del
+            )
+            SELECT _change_type, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS tlen,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM feed GROUP BY _change_type, lang
+            ORDER BY _change_type, lang""",
         "upsert_documents": """
             WITH updated AS (
               SELECT doc_id, 'U:' || text AS text, lang
