@@ -839,6 +839,30 @@ def q_decode_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("nd_lang"))
 
 
+def q_zorder_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering on (doc_id, n_chars): part_id is the
+    top bits of an interleaved quantile-rank code
+    (partitioning.plan_zorder_bounds / with_part_id zorder branch), so
+    parts are value-localized in BOTH dimensions and zone maps prune a
+    predicate on n_chars ALONE — the dimension range layout on doc_id
+    cannot prune (Delta OPTIMIZE ZORDER analogue). The pruning
+    effectiveness itself is pinned in tests/test_zorder.py; this query
+    checks the decoded values against the SOURCE-table filter."""
+    from cpp_parquet_spark.partitioning import plan_zorder_bounds
+    df = _read(spark, sf_dir, "documents")
+    bounds = plan_zorder_bounds(df, ("doc_id", "n_chars"), bits=8)
+    cfg = EncodeConfig(zorder_on=("doc_id", "n_chars"),
+                       zorder_bounds=bounds, num_parts=16, salt_from=(),
+                       order_keys=("doc_id",), table_name="documents_z")
+    pages = encode_table(df, cfg)
+    out = decode_where(pages, "n_chars", lo=None, hi=400, spark=spark)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.countDistinct("lang").alias("nd_lang"))
+
+
 def q_scan_column_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-column page-level-pruned scan (engine.scan_column): an
     aggregate over a selective range decodes only the predicate
@@ -960,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
         "decode_pushdown_range": q_decode_pushdown_range,
+        "zorder_prune_documents": q_zorder_prune_documents,
         "decode_projection": q_decode_projection,
         "scan_column_agg": q_scan_column_agg,
         # training-data pipeline: sequence packing
@@ -1777,6 +1802,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
             FROM documents
             WHERE doc_id BETWEEN 100 AND 299""",
+        "zorder_prune_documents": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
+            FROM documents
+            WHERE n_chars <= 400""",
         "scan_column_agg": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,

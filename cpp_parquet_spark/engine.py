@@ -939,6 +939,9 @@ def _write_run_sidecar(df: DataFrame, dst: str, cfg: EncodeConfig,
             "salt_buckets": cfg.salt_buckets,
             "num_parts": effective_parts(cfg),
             "range_on": cfg.range_on, "range_bounds": list(cfg.range_bounds),
+            "zorder_on": list(cfg.zorder_on),
+            "zorder_bounds": [list(b) for b in cfg.zorder_bounds],
+            "zorder_bits": cfg.zorder_bits,
             "order_keys": list(cfg.order_keys),
             "page_bytes": cfg.page_bytes,
             "codec_overrides": dict(cfg.codec_overrides),

@@ -49,6 +49,21 @@ class EncodeConfig:
     # salt_from/salt_buckets still fan out a giant range bucket.
     range_on: str | None = None
     range_bounds: tuple = ()
+    # z-order clustering (Delta OPTIMIZE ZORDER / Hilbert-lite analogue):
+    # when set, each row's part_id comes from the TOP bits of a Morton
+    # code interleaving the quantile-ranks of ``zorder_on`` columns, so
+    # parts are value-localized in EVERY listed dimension at once and
+    # zone maps prune selective predicates on ANY of them (range_on
+    # prunes one dimension; hash prunes none). ``zorder_bounds`` holds
+    # one plan_range_bounds tuple per column (plan_zorder_bounds) —
+    # precomputed and stored so part assignment stays deterministic
+    # across resume attempts. num_parts is rounded UP to a power of two
+    # (the Morton prefix is a bit string); salt_from is ignored — the
+    # quantile ranks are uniform by construction, so parts are already
+    # row-balanced. Takes precedence over range_on.
+    zorder_on: tuple[str, ...] = ()
+    zorder_bounds: tuple = ()
+    zorder_bits: int = 8                     # rank width per column
     # shuffle-free ingest mode: part_id = the physical scan split index,
     # so the encode pass has ZERO exchanges (scan -> kernel -> sink).
     # Trades the clustered layout (per-repo dict/FSST locality, range
@@ -94,9 +109,24 @@ def plan_range_bounds(df: DataFrame, col: str, num_buckets: int,
     return tuple(r["b"] for r in tiles[:-1])
 
 
+def plan_zorder_bounds(df: DataFrame, cols: tuple[str, ...],
+                       bits: int = 8, rel_err: float = 0.001) -> tuple:
+    """Per-column quantile cut values mapping each ``zorder_on`` column
+    to a ``bits``-wide rank (2^bits - 1 bounds each) for Morton-code
+    interleaving. One approxQuantile pass per column — O(columns)
+    metadata-sized driver results, valid at any row count."""
+    return tuple(plan_range_bounds(df, c, 1 << bits, rel_err)
+                 for c in cols)
+
+
 def effective_parts(cfg: EncodeConfig) -> int:
     """Total part_ids the config produces (range mode derives it from the
     bounds x salt fan-out; hash mode is num_parts verbatim)."""
+    if cfg.zorder_on and cfg.zorder_bounds:
+        p = 1
+        while p < cfg.num_parts:
+            p <<= 1
+        return p
     if cfg.range_on and cfg.range_bounds:
         salt = cfg.salt_buckets if cfg.salt_from else 1
         return (len(cfg.range_bounds) + 1) * salt
@@ -123,6 +153,38 @@ def with_part_id(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """
     if cfg.no_shuffle:
         return df.withColumn("__part_id", F.spark_partition_id())
+    if (cfg.zorder_on and cfg.zorder_bounds
+            and all(c in df.columns for c in cfg.zorder_on)):
+        # Morton interleave of per-column quantile ranks; part_id = the
+        # top log2(num_parts) bits. Pure codegen: the rank is the same
+        # bounds-counting fold as range mode, the interleave is a flat
+        # sum of bits*k shift/mask terms (k*bits <= 64). NULL ranks 0
+        # (NULLS FIRST, matching range mode).
+        k = len(cfg.zorder_on)
+        bits = cfg.zorder_bits
+        if k * bits > 63:
+            raise ValueError(
+                f"zorder: {k} cols x {bits} bits exceeds the 63-bit "
+                "Morton budget — lower zorder_bits")
+        ranks = []
+        for name, bs in zip(cfg.zorder_on, cfg.zorder_bounds):
+            c = F.col(name)
+            barr = F.array(*[F.lit(b) for b in bs])
+            r = F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc + F.when(c > b, F.lit(1))
+                                      .otherwise(F.lit(0)))
+            ranks.append(F.when(c.isNull(), F.lit(0)).otherwise(r)
+                          .cast("long"))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j in range(k):
+                bit = F.shiftright(ranks[j], i).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, i * k + (k - 1 - j))
+        nparts = effective_parts(cfg)
+        p = nparts.bit_length() - 1
+        part = F.shiftright(z, k * bits - p) if p < k * bits else z
+        return df.withColumn("__part_id", part.cast("int"))
     if cfg.range_on and cfg.range_bounds and cfg.range_on in df.columns:
         c = F.col(cfg.range_on)
         barr = F.array(*[F.lit(b) for b in cfg.range_bounds])
