@@ -365,6 +365,78 @@ def q_text_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.top_ngram_stats(_read(spark, sf_dir, "documents"), n=2)
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.decontaminate): corpus docs
+    sharing any lowercase word 4-gram with the benchmark subset
+    (doc_id % 23 == 0 — a deterministic stand-in eval suite). The
+    benchmark gram set broadcasts; the corpus never shuffles. Oracle
+    rebuilds the same grams in DuckDB."""
+    df = _read(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 23 == 0)
+    corpus = df.filter(F.col("doc_id") % 23 != 0)
+    return textops.decontaminate(corpus, bench, n=4)
+
+
+def q_sample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (sampling.sample_domains): per-source
+    retention rates keyed on md5(doc_id) — no RNG, bit-stable across
+    partitioning/resume. Oracle recomputes the identical md5-uniform in
+    DuckDB; per-source counts AND id sums pin exact membership."""
+    from cpp_parquet_spark import sampling
+    df = _read(spark, sf_dir, "documents")
+    out = sampling.sample_domains(
+        df, {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75})
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("source"))
+
+
+def q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval holdout (sampling.split_holdout):
+    assignment is a pure function of doc_id, so the eval set is stable
+    as the corpus grows. Oracle recomputes the md5-uniform split."""
+    from cpp_parquet_spark import sampling
+    df = _read(spark, sf_dir, "documents")
+    out = sampling.split_holdout(df, eval_frac=0.1)
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split"))
+
+
+def q_upsample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsampling (sampling.upsample_domains): repeat
+    factors ≥ 0 with the fractional copy decided by a salted
+    md5-uniform. Per-source count + id-weighted and epoch sums pin the
+    exact copy multiset; oracle recomputes k per doc in DuckDB."""
+    from cpp_parquet_spark import sampling
+    df = _read(spark, sf_dir, "documents")
+    out = sampling.upsample_domains(
+        df, {"src0": 0.0, "src1": 2.5, "src2": 1.25})
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("epoch").alias("sum_epochs"))
+            .orderBy("source"))
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (sampling.shuffle_order): md5(id)
+    total order via range partitioning. The query pins the head of the
+    global order: first 100 rows by shuffle key with their positions
+    (row_number runs over the already-limited 100 rows, not the table)."""
+    from pyspark.sql import Window
+    from cpp_parquet_spark import sampling
+    df = _read(spark, sf_dir, "documents")
+    out = sampling.shuffle_order(df, partitions=8)
+    top = out.orderBy("shuffle_key").limit(100)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return top.select("doc_id", "shuffle_key",
+                      F.row_number().over(w).alias("pos"))
+
+
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_stats(_read(spark, sf_dir, "documents"))
 
@@ -936,6 +1008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "text_repetition": q_text_repetition,
         "text_top2gram": q_text_top2gram,
+        "decontaminate_documents": q_decontaminate_documents,
+        "sample_domains": q_sample_domains,
+        "split_holdout": q_split_holdout,
+        "upsample_domains": q_upsample_domains,
+        "shuffle_order": q_shuffle_order,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1357,6 +1434,86 @@ def oracle_sql() -> dict[str, str]:
                    round(c * strlen(gram)
                          / greatest(n_chars, 1), 6) AS top_gram_char_frac
             FROM r WHERE rn = 1""",
+        "decontaminate_documents": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM w WHERE len(ws) >= 4
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+3], ' ') AS gram
+              FROM pos
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0
+            ), cg AS (
+              SELECT doc_id, gram FROM g WHERE doc_id % 23 <> 0
+            )
+            SELECT cg.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matched
+            FROM cg JOIN bg USING (gram)
+            GROUP BY cg.doc_id ORDER BY doc_id""",
+        # md5-uniform samplers: DuckDB recomputes the identical
+        # U[0,1) = first-32-md5-bits(doc_id as decimal string) / 2^32,
+        # so membership (not just counts) is pinned via sum(doc_id).
+        "sample_domains": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM u
+            WHERE u < CASE source
+                        WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+                        WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
+                        ELSE 1.0 END
+            GROUP BY source ORDER BY source""",
+        "split_holdout": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT CASE WHEN u < 0.1 THEN 'eval' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM u GROUP BY 1 ORDER BY split""",
+        "upsample_domains": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 2.5
+                                 WHEN 'src2' THEN 1.25 ELSE 1.0 END AS w
+              FROM documents
+            ), k AS (
+              SELECT doc_id, source,
+                     CAST(floor(w) AS BIGINT)
+                     + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS
+                              VARCHAR) || ':up'), 1, 8) AS BIGINT)
+                              / 4294967296.0 < w - floor(w)
+                            THEN 1 ELSE 0 END AS k
+              FROM w
+            )
+            SELECT source, CAST(sum(k) AS BIGINT) AS n,
+                   CAST(sum(doc_id * k) AS BIGINT) AS sum_ids,
+                   CAST(sum((k * (k + 1)) // 2) AS BIGINT) AS sum_epochs
+            FROM k WHERE k > 0 GROUP BY source ORDER BY source""",
+        "shuffle_order": """
+            WITH s AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                        AS INTEGER) AS pos
+            FROM s ORDER BY shuffle_key, doc_id LIMIT 100""",
         "dedup_exact_survivors": """
             SELECT doc_id, source FROM documents
             WHERE doc_id IN (

@@ -361,3 +361,34 @@ def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in REDACT_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return df.select("doc_id", *counts, red.alias("redacted"))
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, n: int = 5,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Gopher eval-overlap filter):
+    flag corpus docs sharing ANY lowercase word ``n``-gram with a
+    benchmark set. Returns (id, n_matched) for contaminated docs only.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct benchmark grams broadcast and the corpus side is one
+    codegen map (split -> slide -> explode) + broadcast semi-probe —
+    the corpus never shuffles; the only exchange is the final per-doc
+    count on id (pre-combined map-side). Tokenization matches the
+    engine's other text ops (trim + \\s+ split, lowercased)."""
+    def grams(frame: DataFrame, keep_id: bool):
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        npos = F.size(words) - F.lit(n - 1)
+        gs = F.when(npos < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+                        lambda i: F.array_join(F.slice(words, i, n), " ")))
+        cols = ([F.col(id_col).alias("id")] if keep_id else []) \
+            + [F.explode(F.array_distinct(gs)).alias("gram")]
+        return frame.select(*cols)
+
+    bg = grams(bench, keep_id=False).distinct()
+    cg = grams(df, keep_id=True)
+    return (cg.join(F.broadcast(bg), "gram", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n_matched"))
+            .select(F.col("id").alias(id_col), "n_matched")
+            .orderBy(id_col))

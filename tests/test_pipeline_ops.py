@@ -620,3 +620,30 @@ def test_redact_pii(spark):
     assert rows[1]["redacted"] == "mail <EMAIL> or <IP>, <SECRET>"
     assert rows[2]["n_secret"] == 1 and "hunter2" not in rows[2]["redacted"]
     assert rows[3]["redacted"] == "no pii here"
+
+
+def test_decontaminate_planted(spark):
+    """Planted overlaps: docs sharing an exact word 4-gram with the
+    bench set are flagged with the right match count; shorter overlaps,
+    case differences already normalized, and sub-n docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro THE QUICK BROWN FOX ate lunch"),       # 1 gram (case)
+         (2, "fox jumps over the lazy dog indeed"),        # 3 grams
+         (3, "quick brown fox"),                            # len < n: no
+         (4, "entirely unrelated words only here"),         # no overlap
+         (5, "jumps over the lazy"),                        # exactly 1 gram
+         (6, "")],                                          # empty
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_matched"]
+           for r in textops.decontaminate(corpus, bench, n=4).collect()}
+    assert out == {1: 1, 2: 3, 5: 1}
+    # duplicate grams inside one doc count once (distinct per doc)
+    rep = spark.createDataFrame(
+        [(7, "jumps over the lazy dog and jumps over the lazy dog")],
+        "doc_id long, text string")
+    out = textops.decontaminate(rep, bench, n=4).collect()
+    assert [(r["doc_id"], r["n_matched"]) for r in out] == [(7, 2)]
