@@ -437,6 +437,33 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).alias("pos"))
 
 
+def _reflow_lines(df, width: int = 8):
+    """Reflow single-line fixture docs into `width`-word lines so the
+    line-granularity ops have real multi-line input (duplicate full
+    texts in the fixture yield genuine cross-doc duplicate lines)."""
+    ws = F.split(F.col("text"), " ", -1)
+    nlines = F.ceil(F.size(ws) / F.lit(width)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(ws, i * width + 1, width), " "))
+    return df.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_dedup_lines_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-doc line dedup (dedup.dedup_lines): every
+    duplicated line keeps only its lowest-(doc_id, idx) occurrence.
+    Oracle rebuilds the reflow + owner selection in DuckDB."""
+    df = _reflow_lines(_read(spark, sf_dir, "documents"))
+    return dedup.dedup_lines(df).orderBy("doc_id")
+
+
+def q_dedup_lines_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip mode: lines occurring in >= 2 distinct docs are
+    dropped from ALL docs; unique lines untouched (keep_first=False)."""
+    df = _reflow_lines(_read(spark, sf_dir, "documents"))
+    return dedup.dedup_lines(df, keep_first=False, min_df=2).orderBy("doc_id")
+
+
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_stats(_read(spark, sf_dir, "documents"))
 
@@ -1013,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_holdout": q_split_holdout,
         "upsample_domains": q_upsample_domains,
         "shuffle_order": q_shuffle_order,
+        "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
+        "dedup_lines_strip": q_dedup_lines_strip,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1514,6 +1543,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
                         AS INTEGER) AS pos
             FROM s ORDER BY shuffle_key, doc_id LIMIT 100""",
+        # line-dedup oracles share the reflow CTE: 8-word lines
+        "dedup_lines_keepfirst": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), ln AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS i
+              FROM s
+            ), l AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+              FROM ln
+            ), own AS (
+              SELECT line, min(doc_id) AS od FROM l
+              WHERE trim(line) <> '' GROUP BY line
+            ), own2 AS (
+              SELECT o.line, o.od, min(l.idx) AS oi
+              FROM own o JOIN l ON l.line = o.line AND l.doc_id = o.od
+              GROUP BY o.line, o.od
+            ), k AS (
+              SELECT l.doc_id, l.idx, l.line,
+                     CASE WHEN trim(l.line) = '' THEN TRUE
+                          ELSE l.doc_id = o.od AND l.idx = o.oi END AS keep
+              FROM l LEFT JOIN own2 o ON l.line = o.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+                     AS n_removed
+            FROM k GROUP BY doc_id ORDER BY doc_id""",
+        "dedup_lines_strip": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), ln AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS i
+              FROM s
+            ), l AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(ws[i*8+1 : i*8+8], ' ') AS line
+              FROM ln
+            ), own AS (
+              SELECT line, count(DISTINCT doc_id) AS ndocs FROM l
+              WHERE trim(line) <> '' GROUP BY line
+            ), k AS (
+              SELECT l.doc_id, l.idx, l.line,
+                     CASE WHEN trim(l.line) = '' THEN TRUE
+                          ELSE o.ndocs < 2 END AS keep
+              FROM l LEFT JOIN own o ON l.line = o.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+                     AS n_removed
+            FROM k GROUP BY doc_id ORDER BY doc_id""",
         "dedup_exact_survivors": """
             SELECT doc_id, source FROM documents
             WHERE doc_id IN (

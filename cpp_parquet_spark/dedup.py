@@ -557,3 +557,53 @@ def near_dup_survivors(df: DataFrame, pairs: DataFrame,
     losers = comp.filter(F.col("id") != F.col("component")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_lines(df: DataFrame, keep_first: bool = True,
+                min_df: int | None = None, sep: str = "\n",
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """C4/CCNet-style cross-document span dedup at line granularity:
+    every duplicated non-blank line keeps exactly one global occurrence
+    — the lowest (doc_id, line_idx) — and with ``min_df=k`` any line
+    occurring in >= k distinct docs is dropped from ALL docs
+    (boilerplate/footer strip; set ``keep_first=False`` to strip
+    without deduping the long tail). Blank lines are structure, not
+    content: always kept. Returns one row per input doc — (id, text
+    with surviving lines re-joined, n_lines, n_removed) — including
+    docs whose every line was removed (text '').
+
+    Scale shape (100 TB): owners come from a ``groupBy(md5(line))``
+    computing ``min(struct(doc_id, idx))`` + distinct-doc count — both
+    partial-aggregated map-side, so a boilerplate line duplicated a
+    billion times combines locally instead of flooding one reducer.
+    The owner table (one row per DISTINCT duplicated-or-not line) then
+    equi-joins back; each key matches exactly one owner row, so AQE
+    skew-split handles hot keys. Reassembly is one groupBy on doc_id
+    (skew-free). Keys are md5 (128-bit) so the oracle can recompute
+    them and collisions are out of reach at 10^12 lines, unlike 64-bit."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("idx", "line"))
+    content = lines.filter(F.trim("line") != "")
+    owners = (content.groupBy(F.md5("line").alias("k"))
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("idx").alias("i"))).alias("own"),
+                   F.count_distinct(id_col).alias("ndocs")))
+    j = lines.join(owners, F.md5(lines["line"]) == owners["k"], "left")
+    is_blank = F.col("k").isNull()
+    is_owner = ((F.col("own.d") == F.col(id_col))
+                & (F.col("own.i") == F.col("idx")))
+    keep = is_blank | ((is_owner if keep_first else F.lit(True))
+                       & ((F.col("ndocs") < F.lit(int(min_df)))
+                          if min_df is not None else F.lit(True)))
+    return (j.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("idx", "line")))),
+                         lambda s: s["line"]),
+                     sep).alias(text_col),
+                 F.count("*").alias("n_lines"),
+                 (F.count("*") - F.sum(keep.cast("long")))
+                 .alias("n_removed")))
