@@ -331,6 +331,35 @@ def q_ann_topk(spark: SparkSession) -> None:
     _force(ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, nprobe=4))
 
 
+def q_mix_pipeline(spark: SparkSession) -> None:
+    """Deterministic training-mix assembly over the north-rule content:
+    domain-rate downsample -> fractional upsample -> holdout split ->
+    md5 global shuffle. Everything before the final range exchange is
+    one codegen pass on the scan (plan-pinned shuffle-free)."""
+    from cpp_parquet_spark import sampling
+    df = _repofiles_df(spark).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("lang").alias("source"), F.col("content").alias("text"))
+    mixed = sampling.sample_domains(df, {"python": 0.5}, default_rate=0.9)
+    mixed = sampling.upsample_domains(mixed, {"go": 1.5})
+    mixed = sampling.split_holdout(mixed, eval_frac=0.01)
+    _force(sampling.shuffle_order(mixed.filter(F.col("split") == "train")))
+
+
+def q_dedup_lines(spark: SparkSession) -> None:
+    """C4-style cross-doc line dedup over a deterministic 10% slice of
+    the north-rule content (the pool-generated fixture duplicates code
+    lines across nearly every file — orders of magnitude denser than a
+    real corpus — so the slice keeps the bench wall proportionate while
+    still exercising the hot-key owner aggregation)."""
+    from cpp_parquet_spark import sampling
+    from cpp_parquet_spark.dedup import dedup_lines
+    df = _repofiles_df(spark).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"))
+    _force(dedup_lines(sampling.sample_domains(df, {}, default_rate=0.1)))
+
+
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
     "encode_repofiles_zstd": q_encode_repofiles_zstd,
@@ -346,6 +375,8 @@ QUERIES = {
     "text_pipeline": q_text_pipeline,
     "pushdown": q_pushdown,
     "ann_topk": q_ann_topk,
+    "mix_pipeline": q_mix_pipeline,
+    "dedup_lines": q_dedup_lines,
 }
 
 
@@ -704,6 +735,7 @@ def main() -> None:
         "stats_select": 0.8, "encode_documents": 0.8,
         "encode_lineitem": 2.0, "join_agg": 0.8, "dedup_minhash": 19.0,
         "text_pipeline": 15.0, "pushdown": 11.0, "ann_topk": 5.0,
+        "mix_pipeline": 5.0, "dedup_lines": 22.0,
     }
     flare_factor = 2.0
 

@@ -183,3 +183,34 @@ def test_delete_and_snapshot_paths_stay_broadcast(spark, sf_dir, tmp_path):
     plan2 = _plan(sc)
     # bitmap/offset aux join must be broadcast, never a sort-merge join
     assert "SortMergeJoin" not in plan2, plan2
+
+
+def test_sampling_ops_are_shuffle_free(docs):
+    """sample/upsample/split are one codegen pass on the scan — zero
+    Exchange; decontaminate's only exchange is the per-doc count (the
+    bench-gram probe is broadcast, the corpus never shuffles)."""
+    from cpp_parquet_spark import sampling, textops
+    plan = _plan(sampling.sample_domains(docs, {"src1": 0.5}))
+    assert plan.count("Exchange") == 0, plan
+    plan = _plan(sampling.upsample_domains(docs, {"src1": 2.5}))
+    assert plan.count("Exchange") == 0, plan
+    plan = _plan(sampling.split_holdout(docs))
+    assert plan.count("Exchange") == 0, plan
+    bench = docs.limit(50)
+    plan = _plan(textops.decontaminate(docs, bench, n=4))
+    assert "BroadcastHashJoin" in plan, plan
+    # corpus-side exchanges: the final groupBy(id) + its sort — no
+    # shuffle of the gram explosion itself
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_lines_owner_agg_is_partial(docs):
+    """The owner groupBy must partial-aggregate map-side (HashAggregate
+    before the exchange) so hot boilerplate lines combine locally, and
+    the reassembly groupBy is keyed on doc_id only."""
+    from cpp_parquet_spark.dedup import dedup_lines
+    plan = _plan(dedup_lines(docs))
+    # two-phase aggregate: partial_min / partial count appear upstream
+    # of the exchange (join strategy itself is AQE's call — the owner
+    # table is per-distinct-line and may or may not fit broadcast)
+    assert "partial_min" in plan or "partial_" in plan, plan
