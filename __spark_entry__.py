@@ -978,6 +978,19 @@ def q_scan_column_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").cast("double").alias("max_price"))
 
 
+def q_agg_fast_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only exact aggregate (engine.column_agg_fast): COUNT /
+    null-count / SUM / AVG / MIN / MAX of an int64 column answered purely
+    from the ``__agg__`` + zone-map sidecars — zero page blobs decoded,
+    the O(metadata) planner path a 100 TB table needs. SUM is exact
+    arbitrary-precision (hi/lo split sums, decimal(38,0) aggregation);
+    the oracle recomputes all six from the SOURCE table."""
+    from cpp_parquet_spark.engine import column_agg_fast
+    df = _read(spark, sf_dir, "lineitem")
+    pages = encode_table(df, LINEITEM_CFG)
+    return column_agg_fast(pages, "l_partkey")
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch sequence packing (textops.pack_sequences): lay
     documents end-to-end per lang in doc_id order, 8192-char budget;
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune_documents": q_zorder_prune_documents,
         "decode_projection": q_decode_projection,
         "scan_column_agg": q_scan_column_agg,
+        "agg_fast_lineitem": q_agg_fast_lineitem,
         # training-data pipeline: sequence packing
         "pack_documents": q_pack_documents,
     }
@@ -2056,6 +2070,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
             FROM documents
             WHERE n_chars <= 400""",
+        "agg_fast_lineitem": """
+            SELECT CAST(count(l_partkey) AS BIGINT) AS n,
+                   CAST(count(*) - count(l_partkey) AS BIGINT) AS nulls,
+                   CAST(sum(l_partkey) AS DECIMAL(38,0)) AS sum_v,
+                   CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey)
+                     AS avg_v,
+                   CAST(min(l_partkey) AS BIGINT) AS min_v,
+                   CAST(max(l_partkey) AS BIGINT) AS max_v
+            FROM lineitem""",
         "scan_column_agg": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,

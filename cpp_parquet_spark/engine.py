@@ -148,6 +148,63 @@ def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
     return None
 
 
+def _exact_int_sum(arr: pa.Array, tag: str) -> tuple[int, int] | None:
+    """Exact integer sum of a part's column slice for the ``__agg__``
+    sidecar: (sum, n_nonnull), or None for non-summable tags.
+
+    Exactness without per-row Python: each int64 is split into an
+    arithmetic-shifted high word and an unsigned low word, summed in
+    <=2^20-value chunks so every partial sum stays within 2^52 — naive
+    ``np.sum`` over int64 silently wraps on extreme values (e.g. four
+    2^62 values). The recombined total is a Python int (arbitrary
+    precision); callers store it as decimal text and Spark aggregates
+    across parts in decimal(38,0), which covers 10^12 rows of any int64
+    values (< 10^31)."""
+    if tag == "bool":
+        work = arr.drop_null() if arr.null_count else arr
+        if len(work) == 0:
+            return 0, 0
+        v = work.to_numpy(zero_copy_only=False)
+        return int(np.count_nonzero(v)), len(work)
+    if tag not in ("i64", "i32", "ts", "tsn", "date") \
+            and not pagecodec.is_dec(tag):
+        return None
+    work = arr.drop_null() if arr.null_count else arr
+    n = len(work)
+    if n == 0:
+        return 0, 0
+    if pagecodec.is_dec(tag):          # unscaled int64 (precision<=18)
+        v = pagecodec.dec_unscaled(work)
+    else:
+        if tag in ("ts", "tsn"):
+            work = work.cast(pa.int64())
+        elif tag == "date":
+            work = work.cast(pa.int32())
+        v = work.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    hi = v >> 32                            # arithmetic shift keeps sign
+    lo = (v & np.int64(0xFFFFFFFF)).astype(np.uint64)
+    s = 0
+    step = 1 << 20
+    for i in range(0, n, step):
+        s += (int(hi[i:i + step].sum(dtype=np.int64)) << 32) \
+             + int(lo[i:i + step].sum(dtype=np.uint64))
+    return s, n
+
+
+def _agg_sum_text(s: int, tag: str) -> str:
+    """Sidecar text form of an exact sum: plain integer text, except
+    decimal tags where the unscaled sum is rendered SCALED (point
+    inserted ``scale`` digits from the right) so the reader can cast it
+    straight to decimal(38, scale) without knowing the unscaled domain."""
+    if not pagecodec.is_dec(tag):
+        return str(s)
+    _, scale = pagecodec.dec_precision_scale(tag)
+    if scale == 0:
+        return str(s)
+    sign, ds = ("-" if s < 0 else ""), str(abs(s)).rjust(scale + 1, "0")
+    return f"{sign}{ds[:-scale]}.{ds[-scale:]}"
+
+
 def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                        plan: dict[tuple[int, str], str] | None = None):
     """Returns a mapInArrow kernel: Iterator[RecordBatch] -> Iterator[RecordBatch].
@@ -181,6 +238,11 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
         # per-(part, column) bloom bit arrays + hashed-value counts
         blooms: dict[tuple[int, str], np.ndarray] = {}
         bloom_n: dict[tuple[int, str], int] = {}
+        # per-(part, column) exact integer sums: (sum, n_nonnull, nulls).
+        # Unconditional (one vectorized pass per slice, no config): feeds
+        # the metadata-only SUM/AVG path (column_agg_fast), the O(1)
+        # answer a 100 TB planner wants for integer/bool/decimal columns.
+        agg_sums: dict[tuple[int, str], tuple[int, int, int]] = {}
 
         def flush():
             nonlocal out_rows
@@ -220,6 +282,12 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                                     % np.uint64(bloom_bits))
                                    .astype(np.int64)] = True
                             bloom_n[key] = bloom_n.get(key, 0) + h.shape[0]
+                    sm = _exact_int_sum(arr, tag)
+                    if sm is not None:
+                        key = (part, col)
+                        s0, n0, z0 = agg_sums.get(key, (0, 0, 0))
+                        agg_sums[key] = (s0 + sm[0], n0 + sm[1],
+                                         z0 + arr.null_count)
                     prev = 0
                     for cut in _page_cuts(arr, tag, page_bytes, rows_max):
                         piece = arr.slice(prev, cut - prev)
@@ -276,6 +344,21 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                 "num_values": bloom_n[(part, col)], "null_count": 0,
                 "raw_bytes": 0, "enc_bytes": bloom_bits // 8,
                 "min_v": None, "max_v": None,
+            })
+        # exact-sum sidecar rows (col_idx=-2, same conventions as blooms):
+        # min_v carries the arbitrary-precision sum as decimal text;
+        # num_values/null_count carry the summed/nulls split. Compaction
+        # moves them with the part (sum-of-sums stays correct) and
+        # rewrites regenerate them (this kernel emits unconditionally).
+        tagof = dict(zip(cols, tags))
+        for (part, col), (s, n, nn) in agg_sums.items():
+            out_rows.append({
+                "table": table_name, "part_id": part, "column": col,
+                "col_idx": -2, "page_id": 0, "codec": "__agg__",
+                "type": "meta", "params": json.dumps({"agg": "sum"}),
+                "data": b"", "num_values": n, "null_count": nn,
+                "raw_bytes": 0, "enc_bytes": 0,
+                "min_v": _agg_sum_text(s, tagof[col]), "max_v": None,
             })
         # one meta row per part seen by this task: wall time + row count
         for part, nrows in part_rows.items():
@@ -400,7 +483,10 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         col_rows: dict[tuple[str, str], int] = {}
         del_bits: dict[str, list] = {}      # run -> deletion bitmaps (OR'd)
         for i in range(len(colnames)):
-            if colnames[i] == META_COL or codecs[i] == "__bloom__":
+            # any "__"-prefixed codec except deletion vectors is a
+            # metadata sidecar (bloom / agg / meta), never a data page
+            if colnames[i] == META_COL or (codecs[i].startswith("__")
+                                           and codecs[i] != "__delete__"):
                 continue
             if codecs[i] == "__delete__":
                 del_bits.setdefault(run_ids[i], []).append(
@@ -1579,6 +1665,60 @@ def column_stats_fast(pages: DataFrame, column: str,
         F.when(~n_blind, F.col("n")).cast("long").alias("n"),
         F.when(~blind, F.col("zmin")).alias("min_v"),
         F.when(~blind, F.col("zmax")).alias("max_v"))
+
+
+def column_agg_fast(pages: DataFrame, column: str,
+                    columns: list[tuple[str, str]] | None = None
+                    ) -> DataFrame:
+    """count/nulls/SUM/AVG/min/max of one column WITHOUT reading any page
+    blob — extends :func:`column_stats_fast` with the exact-sum path over
+    the ``__agg__`` sidecar rows the encode kernel writes per
+    (part, column) for integer/bool/decimal-tagged columns.
+
+    Sum legality (else ``sum_v``/``avg_v``/``nulls`` come back NULL and
+    the caller falls back to a real scan):
+
+    - every part holding data pages for the column must carry at least
+      one ``__agg__`` row (pre-sidecar datasets, or non-summable tags
+      like float/string, fail this — absence means scan, never a wrong
+      number);
+    - no deletion vectors may exist (a deleted row's value is still
+      inside the stored sums).
+
+    Sums are aggregated in decimal(38,0) — exact for 10^12 rows of any
+    int64 values; ``avg_v`` is sum/count in double. ``n``/``min_v``/
+    ``max_v`` keep :func:`column_stats_fast` semantics (and its own
+    blindness rules). Result: one row
+    (n, nulls, sum_v, avg_v, min_v, max_v)."""
+    tag = _column_tag(pages, column, columns)
+    sum_t = "decimal(38,0)"
+    if pagecodec.is_dec(tag):
+        sum_t = f"decimal(38,{pagecodec.dec_precision_scale(tag)[1]})"
+    stats = column_stats_fast(pages, column, columns)
+    aggr = pages.filter((F.col("codec") == "__agg__")
+                        & (F.col("column") == column))
+    hot_parts = (pages.filter((F.col("column") == column)
+                              & (F.col("col_idx") >= 0))
+                 .select("part_id").distinct())
+    uncovered = hot_parts.join(aggr.select("part_id").distinct(),
+                               "part_id", "left_anti").limit(1).count()
+    has_dels = bool(pages.filter(F.col("codec") == DELETE_CODEC)
+                    .limit(1).count())
+    legal = uncovered == 0 and not has_dels
+    s = aggr.agg(
+        F.sum(F.col("min_v").cast(sum_t)).alias("sum_v"),
+        F.coalesce(F.sum("num_values"), F.lit(0)).alias("n_summed"),
+        F.coalesce(F.sum("null_count"), F.lit(0)).alias("nulls"))
+    out = stats.crossJoin(s)
+    ok = F.lit(legal)
+    return out.select(
+        F.col("n"),
+        F.when(ok, F.col("nulls")).cast("long").alias("nulls"),
+        F.when(ok, F.col("sum_v")).alias("sum_v"),
+        F.when(ok & (F.col("n_summed") > 0),
+               F.col("sum_v").cast("double") / F.col("n_summed"))
+         .alias("avg_v"),
+        F.col("min_v"), F.col("max_v"))
 
 
 def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,

@@ -1,0 +1,155 @@
+"""Metadata-only exact aggregates: the ``__agg__`` sidecar rows the
+encode kernel writes per (part, column) and the ``column_agg_fast``
+reader over them. The contract under test: SUM/AVG are EXACT (arbitrary-
+precision integer arithmetic, no int64 wrap) whenever legal, and come
+back NULL — never a wrong number — whenever any part lacks coverage or
+deletion vectors exist."""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpp_parquet_spark.engine import (column_agg_fast, compact_parts,
+                                      decode_table, delete_where_in,
+                                      encode_table, read_live_pages,
+                                      run_encode, _exact_int_sum)
+from cpp_parquet_spark.partitioning import EncodeConfig
+
+CFG = EncodeConfig(keys=("k",), salt_from=(), num_parts=2, table_name="t")
+
+
+def _enc(spark, rows, schema, **kw):
+    cfg = EncodeConfig(keys=(schema.split()[0],), salt_from=(),
+                       num_parts=2, table_name="t", **kw)
+    return encode_table(spark.createDataFrame(rows, schema), cfg).cache()
+
+
+def test_sum_matches_truth_documents(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=("doc_id",),
+                       num_parts=4, table_name="documents")
+    pages = encode_table(df, cfg).cache()
+    got = column_agg_fast(pages, "n_chars").collect()[0]
+    exp = df.agg(F.count("n_chars"), F.sum("n_chars"), F.avg("n_chars"),
+                 F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert got["n"] == exp[0]
+    assert int(got["sum_v"]) == exp[1]
+    assert got["avg_v"] == pytest.approx(exp[2], rel=1e-12)
+    assert got["min_v"] == exp[3] and got["max_v"] == exp[4]
+    assert got["nulls"] == 0
+
+
+def test_int64_extremes_no_wrap(spark):
+    # four 2^62 values wrap a naive int64 np.sum; the hi/lo split must not
+    rows = [(1, 2 ** 62), (2, 2 ** 62), (3, 2 ** 62), (4, 2 ** 62),
+            (5, -(2 ** 63)), (6, None), (7, 2 ** 63 - 1)]
+    pages = _enc(spark, rows, "id long, v long")
+    got = column_agg_fast(pages, "v").collect()[0]
+    exp = sum(v for _, v in rows if v is not None)
+    assert int(got["sum_v"]) == exp
+    assert got["nulls"] == 1 and got["n"] == 6
+
+
+def test_exact_int_sum_kernel_unit():
+    import numpy as np
+    import pyarrow as pa
+    v = [2 ** 62, 2 ** 62, -(2 ** 63), 2 ** 63 - 1, -1, 0]
+    s, n = _exact_int_sum(pa.array(v, pa.int64()), "i64")
+    assert s == sum(v) and n == len(v)
+    assert int(np.sum(np.array(v[:2], np.int64))) != sum(v[:2])  # wraps
+    s2, n2 = _exact_int_sum(pa.array([True, False, True, None]), "bool")
+    assert (s2, n2) == (2, 3)
+    assert _exact_int_sum(pa.array([1.5]), "f64") is None
+
+
+def test_bool_and_timestamp(spark):
+    rows = [(1, True, datetime.datetime(2024, 1, 1)),
+            (2, False, datetime.datetime(2024, 1, 3)),
+            (3, True, datetime.datetime(2024, 1, 5)),
+            (4, None, None)]
+    pages = _enc(spark, rows, "id long, b boolean, ts timestamp")
+    gb = column_agg_fast(pages, "b").collect()[0]
+    assert int(gb["sum_v"]) == 2 and gb["n"] == 3 and gb["nulls"] == 1
+    gt = column_agg_fast(pages, "ts").collect()[0]
+    # sum/avg of epoch-microseconds; mean of 1/3/5 Jan = 3 Jan
+    mean_us = int(gt["sum_v"]) / gt["n"]
+    assert mean_us == datetime.datetime(
+        2024, 1, 3, tzinfo=datetime.timezone.utc).timestamp() * 1e6
+
+
+def test_decimal_scaled_sum(spark):
+    rows = [(1, Decimal("12.34")), (2, Decimal("-0.04")),
+            (3, Decimal("100.00")), (4, None)]
+    pages = _enc(spark, rows, "id long, d decimal(9,2)")
+    got = column_agg_fast(pages, "d").collect()[0]
+    assert got["sum_v"] == Decimal("112.30")
+    assert got["nulls"] == 1
+
+
+def test_float_and_string_sum_is_null(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "value", "event_type")
+    cfg = EncodeConfig(keys=("event_id",), salt_from=(), num_parts=2,
+                       table_name="ev")
+    pages = encode_table(ev, cfg).cache()
+    for col in ("value", "event_type"):
+        got = column_agg_fast(pages, col).collect()[0]
+        assert got["sum_v"] is None and got["avg_v"] is None
+        assert got["n"] is not None  # count stays exact
+
+
+def test_uncovered_part_means_null_not_wrong(spark):
+    rows = [(i, i * 10) for i in range(100)]
+    pages = _enc(spark, rows, "id long, v long")
+    # simulate a pre-sidecar part: drop the __agg__ rows of one part_id
+    part0 = pages.filter(F.col("col_idx") >= 0).select("part_id") \
+        .distinct().orderBy("part_id").collect()[0][0]
+    stripped = pages.filter(~((F.col("codec") == "__agg__")
+                              & (F.col("part_id") == part0)))
+    got = column_agg_fast(stripped, "v").collect()[0]
+    assert got["sum_v"] is None and got["avg_v"] is None
+    assert got["n"] == 100  # count comes from data-page metadata
+
+
+def test_deletes_blind_the_sum(spark, tmp_path):
+    dst = str(tmp_path / "ds")
+    df = spark.createDataFrame([(i, f"k{i % 3}", i) for i in range(60)],
+                               "id long, k string, v long")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t", bloom_cols=("id",))
+    run_encode(spark, df, dst, cfg, run_id="r1")
+    pages = read_live_pages(spark, dst)
+    before = column_agg_fast(pages, "v").collect()[0]
+    assert int(before["sum_v"]) == sum(range(60))
+    delete_where_in(spark, dst, "id", [5, 7])
+    after = column_agg_fast(read_live_pages(spark, dst), "v").collect()[0]
+    assert after["sum_v"] is None  # deleted rows still inside stored sums
+
+
+def test_compaction_preserves_sums(spark, tmp_path):
+    dst = str(tmp_path / "ds")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t")
+    total = 0
+    for r in range(3):  # three tiny runs -> small parts -> compactable
+        df = spark.createDataFrame(
+            [(r * 100 + i, f"k{i % 2}", r * 100 + i) for i in range(50)],
+            "id long, k string, v long")
+        run_encode(spark, df, dst, cfg, run_id=f"r{r}", resume=False)
+        total += sum(r * 100 + i for i in range(50))
+    before = column_agg_fast(read_live_pages(spark, dst), "v").collect()[0]
+    assert int(before["sum_v"]) == total
+    out = compact_parts(spark, dst, min_bytes=8 << 20)
+    assert out["parts_compacted"] > 0
+    after = column_agg_fast(read_live_pages(spark, dst), "v").collect()[0]
+    assert int(after["sum_v"]) == total and after["n"] == before["n"]
+
+
+def test_decode_unaffected_by_agg_rows(spark):
+    rows = [(i, i * 3, f"s{i}") for i in range(40)]
+    pages = _enc(spark, rows, "id long, v long, s string")
+    assert pages.filter(F.col("codec") == "__agg__").count() > 0
+    dec = decode_table(pages)
+    assert sorted(tuple(r) for r in dec.collect()) == sorted(rows)
