@@ -464,6 +464,17 @@ def q_dedup_lines_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_lines(df, keep_first=False, min_df=2).orderBy("doc_id")
 
 
+def q_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage (dedup.dup_span_coverage, ExactSubstr-
+    lite after Lee et al. 2022): per document, the fraction of tokens
+    covered by 5-token windows that occur >= 2 times anywhere in the
+    corpus (overlaps merged). Oracle replays tokenization, windowing
+    (lead x4), duplicate counting, and interval-union coverage in
+    DuckDB."""
+    df = _read(spark, sf_dir, "documents")
+    return dedup.dup_span_coverage(df, w=5, min_count=2)
+
+
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_stats(_read(spark, sf_dir, "documents"))
 
@@ -1055,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": q_shuffle_order,
         "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
         "dedup_lines_strip": q_dedup_lines_strip,
+        "dup_spans_documents": q_dup_spans_documents,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1618,6 +1630,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
                      AS n_removed
             FROM k GROUP BY doc_id ORDER BY doc_id""",
+        "dup_spans_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS pos
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, pos,
+                     md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                         || lead(tok, 2) OVER w || ' '
+                         || lead(tok, 3) OVER w || ' '
+                         || lead(tok, 4) OVER w) AS k
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), valid AS (
+              SELECT doc_id, pos, k FROM grams WHERE k IS NOT NULL
+            ), dup AS (
+              SELECT k FROM valid GROUP BY k HAVING count(*) >= 2
+            ), dpos AS (
+              SELECT v.doc_id, v.pos FROM valid v JOIN dup USING (k)
+            ), cov AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dpos
+            ), agg AS (
+              SELECT doc_id, count(*) AS dup_windows,
+                     sum(CASE WHEN prev IS NULL THEN 5
+                              ELSE least(5, pos - prev) END) AS covered
+              FROM cov GROUP BY doc_id
+            ), base AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS INT) AS n_tokens,
+                   CAST(COALESCE(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+                   CAST(COALESCE(a.covered, 0) AS DOUBLE) / b.n_tokens
+                     AS dup_frac
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         "dedup_exact_survivors": """
             SELECT doc_id, source FROM documents
             WHERE doc_id IN (

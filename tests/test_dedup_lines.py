@@ -61,3 +61,44 @@ def test_partition_invariant_and_lossless_no_dups(spark, corpus):
     out = _by_id(dedup.dedup_lines(solo).collect())
     assert out[9] == ("only\nlines\nhere", 3, 0)   # no dups -> identity
     assert out[10] == ("", 1, 0)                   # empty doc preserved
+
+
+def test_dup_span_coverage_matches_bruteforce(spark):
+    import re
+    from collections import Counter
+
+    from cpp_parquet_spark.dedup import dup_span_coverage
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "prefix words here the quick brown fox jumps over a fence"),
+        (3, "totally unique words alpha beta gamma delta epsilon zeta"),
+        (4, "repeat me repeat me repeat me repeat me repeat me"),
+        (5, "x"),                       # shorter than the window
+        (6, "exactly five tokens right here"),   # n == w: one window
+        (7, "exactly five tokens right here"),   # its duplicate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dup_span_coverage(df, w=5).collect()}
+
+    W = 5
+    cnt: Counter = Counter()
+    wins = {}
+    for d, t in docs:
+        toks = re.split(r"\s+", t.strip())
+        ws = [" ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)]
+        wins[d] = (toks, ws)
+        cnt.update(ws)
+    for d, _ in docs:
+        toks, ws = wins[d]
+        dup_pos = [i for i, g in enumerate(ws) if cnt[g] >= 2]
+        covered, prev = 0, None
+        for p in dup_pos:
+            covered += W if prev is None else min(W, p - prev)
+            prev = p
+        g = got[d]
+        assert g["n_tokens"] == len(toks)
+        assert g["dup_windows"] == len(dup_pos)
+        assert g["covered_tokens"] == covered
+        assert g["dup_frac"] == covered / len(toks)
