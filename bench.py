@@ -221,6 +221,7 @@ def q_roundtrip_repofiles(spark: SparkSession) -> None:
 
 
 _DECODE: dict | None = None
+_AGGFAST: dict | None = None
 
 
 def q_decode_repofiles(spark: SparkSession) -> None:
@@ -360,6 +361,66 @@ def q_dedup_lines(spark: SparkSession) -> None:
     _force(dedup_lines(sampling.sample_domains(df, {}, default_rate=0.1)))
 
 
+def q_agg_fast(spark: SparkSession) -> None:
+    """Metadata-only aggregate vs decode-path aggregate on the same
+    int64 column (lineitem.l_partkey): ``column_agg_fast`` answers
+    COUNT/SUM/AVG/MIN/MAX from the ``__agg__`` + zone sidecars with
+    zero page blobs read; the scan leg decodes the column and
+    aggregates it. The two sub-walls land in the JSON as
+    ``agg_fast_meta_s`` / ``agg_fast_scan_s``. At THIS fixture scale
+    both sit on the ~0.5 s local job-launch floor (600 k int64 values
+    decode in <100 ms), so the walls are launch cost, not data cost —
+    the structural win is pinned instead by
+    tests/test_plans.py::test_column_agg_fast_never_reads_blobs: the
+    meta plan's scans exclude the `data` blob column entirely, and on
+    a 100 TB table the blob column IS the table."""
+    global _AGGFAST
+    import time as _time
+    from cpp_parquet_spark.engine import column_agg_fast, decode_table
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cfg = EncodeConfig(keys=("l_returnflag",), salt_from=("l_orderkey",),
+                       num_parts=32, table_name="lineitem_agg")
+    pages = encode_table(df, cfg).cache()
+    try:
+        pages.count()
+        cols = [ct for ct in pages._cps_columns if ct[0] == "l_partkey"]
+        # min-of-reps on BOTH legs: a single cold run measures codegen/
+        # JIT of the query shape, not the path's steady-state cost
+        t_meta, t_scan, meta_row, scan_row = None, None, None, None
+        for _ in range(3):
+            t0 = _time.monotonic()
+            meta_row = column_agg_fast(pages, "l_partkey",
+                                       columns=pages._cps_columns
+                                       ).collect()[0]
+            w = _time.monotonic() - t0
+            t_meta = w if t_meta is None else min(t_meta, w)
+            t0 = _time.monotonic()
+            scan_row = (decode_table(
+                pages.filter(F.col("column") == "l_partkey"), columns=cols)
+                .agg(F.count("l_partkey"), F.sum("l_partkey")).collect()[0])
+            w = _time.monotonic() - t0
+            t_scan = w if t_scan is None else min(t_scan, w)
+        assert int(meta_row["sum_v"]) == int(scan_row[1]), "sum mismatch"
+        _AGGFAST = {"agg_fast_meta_s": round(t_meta, 3),
+                    "agg_fast_scan_s": round(t_scan, 3)}
+    finally:
+        pages.unpersist()
+
+
+def q_dedup_spans(spark: SparkSession) -> None:
+    """Duplicated-span coverage (ExactSubstr-lite) over a deterministic
+    10% slice of the north-rule content — same slice discipline as
+    q_dedup_lines (the synthetic fixture is orders of magnitude more
+    duplicative than a real corpus)."""
+    from cpp_parquet_spark import sampling
+    from cpp_parquet_spark.dedup import dup_span_coverage
+    df = _repofiles_df(spark).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"))
+    _force(dup_span_coverage(sampling.sample_domains(df, {},
+                                                     default_rate=0.1)))
+
+
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
     "encode_repofiles_zstd": q_encode_repofiles_zstd,
@@ -377,6 +438,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "mix_pipeline": q_mix_pipeline,
     "dedup_lines": q_dedup_lines,
+    "agg_fast": q_agg_fast,
+    "dedup_spans": q_dedup_spans,
 }
 
 
@@ -785,6 +848,8 @@ def main() -> None:
         out["decode_s"] = _DECODE["decode_s"]
         out["decode_walls"] = _DECODE.get("decode_walls")
         out["decode_membw"] = _DECODE.get("decode_membw")
+    if _AGGFAST is not None:
+        out.update(_AGGFAST)
     if busy_at:
         out["host_busy_at_query_start"] = busy_at
     if flare_reruns:

@@ -1673,7 +1673,7 @@ def column_agg_fast(pages: DataFrame, column: str,
     """count/nulls/SUM/AVG/min/max of one column WITHOUT reading any page
     blob — extends :func:`column_stats_fast` with the exact-sum path over
     the ``__agg__`` sidecar rows the encode kernel writes per
-    (part, column) for integer/bool/decimal-tagged columns.
+    (part, column) for integer/bool/timestamp/date/decimal columns.
 
     Sum legality (else ``sum_v``/``avg_v``/``nulls`` come back NULL and
     the caller falls back to a real scan):
@@ -1685,40 +1685,81 @@ def column_agg_fast(pages: DataFrame, column: str,
     - no deletion vectors may exist (a deleted row's value is still
       inside the stored sums).
 
-    Sums are aggregated in decimal(38,0) — exact for 10^12 rows of any
-    int64 values; ``avg_v`` is sum/count in double. ``n``/``min_v``/
-    ``max_v`` keep :func:`column_stats_fast` semantics (and its own
-    blindness rules). Result: one row
+    Sums are aggregated in decimal(38,0) (decimal columns: scale-aware
+    decimal(38,s)) — exact for 10^12 rows of any int64 values; ``avg_v``
+    is sum/count in double. ``n``/``min_v``/``max_v`` keep
+    :func:`column_stats_fast` semantics and blindness rules. The whole
+    answer — legality checks included — is ONE metadata-only Spark job
+    (conditional aggregates over the page frame), so the wall is a
+    metadata scan, not five job launches. Result: one row
     (n, nulls, sum_v, avg_v, min_v, max_v)."""
     tag = _column_tag(pages, column, columns)
     sum_t = "decimal(38,0)"
     if pagecodec.is_dec(tag):
         sum_t = f"decimal(38,{pagecodec.dec_precision_scale(tag)[1]})"
-    stats = column_stats_fast(pages, column, columns)
-    aggr = pages.filter((F.col("codec") == "__agg__")
-                        & (F.col("column") == column))
-    hot_parts = (pages.filter((F.col("column") == column)
-                              & (F.col("col_idx") >= 0))
-                 .select("part_id").distinct())
-    uncovered = hot_parts.join(aggr.select("part_id").distinct(),
-                               "part_id", "left_anti").limit(1).count()
-    has_dels = bool(pages.filter(F.col("codec") == DELETE_CODEC)
-                    .limit(1).count())
-    legal = uncovered == 0 and not has_dels
-    s = aggr.agg(
-        F.sum(F.col("min_v").cast(sum_t)).alias("sum_v"),
-        F.coalesce(F.sum("num_values"), F.lit(0)).alias("n_summed"),
-        F.coalesce(F.sum("null_count"), F.lit(0)).alias("nulls"))
-    out = stats.crossJoin(s)
-    ok = F.lit(legal)
-    return out.select(
-        F.col("n"),
-        F.when(ok, F.col("nulls")).cast("long").alias("nulls"),
-        F.when(ok, F.col("sum_v")).alias("sum_v"),
-        F.when(ok & (F.col("n_summed") > 0),
+    cast = _ZONE_CAST.get(tag)
+    rel = pages.filter((F.col("column") == column)
+                       | (F.col("codec") == DELETE_CODEC))
+    is_data = (F.col("col_idx") >= 0) & (F.col("column") == column)
+    is_agg = F.col("codec") == "__agg__"
+    is_del = F.col("codec") == DELETE_CODEC
+    mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
+    mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
+    # two-level aggregation: per-part partials (every measure here is
+    # distributive), then one global combine — a single tiny shuffle on
+    # part_id, no multi-distinct Expand; per-part has_data/has_agg flags
+    # make the coverage check a max() instead of two count_distincts
+    per = rel.groupBy("part_id").agg(
+        F.coalesce(F.sum(F.when(is_data, F.col("num_values")
+                                - F.col("null_count"))),
+                   F.lit(0)).alias("present"),
+        F.coalesce(F.sum(F.when(is_data, F.col("null_count"))),
+                   F.lit(0)).alias("nulls_d"),
+        F.min(F.when(is_data, mn)).alias("zmin"),
+        F.max(F.when(is_data, mx)).alias("zmax"),
+        # any data page with present values but an unknown zone (NaN
+        # floats, long strings) blinds min/max — same rule as
+        # column_stats_fast
+        F.max(F.when(is_data & F.col("min_v").isNull()
+                     & (F.col("null_count") < F.col("num_values")), 1)
+              .otherwise(0)).alias("unknown"),
+        F.coalesce(F.sum(F.when(is_del, F.col("null_count"))),
+                   F.lit(0)).alias("n_del"),
+        F.max(F.when(is_del, 1).otherwise(0)).alias("has_dels"),
+        F.sum(F.when(is_agg, F.col("min_v").cast(sum_t))).alias("sum_v"),
+        F.coalesce(F.sum(F.when(is_agg, F.col("num_values"))),
+                   F.lit(0)).alias("n_summed"),
+        F.coalesce(F.sum(F.when(is_agg, F.col("null_count"))),
+                   F.lit(0)).alias("nulls_a"),
+        F.max(F.when(is_data, 1).otherwise(0)).alias("has_data"),
+        F.max(F.when(is_agg, 1).otherwise(0)).alias("has_agg"))
+    a = per.agg(
+        F.coalesce(F.sum("present"), F.lit(0)).alias("present"),
+        F.coalesce(F.sum("nulls_d"), F.lit(0)).alias("nulls_d"),
+        F.min("zmin").alias("zmin"), F.max("zmax").alias("zmax"),
+        F.coalesce(F.max("unknown"), F.lit(0)).alias("unknown"),
+        F.coalesce(F.sum("n_del"), F.lit(0)).alias("n_del"),
+        F.coalesce(F.max("has_dels"), F.lit(0)).alias("has_dels"),
+        F.sum("sum_v").alias("sum_v"),
+        F.coalesce(F.sum("n_summed"), F.lit(0)).alias("n_summed"),
+        F.coalesce(F.sum("nulls_a"), F.lit(0)).alias("nulls_a"),
+        F.coalesce(F.max(F.when((F.col("has_data") == 1)
+                                & (F.col("has_agg") == 0), 1)
+                         .otherwise(0)), F.lit(0)).alias("uncovered"))
+    has_dels = F.col("has_dels") == 1
+    n_blind = has_dels & (F.col("nulls_d") > 0)
+    mm_blind = (F.col("unknown") == 1) | has_dels
+    sum_ok = (~has_dels) & (F.col("uncovered") == 0)
+    return a.select(
+        F.when(~n_blind, F.col("present") - F.col("n_del"))
+         .cast("long").alias("n"),
+        F.when(sum_ok, F.col("nulls_a")).cast("long").alias("nulls"),
+        F.when(sum_ok, F.col("sum_v")).alias("sum_v"),
+        F.when(sum_ok & (F.col("n_summed") > 0),
                F.col("sum_v").cast("double") / F.col("n_summed"))
          .alias("avg_v"),
-        F.col("min_v"), F.col("max_v"))
+        F.when(~mm_blind, F.col("zmin")).alias("min_v"),
+        F.when(~mm_blind, F.col("zmax")).alias("max_v"))
 
 
 def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,

@@ -214,3 +214,25 @@ def test_dedup_lines_owner_agg_is_partial(docs):
     # of the exchange (join strategy itself is AQE's call — the owner
     # table is per-distinct-line and may or may not fit broadcast)
     assert "partial_min" in plan or "partial_" in plan, plan
+
+
+def test_column_agg_fast_never_reads_blobs(spark, sf_dir, tmp_path):
+    """The metadata-only aggregate's parquet scans must exclude the
+    `data` blob column entirely — the whole point of the __agg__/zone
+    sidecar path is answering SUM/COUNT/MIN/MAX with zero page-blob IO,
+    and on a 100 TB table the blob column IS the table."""
+    import os
+    from cpp_parquet_spark.engine import column_agg_fast, read_live_pages
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dst = str(tmp_path / "af")
+    run_encode(spark, df, dst, CFG)
+    pages = read_live_pages(spark, dst)
+    out = column_agg_fast(pages, "n_chars")
+    plan = _plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines
+    for ln in scan_lines:
+        assert "data" not in ln.split("ReadSchema")[1], ln
+    # and exactly one pass over the pages: per-part partials + global
+    # combine, no multi-distinct Expand (plan cost receipt)
+    assert "Expand" not in plan
