@@ -764,6 +764,68 @@ def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"))
 
 
+def q_delete_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate deletes (engine.delete_where_range) — the
+    retention op (DELETE WHERE ts < cutoff): encode events to a durable
+    dataset, delete everything before Jan 8 and a mid-month window
+    (zone-map-pruned, epoch-us zone domain), decode and aggregate per
+    event_type. The oracle applies the complementary time filter to the
+    SOURCE table."""
+    import datetime
+    import tempfile
+
+    from cpp_parquet_spark.engine import (decode_dataset,
+                                          delete_where_range, run_encode)
+
+    def us(*a):
+        return int(datetime.datetime(
+            *a, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    dst = tempfile.mkdtemp(prefix="cps_delr_")
+    ev = _read(spark, sf_dir, "events")
+    cfg = EncodeConfig(keys=("event_type",), salt_from=("event_id",),
+                       num_parts=4, order_keys=("event_id",),
+                       table_name="events_delr")
+    run_encode(spark, ev, dst, cfg, run_id="r1", resume=False)
+    delete_where_range(spark, dst, "ts", hi=us(2024, 1, 8) - 1)
+    delete_where_range(spark, dst, "ts",
+                       lo=us(2024, 1, 15), hi=us(2024, 1, 17) - 1)
+    out = decode_dataset(spark, dst)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("event_id")).alias("sum_ids"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("min_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_us"))
+
+
+def q_update_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE ... SET via copy-on-write part rewrite
+    (engine.update_where, the Delta/Iceberg CoW UPDATE analogue):
+    encode documents to a durable dataset, UPDATE a bloom-pruned
+    doc_id IN-list setting n_chars = n_chars + 100000 and
+    lang = upper(lang) (both RHS over the pre-update row), decode the
+    dataset and return the full (doc_id, lang, n_chars) relation. The
+    oracle applies the same CASE projection to the SOURCE — matching
+    hashes prove exactly the right rows changed, every other row came
+    through byte-identical, and the single `replaces` manifest commit
+    left no duplicates."""
+    import tempfile
+
+    from cpp_parquet_spark.engine import (decode_dataset, run_encode,
+                                          update_where)
+    dst = tempfile.mkdtemp(prefix="cps_upd_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), bloom_cols=("doc_id",),
+                       table_name="docs_upd")
+    run_encode(spark, docs.select("doc_id", "lang", "n_chars"),
+               dst, cfg, run_id="r1", resume=False)
+    update_where(spark, dst, "doc_id", [1, 2, 3, 5, 8, 13, 21, 34],
+                 {"n_chars": "n_chars + 100000", "lang": "upper(lang)"},
+                 cfg)
+    return decode_dataset(spark, dst).select("doc_id", "lang", "n_chars")
+
+
 def q_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style upsert (round 3): same-key rows replaced via a
     deletion-vector pass, new keys appended in a fresh run. The oracle
@@ -1104,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_media_payload": q_roundtrip_media_payload,
         # row-level deletes (deletion-vector sidecars) + upsert
         "delete_documents": q_delete_documents,
+        "delete_range_events": q_delete_range_events,
+        "update_documents": q_update_documents,
         "upsert_documents": q_upsert_documents,
         "time_travel_documents": q_time_travel_documents,
         "table_changes_documents": q_table_changes_documents,
@@ -1969,6 +2033,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM feed GROUP BY _change_type, lang
             ORDER BY _change_type, lang""",
+        "delete_range_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+            FROM events
+            WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-08')
+              AND NOT (epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-15')
+                       AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-17'))
+            GROUP BY event_type""",
+        "update_documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id IN (1,2,3,5,8,13,21,34)
+                        THEN upper(lang) ELSE lang END AS lang,
+                   CASE WHEN doc_id IN (1,2,3,5,8,13,21,34)
+                        THEN n_chars + 100000 ELSE n_chars END AS n_chars
+            FROM documents""",
         "upsert_documents": """
             WITH updated AS (
               SELECT doc_id, 'U:' || text AS text, lang

@@ -1302,30 +1302,16 @@ def _read_deletes(spark: SparkSession, dst: str) -> DataFrame | None:
     return spark.read.parquet(d)
 
 
-def delete_where_in(spark: SparkSession, dst: str, column: str,
-                    values: list) -> dict:
-    """Mark rows where ``column IN values`` as deleted (str/bin/int
-    columns — the bloom-probe family). Bloom sidecars prune the parts
-    scanned when present; only the predicate column's pages are decoded.
-    Idempotent: re-deleting the same values rewrites the same bitmaps
-    (sidecars OR together at decode)."""
-    if not values:
-        return {"parts": 0, "rows_deleted": 0}
-    pages = read_committed_pages(spark, dst)
-    keys = (["part_id", "run_id"] if "run_id" in pages.columns
-            else ["part_id"])
-    hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
-    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
-                              & (F.col("column") == column))
-    if bool(bloom_rows.limit(1).take(1)):
-        # same absence-means-scan contract as decode_where_in: bloom
-        # MAYBE-hits plus every part with no bloom row for this column
-        bloom_parts = bloom_rows.select(*keys).distinct()
-        unindexed = (pages.select(*keys).distinct()
-                     .join(bloom_parts, keys, "left_anti"))
-        surv = in_prune(pages, column, values).unionByName(unindexed) \
-                                              .distinct()
-        hot = hot.join(F.broadcast(surv), keys, "left_semi")
+def _delete_pass(spark: SparkSession, dst: str, hot: DataFrame,
+                 make_mask) -> dict:
+    """Shared deletion-vector machinery (delete_where_in /
+    delete_where_range): decode ONLY the predicate column's pages of the
+    pruned-in parts, mark rows where ``make_mask(decoded_arrow_array)``
+    is True, and append one position bitmap per affected
+    (part_id, run_id) to ``dst/deletes/`` (positions in the canonical
+    (run_id, page_id) decode order). Idempotent: re-deleting the same
+    predicate rewrites the same bitmaps (sidecars OR together at
+    decode)."""
     hot = hot.select("part_id", "run_id", "page_id", "codec", "type",
                      "params", "data", "num_values", "null_count")
     out_schema = T.StructType([
@@ -1337,7 +1323,6 @@ def delete_where_in(spark: SparkSession, dst: str, column: str,
     ])
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         tbl = tbl.sort_by([("run_id", "ascending"), ("page_id", "ascending")])
         part = int(tbl.column("part_id")[0].as_py())
         runs = tbl.column("run_id").to_pylist()
@@ -1362,11 +1347,7 @@ def delete_where_in(spark: SparkSession, dst: str, column: str,
                 arr = pagecodec.decode_page(
                     dvals[doffs[i]:doffs[i + 1]], params[i], codecs[i],
                     types_[i], int(nvals[i]), int(nnull[i]))
-                vs = pa.array(values)
-                if vs.type != arr.type:
-                    vs = vs.cast(arr.type)
-                m = pc.fill_null(pc.is_in(arr, value_set=vs), False)
-                masks.append(m.to_numpy(zero_copy_only=False))
+                masks.append(make_mask(arr))
             mask = np.concatenate(masks)
             nd = int(mask.sum())
             if nd:
@@ -1392,6 +1373,81 @@ def delete_where_in(spark: SparkSession, dst: str, column: str,
     return {"parts": int(mine["parts"] or 0),
             "rows_deleted": int(mine["rows_deleted"] or 0),
             "delete_id": delete_id}
+
+
+def delete_where_in(spark: SparkSession, dst: str, column: str,
+                    values: list) -> dict:
+    """Mark rows where ``column IN values`` as deleted (str/bin/int
+    columns — the bloom-probe family). Bloom sidecars prune the parts
+    scanned when present; only the predicate column's pages are decoded.
+    Idempotent: re-deleting the same values rewrites the same bitmaps
+    (sidecars OR together at decode)."""
+    if not values:
+        return {"parts": 0, "rows_deleted": 0}
+    pages = read_committed_pages(spark, dst)
+    keys = (["part_id", "run_id"] if "run_id" in pages.columns
+            else ["part_id"])
+    hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
+                              & (F.col("column") == column))
+    if bool(bloom_rows.limit(1).take(1)):
+        # same absence-means-scan contract as decode_where_in: bloom
+        # MAYBE-hits plus every part with no bloom row for this column
+        bloom_parts = bloom_rows.select(*keys).distinct()
+        unindexed = (pages.select(*keys).distinct()
+                     .join(bloom_parts, keys, "left_anti"))
+        surv = in_prune(pages, column, values).unionByName(unindexed) \
+                                              .distinct()
+        hot = hot.join(F.broadcast(surv), keys, "left_semi")
+
+    def make_mask(arr: pa.Array) -> np.ndarray:
+        import pyarrow.compute as pc
+        vs = pa.array(values)
+        if vs.type != arr.type:
+            vs = vs.cast(arr.type)
+        m = pc.fill_null(pc.is_in(arr, value_set=vs), False)
+        return m.to_numpy(zero_copy_only=False)
+
+    return _delete_pass(spark, dst, hot, make_mask)
+
+
+def delete_where_range(spark: SparkSession, dst: str, column: str,
+                       lo=None, hi=None) -> dict:
+    """Mark rows where ``lo <= column <= hi`` as deleted (either bound
+    may be None for a half-open range) — the retention op
+    (``DELETE WHERE ts < cutoff``). Zone maps prune: only parts whose
+    per-page [min, max] may intersect the range decode the predicate
+    column (absence of a zone means scan, never a skipped row); NULLs
+    never match (SQL comparison semantics). ``lo``/``hi`` use the zone
+    domain — the same caller convention as :func:`decode_where` /
+    :func:`prune_parts`: epoch MICROSECONDS for ts/tsn columns, epoch
+    DAYS for date columns, the value itself otherwise. Idempotent like
+    delete_where_in."""
+    if lo is None and hi is None:
+        return {"parts": 0, "rows_deleted": 0}
+    pages = read_committed_pages(spark, dst)
+    hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
+    tag = _column_tag(pages, column, None)
+    surv = prune_parts(pages, column, lo=lo, hi=hi, tag=tag)
+    hot = hot.join(F.broadcast(surv), ["part_id"], "left_semi")
+
+    def make_mask(arr: pa.Array) -> np.ndarray:
+        import pyarrow.compute as pc
+        a = arr
+        if tag in ("ts", "tsn"):      # zone domain is epoch microseconds
+            a = a.cast(pa.int64())
+        elif tag == "date":           # zone domain is epoch days
+            a = a.cast(pa.int32())
+        conds = []
+        if lo is not None:
+            conds.append(pc.greater_equal(a, pa.scalar(lo).cast(a.type)))
+        if hi is not None:
+            conds.append(pc.less_equal(a, pa.scalar(hi).cast(a.type)))
+        m = conds[0] if len(conds) == 1 else pc.and_(conds[0], conds[1])
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+    return _delete_pass(spark, dst, hot, make_mask)
+
 
 
 def _deletes_as_page_rows(dels: DataFrame) -> DataFrame:
@@ -1543,12 +1599,15 @@ def purge_deletes(spark: SparkSession, dst: str, cfg: EncodeConfig,
 
 
 def _rewrite_parts(spark: SparkSession, dst: str, cfg: EncodeConfig,
-                   run_id: str, tpairs: list[tuple[int, str]]) -> tuple:
-    """Shared rewrite machinery (purge_deletes, rewrite_dataset): decode
-    the target (part, run)s with deletion vectors applied, re-encode
-    under ``cfg`` in a fresh run, supersede the targets via ``replaces``
-    tombstones in ONE crash-safe manifest append. Returns
-    (old_live_rows, new_rows)."""
+                   run_id: str, tpairs: list[tuple[int, str]],
+                   transform=None) -> tuple:
+    """Shared rewrite machinery (purge_deletes, rewrite_dataset,
+    update_where): decode the target (part, run)s with deletion vectors
+    applied, optionally apply ``transform`` (DataFrame -> DataFrame, a
+    row-level rewrite such as UPDATE's SET projection — must preserve
+    the schema), re-encode under ``cfg`` in a fresh run, supersede the
+    targets via ``replaces`` tombstones in ONE crash-safe manifest
+    append. Returns (old_live_rows, new_rows)."""
     live = live_manifest(_read_manifest(spark, dst))
     tdf = spark.createDataFrame(tpairs, "part_id int, run_id string")
     old_rows = (live.join(F.broadcast(tdf), ["part_id", "run_id"],
@@ -1557,6 +1616,8 @@ def _rewrite_parts(spark: SparkSession, dst: str, cfg: EncodeConfig,
     kept = read_live_pages(spark, dst).join(
         F.broadcast(tdf), ["part_id", "run_id"], "left_semi")
     decoded = decode_table(kept, spark)          # vectors applied here
+    if transform is not None:
+        decoded = transform(decoded)
     # re-encode through the standard pipeline under a fresh run_id —
     # (part_id, run_id) uniqueness makes hash-id reuse safe, and
     # cfg.bloom_cols/block_codec/range layout/etc. apply to the output
@@ -1783,6 +1844,75 @@ def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
             "delete_id": dstats.get("delete_id"),
             "run_id": astats["run_id"],
             "dataset_rows": astats["rows"]}
+
+
+def update_where(spark: SparkSession, dst: str, column: str, values: list,
+                 set_exprs: dict[str, str], cfg: EncodeConfig,
+                 run_id: str | None = None) -> dict:
+    """Row-level ``UPDATE ... SET`` (copy-on-write, the Delta/Iceberg CoW
+    UPDATE analogue): parts that may contain rows where ``column IN
+    values`` are decoded (deletion vectors applied), matching rows get
+    ``set_exprs`` (target column -> SQL expression, every RHS evaluated
+    over the PRE-update row — standard UPDATE semantics via one
+    simultaneous projection), unmatched rows pass through byte-identical,
+    and the parts are re-encoded in a fresh run that supersedes the
+    originals via ONE ``replaces`` manifest append. ATOMIC: a crash
+    before that single append leaves harmless orphan pages (vacuum
+    reclaims them), never a half-updated table — no deletion-vector /
+    append ordering window to reason about.
+
+    Part discovery is index-pruned with the absence-means-scan contract:
+    bloom MAYBE-hits plus every part carrying no bloom row for the
+    column; without any bloom index this is a full-table rewrite — the
+    same trade as an unindexed UPDATE on any CoW lakehouse. A pruned-in
+    part with no actual match is rewritten unchanged (correct, just
+    write amplification bounded by the bloom false-positive rate)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if not values or not set_exprs:
+        return {"parts_rewritten": 0, "rows_updated": 0, "rows": 0,
+                "run_id": None}
+    # live pages INCLUDING deletion-vector rows: the updated-row count
+    # must not count rows already deleted (decode_table applies them)
+    pages = read_live_pages(spark, dst)
+    keys = ["part_id", "run_id"]
+    allp = (pages.filter((F.col("column") == column)
+                         & (F.col("col_idx") >= 0))
+            .select(*keys).distinct())
+    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
+                              & (F.col("column") == column))
+    if bool(bloom_rows.limit(1).take(1)):
+        bloom_parts = bloom_rows.select(*keys).distinct()
+        unindexed = allp.join(bloom_parts, keys, "left_anti")
+        cand = (in_prune(pages, column, values).unionByName(unindexed)
+                .join(allp, keys, "left_semi").distinct())
+    else:
+        cand = allp
+    tpairs = [(r["part_id"], r["run_id"]) for r in cand.collect()]
+    if not tpairs:
+        return {"parts_rewritten": 0, "rows_updated": 0, "rows": 0,
+                "run_id": None}
+    match = F.col(column).isin(values)
+    # exact updated-row count from the predicate column alone (one
+    # narrow decode of the candidate parts' predicate pages)
+    tdf = spark.createDataFrame(tpairs, "part_id int, run_id string")
+    cand_pages = pages.join(F.broadcast(tdf), keys, "left_semi")
+    tag = _column_tag(pages, column, None)
+    pred = decode_table(
+        cand_pages.filter(((F.col("column") == column)
+                           & (F.col("col_idx") >= 0))
+                          | (F.col("codec") == DELETE_CODEC)),
+        spark, columns=[(column, tag)])
+    n_upd = pred.filter(match).count()
+
+    def transform(d: DataFrame) -> DataFrame:
+        return d.withColumns({c: F.when(match, F.expr(e))
+                              .otherwise(F.col(c))
+                              for c, e in set_exprs.items()})
+
+    old_rows, new_rows = _rewrite_parts(spark, dst, cfg, run_id, tpairs,
+                                        transform=transform)
+    return {"parts_rewritten": len(tpairs), "rows_updated": int(n_upd),
+            "rows": int(new_rows), "run_id": run_id}
 
 
 def vacuum(spark: SparkSession, dst: str,

@@ -335,3 +335,59 @@ def test_vacuum_reclaims_orphan_attempts(spark, docs, tmp_path):
     assert not _os.path.exists(orphan)
     assert _os.path.exists(_os.path.join(dst, "pages", "run_id=r1"))
     assert decode_dataset(spark, dst).count() == docs.count()
+
+
+def test_delete_where_range_basic(spark, tmp_path):
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_range,
+                                          run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    dst = str(tmp_path / "dr")
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", i * 10) for i in range(100)],
+        "id long, k string, v long")
+    cfg = EncodeConfig(keys=("k",), salt_from=("id",), num_parts=4,
+                       table_name="t")
+    run_encode(spark, df, dst, cfg, run_id="r1")
+    out = delete_where_range(spark, dst, "v", lo=200, hi=490)
+    assert out["rows_deleted"] == 30          # v in {200,210,...,490}
+    got = sorted(r["id"] for r in decode_dataset(spark, dst).collect())
+    assert got == [i for i in range(100) if not (200 <= i * 10 <= 490)]
+    # idempotent: same predicate again deletes the same rows, no change
+    delete_where_range(spark, dst, "v", lo=200, hi=490)
+    assert decode_dataset(spark, dst).count() == 70
+
+
+def test_delete_where_range_half_open_and_nulls(spark, tmp_path):
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_range,
+                                          run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    dst = str(tmp_path / "dr2")
+    rows = [(1, "a", 5), (2, "a", None), (3, "b", 50), (4, "b", 500)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t")
+    run_encode(spark, df, dst, cfg, run_id="r1")
+    delete_where_range(spark, dst, "v", lo=40)   # v >= 40; NULL never matches
+    got = sorted(r["id"] for r in decode_dataset(spark, dst).collect())
+    assert got == [1, 2]
+
+
+def test_delete_where_range_timestamp_zone_domain(spark, tmp_path):
+    import datetime
+    from cpp_parquet_spark.engine import (decode_dataset, delete_where_range,
+                                          run_encode)
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    dst = str(tmp_path / "dr3")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, "k", base + datetime.timedelta(days=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp_ntz")
+    cfg = EncodeConfig(keys=("k",), salt_from=("id",), num_parts=2,
+                       table_name="t")
+    run_encode(spark, df, dst, cfg, run_id="r1")
+    # retention: drop everything before Jan 4 (epoch-us zone domain)
+    cutoff = int(datetime.datetime(2024, 1, 4,
+                 tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    out = delete_where_range(spark, dst, "ts", hi=cutoff - 1)
+    assert out["rows_deleted"] == 3
+    got = sorted(r["id"] for r in decode_dataset(spark, dst).collect())
+    assert got == list(range(3, 10))
