@@ -764,6 +764,30 @@ def q_delete_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"))
 
 
+def q_add_column_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN with backfill (engine.add_column, CoW):
+    encode documents to a durable dataset, materialize a derived
+    token-count column across every existing row through one atomic
+    `replaces` rewrite, decode and return (doc_id, n_chars, n_tokens).
+    The oracle recomputes the expression from the SOURCE — matching
+    hashes prove the backfill hit every row exactly once and the rest
+    of the row came through unchanged."""
+    import tempfile
+
+    from cpp_parquet_spark.engine import (add_column, decode_dataset,
+                                          run_encode)
+    dst = tempfile.mkdtemp(prefix="cps_addc_")
+    docs = _read(spark, sf_dir, "documents")
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=("doc_id",), num_parts=4,
+                       order_keys=("doc_id",), table_name="docs_addc")
+    run_encode(spark, docs.select("doc_id", "text", "n_chars"),
+               dst, cfg, run_id="r1", resume=False)
+    add_column(spark, dst, "n_tokens", "size(split(trim(text), '\\\\s+'))",
+               cfg)
+    return (decode_dataset(spark, dst)
+            .select("doc_id", "n_chars", "n_tokens"))
+
+
 def q_delete_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-predicate deletes (engine.delete_where_range) — the
     retention op (DELETE WHERE ts < cutoff): encode events to a durable
@@ -1167,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level deletes (deletion-vector sidecars) + upsert
         "delete_documents": q_delete_documents,
         "delete_range_events": q_delete_range_events,
+        "add_column_documents": q_add_column_documents,
         "update_documents": q_update_documents,
         "upsert_documents": q_upsert_documents,
         "time_travel_documents": q_time_travel_documents,
@@ -2033,6 +2058,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM feed GROUP BY _change_type, lang
             ORDER BY _change_type, lang""",
+        "add_column_documents": """
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS INT) AS n_tokens
+            FROM documents""",
         "delete_range_events": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,

@@ -1679,6 +1679,66 @@ def rewrite_dataset(spark: SparkSession, dst: str, cfg: EncodeConfig,
             "rows": int(new_rows), "rows_purged": int(old_rows - new_rows)}
 
 
+def add_column(spark: SparkSession, dst: str, name: str, expr: str,
+               cfg: EncodeConfig, run_id: str | None = None) -> dict:
+    """ALTER TABLE ADD COLUMN ... with BACKFILL (the CoW companion to
+    the engine's append-time schema evolution): every live part is
+    rewritten with ``name`` computed as the SQL expression ``expr`` over
+    the existing row, committed through the same single ``replaces``
+    manifest append as rewrite_dataset (atomic; deletion vectors applied
+    during the rewrite; old snapshots keep time-travel reading the
+    pre-evolution schema). Append-time evolution already lets NEW runs
+    carry new columns with old runs decoding NULL — add_column is for
+    the other direction: a derived/backfilled value materialized across
+    ALL existing rows (e.g. a quality score or token count computed once
+    instead of per query). Raises if the column already exists."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    live = live_manifest(_read_manifest(spark, dst))
+    pages = read_committed_pages(spark, dst)
+    existing = {r["column"] for r in
+                pages.filter(F.col("col_idx") >= 0)
+                .select("column").distinct().collect()}
+    if name in existing:
+        raise ValueError(f"column {name!r} already exists in {dst}")
+    tpairs = [(int(r["part_id"]), r["run_id"])
+              for r in live.select("part_id", "run_id").collect()]
+    if not tpairs:
+        return {"run_id": run_id, "parts_rewritten": 0, "rows": 0}
+
+    def transform(d: DataFrame) -> DataFrame:
+        return d.withColumn(name, F.expr(expr))
+
+    old_rows, new_rows = _rewrite_parts(spark, dst, cfg, run_id, tpairs,
+                                        transform=transform)
+    return {"run_id": run_id, "parts_rewritten": len(tpairs),
+            "rows": int(new_rows)}
+
+
+def drop_column(spark: SparkSession, dst: str, name: str,
+                cfg: EncodeConfig, run_id: str | None = None) -> dict:
+    """ALTER TABLE DROP COLUMN (CoW): rewrite every live part without
+    ``name`` — one atomic ``replaces`` manifest append; old snapshots
+    still time-travel to the full schema. For a metadata-only drop
+    (no rewrite), read through ``decode_dataset(columns=...)`` instead —
+    this op is for physically reclaiming the column's bytes."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    live = live_manifest(_read_manifest(spark, dst))
+    tpairs = [(int(r["part_id"]), r["run_id"])
+              for r in live.select("part_id", "run_id").collect()]
+    if not tpairs:
+        return {"run_id": run_id, "parts_rewritten": 0, "rows": 0}
+
+    def transform(d: DataFrame) -> DataFrame:
+        if name not in d.columns:
+            raise ValueError(f"column {name!r} not present")
+        return d.drop(name)
+
+    old_rows, new_rows = _rewrite_parts(spark, dst, cfg, run_id, tpairs,
+                                        transform=transform)
+    return {"run_id": run_id, "parts_rewritten": len(tpairs),
+            "rows": int(new_rows)}
+
+
 def column_stats_fast(pages: DataFrame, column: str,
                       columns: list[tuple[str, str]] | None = None
                       ) -> DataFrame:
