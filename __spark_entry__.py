@@ -586,6 +586,27 @@ def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_centroids=8, nprobe=8)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (Jegou et al. 2011): 16x4-dim subspace codebooks,
+    LUT-sum approximate scores, per-partition top rerank*k fold, exact
+    JVM-cosine re-rank. Rows-only (k-means isn't SQL-expressible);
+    recall >= 0.9 + determinism pinned in pytest, and the full-rerank
+    companion below carries the exact oracle."""
+    return similarity.pq_topk(_read(spark, sf_dir, "embeddings"),
+                              [0, 1, 2, 3, 4], k=10, m=16, ksub=32,
+                              rerank=4)
+
+
+def q_ann_pq_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable PQ companion: with rerank*k >= |corpus| the
+    exact re-rank covers every row, so the PQ pipeline (train + encode
+    + ADC scan + re-rank) must reproduce exact brute-force top-k — the
+    same DuckDB SQL oracle as ann_brute_topk."""
+    return similarity.pq_topk(_read(spark, sf_dir, "embeddings"),
+                              [0, 1, 2, 3, 4], k=10, m=16, ksub=32,
+                              rerank=50)
+
+
 def q_emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric embedding quantization (4x ANN memory at 100 TB):
     per-vector scale + list-free qvec summary. Pure JVM built-ins
@@ -1174,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_full_probe": q_ann_lsh_full_probe,     # full oracle
         "ann_ivf_topk": q_ann_ivf_topk,                 # rows-only (IVF)
         "ann_ivf_full_probe": q_ann_ivf_full_probe,     # full oracle
+        "ann_pq_topk": q_ann_pq_topk,                   # rows-only
+        "ann_pq_full_probe": q_ann_pq_full_probe,       # full oracle
         # training-data pipeline: embedding quantization
         "emb_quantize_stats": q_emb_quantize_stats,
         "emb_quantize_error": q_emb_quantize_error,
@@ -1891,6 +1914,25 @@ def oracle_sql() -> dict[str, str]:
         # all-buckets probe == whole-corpus candidates == exact brute force
         "ann_lsh_full_probe": _BRUTE_TOPK_SQL,
         "ann_ivf_full_probe": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), q AS (
+              SELECT * FROM n WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), s AS (
+              SELECT q.vec_id AS qid, n.vec_id AS nid,
+                     list_inner_product(q.v, n.v) / (q.nrm * n.nrm) AS c,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.v, n.v)
+                                / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+              FROM q JOIN n ON n.vec_id <> q.vec_id
+            )
+            SELECT qid, rank, nid, round(c, 6) AS cosine
+            FROM s WHERE rank <= 10 ORDER BY qid, rank""",
+        "ann_pq_full_probe": """
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

@@ -325,11 +325,13 @@ def q_pushdown(spark: SparkSession) -> None:
 
 
 def q_ann_topk(spark: SparkSession) -> None:
-    from cpp_parquet_spark.similarity import brute_topk, ivf_topk, lsh_topk
+    from cpp_parquet_spark.similarity import (brute_topk, ivf_topk,
+                                               lsh_topk, pq_topk)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     _force(brute_topk(emb, [0, 1, 2, 3, 4], k=10))
     _force(lsh_topk(emb, [0, 1, 2, 3, 4], k=10))
     _force(ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, nprobe=4))
+    _force(pq_topk(emb, [0, 1, 2, 3, 4], k=10, m=16, ksub=32, rerank=4))
 
 
 def q_mix_pipeline(spark: SparkSession) -> None:

@@ -300,3 +300,164 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "nid", F.round("cosine", 6).alias("cosine"))
             .orderBy("qid", "rank"))
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, TPAMI):
+    returns a (m, ksub, dsub) float64 array — ``m`` contiguous
+    subspaces of the L2-normalized vectors, each quantized by its own
+    ksub-centroid codebook.
+
+    Same deterministic distributed Lloyd shape as :func:`ivf_train`,
+    but ALL m subspace k-means run in the ONE mapInPandas pass per
+    iteration: each task emits per-(subspace, centroid) partial sums —
+    at most m*ksub*(dsub+1) numbers, metadata-sized regardless of
+    corpus size — and the driver combines. Init is the same
+    hash-ordered deterministic sample, so the index is reproducible
+    across runs and cluster sizes. Assignment minimizes subspace L2
+    distance (argmax of x.c - ||c||^2/2)."""
+    init_rows = (emb.select(id_col, vec_col)
+                 .withColumn("__h", F.xxhash64(F.col(id_col)))
+                 .orderBy("__h").limit(ksub).collect())
+    v0 = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                   for r in init_rows])
+    v0 /= np.linalg.norm(v0, axis=1, keepdims=True).clip(min=1e-12)
+    dim = v0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.ascontiguousarray(
+        v0.reshape(ksub, m, dsub).transpose(1, 0, 2))   # (m, ksub, dsub)
+
+    part_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("vsum", T.ArrayType(T.DoubleType())),
+    ])
+    src = emb.select(vec_col)
+    for _ in range(iters):
+        b = books
+
+        def partial(batches, b=b):
+            m_, ksub_, dsub_ = b.shape
+            sums = np.zeros_like(b)
+            cnts = np.zeros((m_, ksub_), dtype=np.int64)
+            half = 0.5 * (b ** 2).sum(axis=2)           # (m, ksub)
+            for pdf in batches:
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+                xs = x.reshape(x.shape[0], m_, dsub_)
+                for s in range(m_):
+                    cid = np.argmax(xs[:, s, :] @ b[s].T - half[s], axis=1)
+                    np.add.at(sums[s], cid, xs[:, s, :])
+                    cnts[s] += np.bincount(cid, minlength=ksub_)
+            subs, cids = np.nonzero(cnts)
+            if subs.shape[0]:
+                yield pd.DataFrame({"sub": subs.astype(np.int32),
+                                    "cid": cids.astype(np.int32),
+                                    "cnt": cnts[subs, cids],
+                                    "vsum": list(sums[subs, cids])})
+
+        rows = src.mapInPandas(partial, part_schema).collect()
+        sums = np.zeros_like(books)
+        cnts = np.zeros((m, ksub), dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["cid"]] += np.asarray(r["vsum"])
+            cnts[r["sub"], r["cid"]] += r["cnt"]
+        live = cnts > 0
+        books[live] = sums[live] / cnts[live][:, None]
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): per-vector PQ codes — array<int> of length m, the
+    4-8 byte representation that replaces dim*4 bytes at 100 TB."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+    m, ksub, dsub = books.shape
+    half = 0.5 * (books ** 2).sum(axis=2)
+
+    def kernel(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+            xs = x.reshape(x.shape[0], m, dsub)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = np.argmax(xs[:, s, :] @ books[s].T - half[s],
+                                        axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(dtype=np.int64),
+                                "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = 8, ksub: int = 16, iters: int = 3, seed: int = 42,
+            rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC) + exact re-rank: approximate scores are LUT sums
+    (per query: an (m, ksub) table of subspace dot products, one gather
+    per corpus code instead of a dim-wide dot product), each partition
+    keeps its top ``rerank*k`` candidates, and only those re-rank with
+    the EXACT JVM cosine — identical arithmetic, window ordering, and
+    rounding as :func:`brute_topk`, so with ``rerank*k >= |corpus|``
+    the output is bit-identical to brute force (the oracle companion).
+
+    At 100 TB: the corpus never shuffles (LUTs ride the closure, the
+    per-partition fold emits <= rerank*k rows per query per task); codes
+    are m bytes-ish per vector, so the ADC scan reads ~dim*4/m x fewer
+    bytes than brute force."""
+    books = pq_train(emb, m, ksub, iters, seed, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    base = _norm_df(emb, id_col, vec_col)
+    q = base.filter(F.col("id").isin(query_ids)) \
+            .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("nrm").alias("qnrm"))
+    qrows = q.select("qid", "qv").collect()   # |queries| rows only
+    dsub = books.shape[2]
+    luts = {}
+    for r in qrows:
+        v = np.asarray(r["qv"], dtype=np.float64)
+        v /= np.linalg.norm(v).clip(min=1e-12)
+        qs = v.reshape(m, dsub)
+        luts[int(r["qid"])] = np.einsum("sd,skd->sk", qs, books)  # (m, ksub)
+
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    subs = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            for qid, lut in luts.items():
+                sc = lut[subs[None, :], cm].sum(axis=1)
+                keep = ids != qid
+                if keep.any():
+                    yield pd.DataFrame({"qid": qid, "nid": ids[keep],
+                                        "cosine": sc[keep]})
+
+    scored = codes.mapInPandas(adc, out_schema)
+    cand = _partition_topk(scored, max(int(rerank) * k, k)) \
+        .select("qid", "nid").distinct()
+    ex = (cand.join(base.withColumnRenamed("id", "nid"), "nid")
+          .join(F.broadcast(q), "qid"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    exact = ex.select("qid", "nid", cos.alias("cosine"))
+    return (_partition_topk(exact, k)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", F.round("cosine", 6).alias("cosine"))
+            .orderBy("qid", "rank"))

@@ -647,3 +647,41 @@ def test_decontaminate_planted(spark):
         "doc_id long, text string")
     out = textops.decontaminate(rep, bench, n=4).collect()
     assert [(r["doc_id"], r["n_matched"]) for r in out] == [(7, 2)]
+
+
+def test_pq_topk_recall_determinism_and_full_rerank(emb):
+    """PQ-ADC ANN (Jegou et al. 2011): recall vs brute force at the
+    driver-query parameters, seed-stable reproducibility, and the
+    full-rerank identity — with rerank*k >= |corpus| the exact re-rank
+    covers every row, so the whole train+encode+ADC+rerank pipeline must
+    reproduce brute force bit-exactly."""
+    qids = [0, 1, 2, 3, 4]
+    brute = _brute_topk_numpy(emb.collect(), qids, 10)
+    got = similarity.pq_topk(emb, qids, k=10, m=16, ksub=32,
+                             rerank=4).collect()
+    hits = total = 0
+    for q in qids:
+        mine = {r["nid"] for r in got if r["qid"] == q}
+        assert q not in mine
+        assert len(mine) <= 10
+        hits += len(mine & set(brute[q]))
+        total += len(brute[q])
+    assert hits / total >= 0.9, hits / total
+    again = similarity.pq_topk(emb, qids, k=10, m=16, ksub=32,
+                               rerank=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    full = similarity.pq_topk(emb, qids, k=10, m=16, ksub=32,
+                              rerank=50).collect()
+    for q in qids:
+        mine = [r["nid"] for r in full if r["qid"] == q]
+        assert mine == brute[q]
+
+
+def test_pq_train_shapes_and_codes(emb):
+    books = similarity.pq_train(emb, m=16, ksub=32)
+    assert books.shape == (16, 32, 4)          # dim 64 -> dsub 4
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:5]:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 32 for c in r["codes"])
