@@ -148,6 +148,39 @@ def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
     return None
 
 
+_HLL_P = 12                     # 2^12 registers = 4 KiB per (part, column)
+
+
+def _hll_registers(h: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """HyperLogLog register array (uint8, 2^p) from 64-bit value hashes:
+    idx = top p bits, rho = leading-zero count of the remaining 64-p
+    bits + 1. bit_length via float64 log2 — exact for v < 2^52 and at
+    worst one-off at power-of-two boundaries above (a deterministic,
+    negligible perturbation of an already-approximate sketch)."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    bl = np.zeros(h.shape[0], dtype=np.int64)
+    nz = rem > 0
+    bl[nz] = np.floor(np.log2(rem[nz].astype(np.float64))).astype(np.int64) + 1
+    rho = (64 - p) - bl + 1
+    np.maximum.at(reg, idx, rho.astype(np.uint8))
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    """Standard HLL estimator with the linear-counting small-range
+    correction (Flajolet et al. 2007)."""
+    m = reg.shape[0]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
 def _exact_int_sum(arr: pa.Array, tag: str) -> tuple[int, int] | None:
     """Exact integer sum of a part's column slice for the ``__agg__``
     sidecar: (sum, n_nonnull), or None for non-summable tags.
@@ -243,6 +276,14 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
         # the metadata-only SUM/AVG path (column_agg_fast), the O(1)
         # answer a 100 TB planner wants for integer/bool/decimal columns.
         agg_sums: dict[tuple[int, str], tuple[int, int, int]] = {}
+        # per-(part, column) HyperLogLog registers for metadata-only NDV
+        # (column_ndv_fast). Int-family columns always (int hashing is
+        # memcpy-cheap); string columns only when bloom-indexed — their
+        # value hashes are already computed for the bloom, so the sketch
+        # rides for free instead of adding an object-hash pass over
+        # e.g. the content column.
+        hlls: dict[tuple[int, str], np.ndarray] = {}
+        hll_n: dict[tuple[int, str], int] = {}
 
         def flush():
             nonlocal out_rows
@@ -267,21 +308,31 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                 for ci, (col, tag) in enumerate(zip(cols, tags)):
                     arr = batch.column(col).slice(s, e - s)
                     arr = pagecodec.to_arrow(arr, tag)
-                    if col in bloom_cols:
+                    h = None
+                    if col in bloom_cols or tag in ("i64", "i32",
+                                                    "ts", "tsn"):
                         h = _bloom_hashes(arr, tag)
-                        if h is not None:
-                            key = (part, col)
-                            bb = blooms.get(key)
-                            if bb is None:
-                                bb = blooms[key] = np.zeros(bloom_bits,
-                                                            dtype=bool)
-                            h1 = h & np.uint64(0xFFFFFFFF)
-                            h2 = h >> np.uint64(32)
-                            for ki in range(_BLOOM_K):
-                                bb[((h1 + np.uint64(ki) * h2)
-                                    % np.uint64(bloom_bits))
-                                   .astype(np.int64)] = True
-                            bloom_n[key] = bloom_n.get(key, 0) + h.shape[0]
+                    if h is not None and col in bloom_cols:
+                        key = (part, col)
+                        bb = blooms.get(key)
+                        if bb is None:
+                            bb = blooms[key] = np.zeros(bloom_bits,
+                                                        dtype=bool)
+                        h1 = h & np.uint64(0xFFFFFFFF)
+                        h2 = h >> np.uint64(32)
+                        for ki in range(_BLOOM_K):
+                            bb[((h1 + np.uint64(ki) * h2)
+                                % np.uint64(bloom_bits))
+                               .astype(np.int64)] = True
+                        bloom_n[key] = bloom_n.get(key, 0) + h.shape[0]
+                    if h is not None:
+                        key = (part, col)
+                        r = hlls.get(key)
+                        if r is None:
+                            r = hlls[key] = np.zeros(1 << _HLL_P,
+                                                     dtype=np.uint8)
+                        np.maximum(r, _hll_registers(h), out=r)
+                        hll_n[key] = hll_n.get(key, 0) + h.shape[0]
                     sm = _exact_int_sum(arr, tag)
                     if sm is not None:
                         key = (part, col)
@@ -350,6 +401,17 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
         # num_values/null_count carry the summed/nulls split. Compaction
         # moves them with the part (sum-of-sums stays correct) and
         # rewrites regenerate them (this kernel emits unconditionally).
+        # HLL sidecar rows (mergeable across parts via register max)
+        for (part, col), reg in hlls.items():
+            out_rows.append({
+                "table": table_name, "part_id": part, "column": col,
+                "col_idx": -2, "page_id": 0, "codec": "__hll__",
+                "type": "meta", "params": json.dumps({"p": _HLL_P}),
+                "data": reg.tobytes(),
+                "num_values": hll_n[(part, col)], "null_count": 0,
+                "raw_bytes": 0, "enc_bytes": reg.shape[0],
+                "min_v": None, "max_v": None,
+            })
         tagof = dict(zip(cols, tags))
         for (part, col), (s, n, nn) in agg_sums.items():
             out_rows.append({
@@ -1904,6 +1966,57 @@ def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
             "delete_id": dstats.get("delete_id"),
             "run_id": astats["run_id"],
             "dataset_rows": astats["rows"]}
+
+
+def column_ndv_fast(pages: DataFrame, column: str) -> dict | None:
+    """Approximate distinct-value count of one column WITHOUT reading
+    any page blob — merges the per-(part, column) HyperLogLog sidecars
+    the encode kernel writes (register-wise max, the textbook HLL merge,
+    so the estimate over N parts equals the estimate of one big sketch).
+    Planner-grade NDV at O(4 KiB x parts) metadata cost.
+
+    Spark shape: a mapInPandas partial merge per task (each task emits
+    ONE 4 KiB register blob), final merge + estimate driver-side — the
+    same metadata-sized-driver-traffic pattern as ivf_train; no
+    .collect() of per-part rows. Returns
+    {"ndv": float, "parts": int, "n_hashed": int}, or None when the
+    column carries no sketch (string columns outside bloom_cols,
+    float/array columns, pre-sidecar datasets) — absence means "run the
+    exact countDistinct", never a wrong number. Deletion vectors do NOT
+    blind the sketch (NDV of stored values; deleted rows may still be
+    counted — documented upper-bound semantics)."""
+    import pandas as pd
+    rows = pages.filter((F.col("codec") == "__hll__")
+                        & (F.col("column") == column)) \
+                .select("data", "num_values")
+
+    def partial(batches):
+        acc = None
+        parts = 0
+        n = 0
+        for pdf in batches:
+            for b, nv in zip(pdf["data"], pdf["num_values"]):
+                r = np.frombuffer(b, dtype=np.uint8)
+                acc = r.copy() if acc is None else np.maximum(acc, r)
+                parts += 1
+                n += int(nv)
+        if acc is not None:
+            yield pd.DataFrame({"reg": [acc.tobytes()],
+                                "parts": [parts], "n": [n]})
+
+    merged = rows.mapInPandas(
+        partial, "reg binary, parts long, n long").collect()
+    if not merged:
+        return None
+    acc = None
+    parts = 0
+    n = 0
+    for r in merged:
+        reg = np.frombuffer(r["reg"], dtype=np.uint8)
+        acc = reg.copy() if acc is None else np.maximum(acc, reg)
+        parts += int(r["parts"])
+        n += int(r["n"])
+    return {"ndv": _hll_estimate(acc), "parts": parts, "n_hashed": n}
 
 
 def update_where(spark: SparkSession, dst: str, column: str, values: list,

@@ -153,3 +153,44 @@ def test_decode_unaffected_by_agg_rows(spark):
     assert pages.filter(F.col("codec") == "__agg__").count() > 0
     dec = decode_table(pages)
     assert sorted(tuple(r) for r in dec.collect()) == sorted(rows)
+
+
+def test_ndv_fast_accuracy_and_merge(spark, sf_dir):
+    from cpp_parquet_spark.engine import column_ndv_fast
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=("doc_id",),
+                       num_parts=4, table_name="documents",
+                       bloom_cols=("source",))
+    pages = encode_table(df, cfg).cache()
+    # int column: sketch always present; ~500 distinct doc_ids
+    got = column_ndv_fast(pages, "doc_id")
+    exact = df.select("doc_id").distinct().count()
+    assert got is not None and got["parts"] >= 4
+    assert abs(got["ndv"] - exact) / exact < 0.05, (got, exact)
+    # low-cardinality bloom-indexed string: linear counting is near-exact
+    got_s = column_ndv_fast(pages, "source")
+    exact_s = df.select("source").distinct().count()
+    assert got_s is not None
+    assert abs(got_s["ndv"] - exact_s) <= 1, (got_s, exact_s)
+    # unindexed string column: no sketch -> None (absence means exact scan)
+    assert column_ndv_fast(pages, "text") is None
+
+
+def test_ndv_fast_merges_across_runs(spark, tmp_path):
+    from cpp_parquet_spark.engine import column_ndv_fast, read_live_pages
+    dst = str(tmp_path / "nv")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t")
+    # two runs with overlapping domains: merged NDV must reflect the
+    # UNION of distinct values, not the sum of per-run counts
+    a = spark.createDataFrame([(i, f"k{i % 2}", i % 100)
+                               for i in range(500)],
+                              "id long, k string, v long")
+    b = spark.createDataFrame([(i + 500, f"k{i % 2}", (i % 100) + 50)
+                               for i in range(500)],
+                              "id long, k string, v long")
+    run_encode(spark, a, dst, cfg, run_id="r1")
+    run_encode(spark, b, dst, cfg, run_id="r2", resume=False)
+    got = column_ndv_fast(read_live_pages(spark, dst), "v")
+    assert got is not None
+    assert abs(got["ndv"] - 150) / 150 < 0.06, got   # union is 0..149
