@@ -1981,11 +1981,24 @@ def column_ndv_fast(pages: DataFrame, column: str) -> dict | None:
     .collect() of per-part rows. Returns
     {"ndv": float, "parts": int, "n_hashed": int}, or None when the
     column carries no sketch (string columns outside bloom_cols,
-    float/array columns, pre-sidecar datasets) — absence means "run the
-    exact countDistinct", never a wrong number. Deletion vectors do NOT
-    blind the sketch (NDV of stored values; deleted rows may still be
-    counted — documented upper-bound semantics)."""
+    float/array columns, pre-sidecar datasets) OR when ANY part holding
+    data pages lacks one (e.g. bloom_cols changed between appends) — a
+    partial sketch would silently undercount, so absence at part
+    granularity means "run the exact countDistinct", never a wrong
+    number. Deletion vectors do NOT blind the sketch (NDV of stored
+    values; deleted rows may still be counted — documented upper-bound
+    semantics)."""
     import pandas as pd
+    keys = (["part_id", "run_id"] if "run_id" in pages.columns
+            else ["part_id"])
+    hot_parts = (pages.filter((F.col("column") == column)
+                              & (F.col("col_idx") >= 0))
+                 .select(*keys).distinct())
+    hll_parts = (pages.filter((F.col("codec") == "__hll__")
+                              & (F.col("column") == column))
+                 .select(*keys).distinct())
+    if hot_parts.join(hll_parts, keys, "left_anti").limit(1).count():
+        return None
     rows = pages.filter((F.col("codec") == "__hll__")
                         & (F.col("column") == column)) \
                 .select("data", "num_values")

@@ -194,3 +194,27 @@ def test_ndv_fast_merges_across_runs(spark, tmp_path):
     got = column_ndv_fast(read_live_pages(spark, dst), "v")
     assert got is not None
     assert abs(got["ndv"] - 150) / 150 < 0.06, got   # union is 0..149
+
+
+def test_ndv_fast_partial_coverage_returns_none(spark, tmp_path):
+    """bloom_cols added between appends: run r1's parts carry no sketch
+    for the string column, so a merged estimate would silently
+    undercount — the reader must return None (exact-scan fallback)."""
+    from cpp_parquet_spark.engine import column_ndv_fast, read_live_pages
+    dst = str(tmp_path / "pc")
+    a = spark.createDataFrame([(i, f"k{i}", f"s{i % 7}")
+                               for i in range(100)],
+                              "id long, k string, s string")
+    b = spark.createDataFrame([(i + 100, f"k{i}", f"s{(i % 7) + 5}")
+                               for i in range(100)],
+                              "id long, k string, s string")
+    cfg_plain = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                             table_name="t")
+    cfg_bloom = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                             table_name="t", bloom_cols=("s",))
+    run_encode(spark, a, dst, cfg_plain, run_id="r1")
+    run_encode(spark, b, dst, cfg_bloom, run_id="r2", resume=False)
+    pages = read_live_pages(spark, dst)
+    assert column_ndv_fast(pages, "s") is None     # partial -> fallback
+    got = column_ndv_fast(pages, "id")             # int: always covered
+    assert got is not None and abs(got["ndv"] - 200) / 200 < 0.05
