@@ -2103,7 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "add_column_documents": """
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(len(string_split_regex(trim(text), '\s+'))
+                   CAST(len(string_split_regex(trim(text), '\\s+'))
                         AS INT) AS n_tokens
             FROM documents""",
         "delete_range_events": """

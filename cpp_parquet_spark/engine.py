@@ -253,6 +253,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     page_crc = cfg.page_crc
     bloom_cols = set(cfg.bloom_cols)
     bloom_bits = cfg.bloom_bits
+    ndv_sketch = cfg.ndv_sketch
 
     prof_dir = os.environ.get("CPS_KERNEL_PROF")
 
@@ -309,8 +310,9 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                     arr = batch.column(col).slice(s, e - s)
                     arr = pagecodec.to_arrow(arr, tag)
                     h = None
-                    if col in bloom_cols or tag in ("i64", "i32",
-                                                    "ts", "tsn"):
+                    if col in bloom_cols or (ndv_sketch
+                                             and tag in ("i64", "i32",
+                                                         "ts", "tsn")):
                         h = _bloom_hashes(arr, tag)
                     if h is not None and col in bloom_cols:
                         key = (part, col)
@@ -1308,24 +1310,11 @@ def decode_where_in(pages: DataFrame, column: str, values: list,
         cols_hint = [(r["column"], r["type"]) for r in meta]
     if not values:
         return decode_table(pages.limit(0), spark, columns=cols_hint)
-    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
-                              & (F.col("column") == column))
-    has_bloom = bool(bloom_rows.limit(1).take(1))
+    keys = (["part_id", "run_id"] if "run_id" in pages.columns
+            else ["part_id"])
+    survivors = _bloom_candidate_parts(pages, column, values, keys)
     kept = pages
-    if has_bloom:
-        # Index absence must mean "scan" at the true part granularity —
-        # (part_id, run_id) for durable datasets, since appended runs
-        # reuse the hash part-id space (a part_id-only join would let
-        # run B's bloom veto run A's un-indexed pages). Parts with no
-        # bloom row for this column survive unconditionally (anti-join);
-        # only indexed parts are pruned.
-        keys = (["part_id", "run_id"] if "run_id" in pages.columns
-                else ["part_id"])
-        bloom_parts = bloom_rows.select(*keys).distinct()
-        unindexed = (pages.select(*keys).distinct()
-                     .join(bloom_parts, keys, "left_anti"))
-        survivors = (in_prune(pages, column, values)
-                     .unionByName(unindexed).distinct())
+    if survivors is not None:
         kept = _keep_parts(pages, survivors, keys)
     dec = decode_table(kept, spark, columns=cols_hint)
     return dec.filter(F.col(column).isin(values))
@@ -1362,6 +1351,24 @@ def _read_deletes(spark: SparkSession, dst: str) -> DataFrame | None:
     if not _exists(spark, d):
         return None
     return spark.read.parquet(d)
+
+
+def _bloom_candidate_parts(pages: DataFrame, column: str, values: list,
+                           keys: list[str]) -> DataFrame | None:
+    """Shared absence-means-scan candidate discovery (decode_where_in /
+    delete_where_in / update_where): bloom MAYBE-hit parts UNION every
+    part carrying no bloom row for the column — at (part_id, run_id)
+    granularity when available, since appended runs reuse the hash
+    part-id space. Returns None when the column has no bloom rows at
+    all (callers must scan everything rather than prune)."""
+    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
+                              & (F.col("column") == column))
+    if not bool(bloom_rows.limit(1).take(1)):
+        return None
+    bloom_parts = bloom_rows.select(*keys).distinct()
+    unindexed = (pages.select(*keys).distinct()
+                 .join(bloom_parts, keys, "left_anti"))
+    return in_prune(pages, column, values).unionByName(unindexed).distinct()
 
 
 def _delete_pass(spark: SparkSession, dst: str, hot: DataFrame,
@@ -1450,16 +1457,8 @@ def delete_where_in(spark: SparkSession, dst: str, column: str,
     keys = (["part_id", "run_id"] if "run_id" in pages.columns
             else ["part_id"])
     hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
-    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
-                              & (F.col("column") == column))
-    if bool(bloom_rows.limit(1).take(1)):
-        # same absence-means-scan contract as decode_where_in: bloom
-        # MAYBE-hits plus every part with no bloom row for this column
-        bloom_parts = bloom_rows.select(*keys).distinct()
-        unindexed = (pages.select(*keys).distinct()
-                     .join(bloom_parts, keys, "left_anti"))
-        surv = in_prune(pages, column, values).unionByName(unindexed) \
-                                              .distinct()
+    surv = _bloom_candidate_parts(pages, column, values, keys)
+    if surv is not None:
         hot = hot.join(F.broadcast(surv), keys, "left_semi")
 
     def make_mask(arr: pa.Array) -> np.ndarray:
@@ -1826,9 +1825,16 @@ def column_stats_fast(pages: DataFrame, column: str,
     cast = _ZONE_CAST.get(tag)
     hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
     dels = pages.filter(F.col("codec") == DELETE_CODEC)
-    n_del = dels.agg(F.coalesce(F.sum("null_count"), F.lit(0))) \
-                .collect()[0][0]
+    dkeys = ([F.col("part_id"), F.col("run_id")]
+             if "run_id" in pages.columns else [F.col("part_id")])
+    drow = dels.agg(F.coalesce(F.sum("null_count"), F.lit(0)).alias("nd"),
+                    F.count("*").alias("rows"),
+                    F.count_distinct(*dkeys).alias("uniq")).collect()[0]
+    n_del = int(drow["nd"])
     has_dels = bool(n_del)
+    # >1 delete sidecar on one (part, run) may mark OVERLAPPING rows:
+    # decode ORs the bitmaps but sum(n_del) double-counts — count blind
+    del_overlap = int(drow["rows"]) > int(drow["uniq"])
     mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
     mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
     agg = hot.agg(
@@ -1843,7 +1849,7 @@ def column_stats_fast(pages: DataFrame, column: str,
     n_blind = F.lit(False)
     if has_dels:
         blind = F.lit(True)
-        n_blind = F.col("nulls") > 0
+        n_blind = (F.col("nulls") > 0) | F.lit(del_overlap)
     return agg.select(
         F.when(~n_blind, F.col("n")).cast("long").alias("n"),
         F.when(~blind, F.col("zmin")).alias("min_v"),
@@ -1889,10 +1895,16 @@ def column_agg_fast(pages: DataFrame, column: str,
     mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
     mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
     # two-level aggregation: per-part partials (every measure here is
-    # distributive), then one global combine — a single tiny shuffle on
-    # part_id, no multi-distinct Expand; per-part has_data/has_agg flags
-    # make the coverage check a max() instead of two count_distincts
-    per = rel.groupBy("part_id").agg(
+    # distributive), then one global combine — a single tiny shuffle,
+    # no multi-distinct Expand; per-part has_data/has_agg flags make the
+    # coverage check a max() instead of two count_distincts. Grouping
+    # MUST include run_id when present: appended runs reuse the hash
+    # part-id space, so a part_id can hold a pre-sidecar run AND a
+    # sidecar-bearing run — part_id-only coverage would call that
+    # covered and return a silently partial sum.
+    gkeys = (["part_id", "run_id"] if "run_id" in pages.columns
+             else ["part_id"])
+    per = rel.groupBy(*gkeys).agg(
         F.coalesce(F.sum(F.when(is_data, F.col("num_values")
                                 - F.col("null_count"))),
                    F.lit(0)).alias("present"),
@@ -1909,6 +1921,10 @@ def column_agg_fast(pages: DataFrame, column: str,
         F.coalesce(F.sum(F.when(is_del, F.col("null_count"))),
                    F.lit(0)).alias("n_del"),
         F.max(F.when(is_del, 1).otherwise(0)).alias("has_dels"),
+        # >1 delete sidecar on one (part, run) may mark OVERLAPPING rows:
+        # decode ORs the bitmaps but sum(n_del) would double-count, so
+        # the count goes blind instead of wrong
+        F.coalesce(F.sum(F.when(is_del, 1)), F.lit(0)).alias("del_rows"),
         F.sum(F.when(is_agg, F.col("min_v").cast(sum_t))).alias("sum_v"),
         F.coalesce(F.sum(F.when(is_agg, F.col("num_values"))),
                    F.lit(0)).alias("n_summed"),
@@ -1923,6 +1939,7 @@ def column_agg_fast(pages: DataFrame, column: str,
         F.coalesce(F.max("unknown"), F.lit(0)).alias("unknown"),
         F.coalesce(F.sum("n_del"), F.lit(0)).alias("n_del"),
         F.coalesce(F.max("has_dels"), F.lit(0)).alias("has_dels"),
+        F.coalesce(F.max("del_rows"), F.lit(0)).alias("max_del_rows"),
         F.sum("sum_v").alias("sum_v"),
         F.coalesce(F.sum("n_summed"), F.lit(0)).alias("n_summed"),
         F.coalesce(F.sum("nulls_a"), F.lit(0)).alias("nulls_a"),
@@ -1930,7 +1947,8 @@ def column_agg_fast(pages: DataFrame, column: str,
                                 & (F.col("has_agg") == 0), 1)
                          .otherwise(0)), F.lit(0)).alias("uncovered"))
     has_dels = F.col("has_dels") == 1
-    n_blind = has_dels & (F.col("nulls_d") > 0)
+    n_blind = has_dels & ((F.col("nulls_d") > 0)
+                          | (F.col("max_del_rows") > 1))
     mm_blind = (F.col("unknown") == 1) | has_dels
     sum_ok = (~has_dels) & (F.col("uncovered") == 0)
     return a.select(
@@ -2064,15 +2082,9 @@ def update_where(spark: SparkSession, dst: str, column: str, values: list,
     allp = (pages.filter((F.col("column") == column)
                          & (F.col("col_idx") >= 0))
             .select(*keys).distinct())
-    bloom_rows = pages.filter((F.col("codec") == "__bloom__")
-                              & (F.col("column") == column))
-    if bool(bloom_rows.limit(1).take(1)):
-        bloom_parts = bloom_rows.select(*keys).distinct()
-        unindexed = allp.join(bloom_parts, keys, "left_anti")
-        cand = (in_prune(pages, column, values).unionByName(unindexed)
-                .join(allp, keys, "left_semi").distinct())
-    else:
-        cand = allp
+    surv = _bloom_candidate_parts(pages, column, values, keys)
+    cand = (allp if surv is None
+            else surv.join(allp, keys, "left_semi").distinct())
     tpairs = [(r["part_id"], r["run_id"]) for r in cand.collect()]
     if not tpairs:
         return {"parts_rewritten": 0, "rows_updated": 0, "rows": 0,

@@ -35,6 +35,12 @@ class EncodeConfig:
     #                                          ("zlib" | None); default off
     page_crc: bool = False                   # optional page checksum
     #                                          (parquet PageHeader.crc analogue)
+    ndv_sketch: bool = True                  # per-(part, column) HLL NDV
+    #                                          sidecars for int-family
+    #                                          columns (bloom-indexed str
+    #                                          cols always ride for free);
+    #                                          False drops the int hashing
+    #                                          pass from the encode kernel
     bloom_cols: tuple[str, ...] = ()         # per-part bloom filters for
     bloom_bits: int = 1 << 17                # equality pruning (parquet
     #                                          BloomFilter analogue); 16 KiB/part/col

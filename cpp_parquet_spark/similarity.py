@@ -321,6 +321,10 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
     init_rows = (emb.select(id_col, vec_col)
                  .withColumn("__h", F.xxhash64(F.col(id_col)))
                  .orderBy("__h").limit(ksub).collect())
+    if len(init_rows) < ksub:
+        raise ValueError(
+            f"pq_train needs >= ksub={ksub} vectors, got {len(init_rows)}"
+            " — lower ksub or use brute_topk at this corpus size")
     v0 = np.stack([np.asarray(r[vec_col], dtype=np.float64)
                    for r in init_rows])
     v0 /= np.linalg.norm(v0, axis=1, keepdims=True).clip(min=1e-12)

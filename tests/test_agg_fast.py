@@ -218,3 +218,59 @@ def test_ndv_fast_partial_coverage_returns_none(spark, tmp_path):
     assert column_ndv_fast(pages, "s") is None     # partial -> fallback
     got = column_ndv_fast(pages, "id")             # int: always covered
     assert got is not None and abs(got["ndv"] - 200) / 200 < 0.05
+
+
+def test_mixed_run_coverage_blinds_sum(spark, tmp_path):
+    """Appended runs reuse the hash part-id space: a part_id holding a
+    pre-sidecar run AND a sidecar-bearing run must NOT count as covered
+    — part_id-only coverage would return a silently partial sum."""
+    dst = str(tmp_path / "mr")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t")
+    a = spark.createDataFrame([(i, f"k{i % 2}", i) for i in range(50)],
+                              "id long, k string, v long")
+    b = spark.createDataFrame([(i + 50, f"k{i % 2}", i + 50)
+                               for i in range(50)],
+                              "id long, k string, v long")
+    run_encode(spark, a, dst, cfg, run_id="r1")
+    run_encode(spark, b, dst, cfg, run_id="r2", resume=False)
+    pages = read_live_pages(spark, dst)
+    # simulate r1 predating the __agg__ sidecar: strip ONLY r1's rows —
+    # every part_id still has r2 agg rows, so a part_id-only check
+    # would wrongly call the column covered
+    stripped = pages.filter(~((F.col("codec") == "__agg__")
+                              & (F.col("run_id") == "r1")))
+    got = column_agg_fast(stripped, "v").collect()[0]
+    assert got["sum_v"] is None and got["avg_v"] is None
+    assert got["n"] == 100
+    # untouched dataset: exact
+    full = column_agg_fast(pages, "v").collect()[0]
+    assert int(full["sum_v"]) == sum(range(100))
+
+
+def test_overlapping_deletes_blind_the_count(spark, tmp_path):
+    """Two deletion sidecars marking the same row: decode ORs the
+    bitmaps (one row gone) but sum(n_del) double-counts — both fast
+    readers must go blind on n, never report one too few."""
+    from cpp_parquet_spark.engine import column_stats_fast
+    dst = str(tmp_path / "ov")
+    df = spark.createDataFrame([(i, f"k{i % 2}", i) for i in range(40)],
+                               "id long, k string, v long")
+    cfg = EncodeConfig(keys=("k",), salt_from=(), num_parts=2,
+                       table_name="t")
+    run_encode(spark, df, dst, cfg, run_id="r1")
+    delete_where_in(spark, dst, "id", [5])
+    delete_where_in(spark, dst, "id", [5, 6])   # re-marks row 5
+    pages = read_live_pages(spark, dst)
+    from cpp_parquet_spark.engine import decode_dataset
+    assert decode_dataset(spark, dst).count() == 38   # decode is right
+    sfast = column_stats_fast(pages, "v").collect()[0]
+    afast = column_agg_fast(pages, "v").collect()[0]
+    assert sfast["n"] is None                    # blind, not 37
+    assert afast["n"] is None and afast["sum_v"] is None
+    # single non-overlapping delete stays exact
+    dst2 = str(tmp_path / "ov2")
+    run_encode(spark, df, dst2, cfg, run_id="r1")
+    delete_where_in(spark, dst2, "id", [5, 6])
+    s2 = column_stats_fast(read_live_pages(spark, dst2), "v").collect()[0]
+    assert s2["n"] == 38
