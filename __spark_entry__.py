@@ -475,6 +475,16 @@ def q_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_coverage(df, w=5, min_count=2)
 
 
+def q_dup_span_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter form of dup_span_coverage (dedup.dup_span_survivors):
+    documents whose duplicated-span coverage exceeds 0.5 are dropped;
+    returns the surviving (doc_id, lang, n_chars) rows. Oracle replays
+    the whole coverage computation and the threshold filter."""
+    df = _read(spark, sf_dir, "documents")
+    return (dedup.dup_span_survivors(df, max_frac=0.5, w=5, min_count=2)
+            .select("doc_id", "lang", "n_chars"))
+
+
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_stats(_read(spark, sf_dir, "documents"))
 
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
         "dedup_lines_strip": q_dedup_lines_strip,
         "dup_spans_documents": q_dup_spans_documents,
+        "dup_span_survivors": q_dup_span_survivors,
         # training-data pipeline: dedup
         "dedup_exact_stats": q_dedup_exact_stats,
         "dedup_exact_survivors": q_dedup_exact_survivors,
@@ -1742,6 +1753,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
                      AS n_removed
             FROM k GROUP BY doc_id ORDER BY doc_id""",
+        "dup_span_survivors": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS pos
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, pos,
+                     md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                         || lead(tok, 2) OVER w || ' '
+                         || lead(tok, 3) OVER w || ' '
+                         || lead(tok, 4) OVER w) AS k
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), valid AS (
+              SELECT doc_id, pos, k FROM grams WHERE k IS NOT NULL
+            ), dup AS (
+              SELECT k FROM valid GROUP BY k HAVING count(*) >= 2
+            ), dpos AS (
+              SELECT v.doc_id, v.pos FROM valid v JOIN dup USING (k)
+            ), cov AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dpos
+            ), agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN prev IS NULL THEN 5
+                              ELSE least(5, pos - prev) END) AS covered
+              FROM cov GROUP BY doc_id
+            ), base AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents
+            )
+            SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d
+            JOIN base b USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+            WHERE CAST(COALESCE(a.covered, 0) AS DOUBLE) / b.n_tokens
+                  <= 0.5""",
         "dup_spans_documents": """
             WITH toks AS (
               SELECT doc_id,

@@ -667,3 +667,17 @@ def dup_span_coverage(df: DataFrame, w: int = 5, min_count: int = 2,
                      .alias("covered_tokens"),
                     (F.coalesce("covered_tokens", F.lit(0)).cast("double")
                      / F.col("n_tokens")).alias("dup_frac")))
+
+
+def dup_span_survivors(df: DataFrame, max_frac: float = 0.5, w: int = 5,
+                       min_count: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Filter form of :func:`dup_span_coverage`: keep documents whose
+    duplicated-span coverage is <= ``max_frac`` (the ExactSubstr-style
+    'drop memorization-prone docs' gate). Returns the surviving rows of
+    ``df`` with all original columns — one broadcast-friendly semi-join
+    against the metadata-sized survivor id set."""
+    cov = dup_span_coverage(df, w=w, min_count=min_count,
+                            text_col=text_col, id_col=id_col)
+    keep = cov.filter(F.col("dup_frac") <= float(max_frac)).select(id_col)
+    return df.join(keep, id_col, "left_semi")

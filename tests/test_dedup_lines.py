@@ -102,3 +102,22 @@ def test_dup_span_coverage_matches_bruteforce(spark):
         assert g["dup_windows"] == len(dup_pos)
         assert g["covered_tokens"] == covered
         assert g["dup_frac"] == covered / len(toks)
+
+
+def test_dup_span_survivors_threshold(spark):
+    from cpp_parquet_spark.dedup import dup_span_coverage, dup_span_survivors
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "prefix words here the quick brown fox jumps over a fence"),
+        (3, "totally unique words alpha beta gamma delta epsilon zeta"),
+        (4, "repeat me repeat me repeat me repeat me repeat me"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cov = {r["doc_id"]: r["dup_frac"]
+           for r in dup_span_coverage(df, w=5).collect()}
+    kept = sorted(r["doc_id"]
+                  for r in dup_span_survivors(df, max_frac=0.55,
+                                              w=5).collect())
+    assert kept == sorted(d for d, f in cov.items() if f <= 0.55)
+    assert 4 not in kept          # fully-duplicated doc dropped
+    assert 3 in kept              # unique doc kept with all columns
