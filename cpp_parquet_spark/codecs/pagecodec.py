@@ -21,8 +21,14 @@ DATE / DECIMAL over int physical storage):
   family (FOR/delta/RLE/dict — dates are the textbook delta column).
 - ``dec:<p>:<s>``: DecimalType(p, s) with p <= 18, stored as the
   UNSCALED int64 through the int codec family; precision/scale live in
-  the tag so decode rebuilds the exact logical type. Wider decimals
-  (p > 18) are passed through unencoded (spark_type_tag -> None).
+  the tag so decode rebuilds the exact logical type.
+- ``dec38:<p>:<s>``: DecimalType(p, s) with 18 < p <= 38 (Spark's
+  ceiling), PLAIN passthrough: 16-byte little-endian two's-complement
+  words — Arrow's decimal128 buffer verbatim, the LE twin of Parquet's
+  FIXED_LEN_BYTE_ARRAY(16) decimal convention (parquet.thrift
+  LogicalTypes DECIMAL). No lightweight codec applies (the unscaled
+  value overflows the int64 codec word), but the E9 outer block codec
+  still wraps the page when configured.
 """
 
 from __future__ import annotations
@@ -65,7 +71,7 @@ def _block_decompress(name: str, data: bytes, ulen: int | None) -> bytes:
 from . import bitpack, bss, dfloat, dictionary, fsst, levels, plain, prefix, rle
 from . import for_ as forc
 
-INT_TAGS = {"i64", "i32", "ts", "tsn", "date"}
+INT_TAGS = {"i64", "i32", "i16", "i8", "ts", "tsn", "date"}
 FLOAT_TAGS = {"f64", "f32"}
 STR_TAGS = {"str", "bin"}
 ARRF_TAGS = {"arrf32", "arrf64"}  # array<float>/array<double> (embeddings)
@@ -92,10 +98,11 @@ LEGAL = {
     **{t: ("lists",) for t in ARRS_TAGS},
 }
 
-_NP_FIXED = {"i64": np.int64, "i32": np.int32, "f64": np.float64,
-             "f32": np.float32}
+_NP_FIXED = {"i64": np.int64, "i32": np.int32, "i16": np.int16,
+             "i8": np.int8, "f64": np.float64, "f32": np.float32}
 
-ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
+ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "i16": pa.int16(),
+              "i8": pa.int8(), "f64": pa.float64(),
               "f32": pa.float32(), "bool": pa.bool_(),
               "str": pa.large_string(), "bin": pa.large_binary(),
               "ts": pa.timestamp("us"), "tsn": pa.timestamp("us"),
@@ -111,13 +118,20 @@ ARROW_TYPE = {"i64": pa.int64(), "i32": pa.int32(), "f64": pa.float64(),
 
 
 def is_dec(tag: str) -> bool:
-    """True for a parameterized decimal tag ``dec:<p>:<s>``."""
+    """True for a parameterized decimal tag ``dec:<p>:<s>`` (p <= 18,
+    unscaled-int64 codec family)."""
     return tag.startswith("dec:")
 
 
+def is_dec38(tag: str) -> bool:
+    """True for a wide-decimal tag ``dec38:<p>:<s>`` (18 < p <= 38,
+    PLAIN 16-byte passthrough)."""
+    return tag.startswith("dec38:")
+
+
 def dec_precision_scale(tag: str) -> tuple[int, int]:
-    _, p, s = tag.split(":")
-    return int(p), int(s)
+    parts = tag.split(":")
+    return int(parts[-2]), int(parts[-1])
 
 
 def int_like(tag: str) -> bool:
@@ -126,11 +140,13 @@ def int_like(tag: str) -> bool:
 
 
 def legal_codecs(tag: str) -> tuple[str, ...]:
+    if is_dec38(tag):
+        return ("plain",)
     return LEGAL["i64"] if is_dec(tag) else LEGAL[tag]
 
 
 def arrow_type_for(tag: str):
-    if is_dec(tag):
+    if is_dec(tag) or is_dec38(tag):
         return pa.decimal128(*dec_precision_scale(tag))
     return ARROW_TYPE[tag]
 
@@ -138,7 +154,8 @@ def arrow_type_for(tag: str):
 def spark_type_tag(dt) -> str | None:
     """Spark DataType -> tag, or None when unsupported (caller passes through)."""
     from pyspark.sql import types as T
-    m = {T.LongType: "i64", T.IntegerType: "i32", T.DoubleType: "f64",
+    m = {T.LongType: "i64", T.IntegerType: "i32", T.ShortType: "i16",
+         T.ByteType: "i8", T.DoubleType: "f64",
          T.FloatType: "f32", T.BooleanType: "bool", T.StringType: "str",
          T.BinaryType: "bin", T.TimestampType: "ts",
          T.TimestampNTZType: "tsn", T.DateType: "date"}
@@ -161,19 +178,22 @@ def spark_type_tag(dt) -> str | None:
             return "arrb"
         return None
     if isinstance(dt, T.DecimalType):
-        # unscaled value must fit int64 (the int codec family's word)
+        # p <= 18: unscaled value fits int64, rides the int codec family;
+        # wider: PLAIN 16-byte decimal128 passthrough (dec38)
         if dt.precision <= 18:
             return f"dec:{dt.precision}:{dt.scale}"
-        return None
+        return f"dec38:{dt.precision}:{dt.scale}"
     return m.get(type(dt))
 
 
 def spark_type_for(tag: str):
     from pyspark.sql import types as T
-    if is_dec(tag):
+    if is_dec(tag) or is_dec38(tag):
         p, s = dec_precision_scale(tag)
         return T.DecimalType(p, s)
-    return {"i64": T.LongType(), "i32": T.IntegerType(), "f64": T.DoubleType(),
+    return {"i64": T.LongType(), "i32": T.IntegerType(),
+            "i16": T.ShortType(), "i8": T.ByteType(),
+            "f64": T.DoubleType(),
             "f32": T.FloatType(), "bool": T.BooleanType(),
             "str": T.StringType(), "bin": T.BinaryType(),
             "ts": T.TimestampType(), "tsn": T.TimestampNTZType(),
@@ -250,6 +270,8 @@ def _arr_split(arr: pa.Array, tag: str) -> tuple[np.ndarray | pa.Array, np.ndarr
         return work.cast(pa.int32()).to_numpy(zero_copy_only=False), valid
     if is_dec(tag):
         return dec_unscaled(work), valid
+    if is_dec38(tag):
+        return work, valid          # arrow decimal128; PLAIN slices its buffer
     if tag in _NP_FIXED:
         return work.to_numpy(zero_copy_only=False), valid
     if tag == "bool":
@@ -488,10 +510,16 @@ def raw_size(vals, tag: str, n_present: int) -> int:
         w = ARR_ELEM_W[tag]
         nvals = len(vals.flatten()) if isinstance(vals, pa.Array) else             sum(len(x) for x in vals)
         return nvals * w + 4 * n_present
+    if is_dec38(tag):
+        return 16 * n_present
     if tag in ("i64", "f64", "ts", "tsn") or is_dec(tag):
         return 8 * n_present
     if tag in ("i32", "f32", "date"):
         return 4 * n_present
+    if tag == "i16":
+        return 2 * n_present
+    if tag == "i8":
+        return n_present
     if tag == "bool":
         return (n_present + 7) // 8
     if isinstance(vals, pa.Array):
@@ -589,7 +617,7 @@ def page_minmax(arr: pa.Array, tag: str) -> tuple[str | None, str | None]:
 
     import pyarrow.compute as pc
 
-    if tag in ARR_TAGS or tag == "bin" or is_dec(tag):
+    if tag in ARR_TAGS or tag == "bin" or is_dec(tag) or is_dec38(tag):
         # decimals: the text form would need scale-aware SQL casts on the
         # zone-scan side; no pruning is the safe "unknown" default
         return None, None
@@ -652,7 +680,7 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
     arrow_type = arrow_type_for(tag)
     if k == 0:
         return pa.nulls(n, arrow_type)
-    if tag in STR_TAGS or tag in ARR_TAGS:
+    if tag in STR_TAGS or tag in ARR_TAGS or is_dec38(tag):
         arr = vals
         if null_count:
             idx = np.cumsum(valid, dtype=np.int64) - 1
@@ -670,6 +698,10 @@ def decode_page(data: bytes, params_json: str, codec: str, tag: str,
     v = np.asarray(vals)
     if tag in ("i32", "date"):
         v = v.astype(np.int32)
+    elif tag == "i16":
+        v = v.astype(np.int16)
+    elif tag == "i8":
+        v = v.astype(np.int8)
     elif tag == "f32":
         v = v.astype(np.float32)
     elif tag in ("ts", "tsn"):

@@ -16,7 +16,8 @@ import pyarrow as pa
 
 # --- fixed-width numerics ----------------------------------------------------
 
-_FIXED = {"i64": "<i8", "i32": "<i4", "f64": "<f8", "f32": "<f4", "u64": "<u8",
+_FIXED = {"i64": "<i8", "i32": "<i4", "i16": "<i2", "i8": "<i1",
+          "f64": "<f8", "f32": "<f4", "u64": "<u8",
           "ts": "<i8", "tsn": "<i8", "date": "<i4"}
 
 
@@ -72,9 +73,29 @@ def decode_binary(data: bytes, n: int, as_str: bool = True) -> pa.Array:
     return arr.cast(pa.large_string()) if as_str else arr
 
 
+# --- wide decimals: decimal128 passthrough, 16-byte LE words ------------------
+
+def encode_dec128(values: pa.Array) -> bytes:
+    """decimal128 array (no nulls) -> raw 16-byte little-endian words
+    (Arrow's buffer layout verbatim; zero-copy slice)."""
+    arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) \
+        else values
+    n = len(arr)
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8,
+                        count=16 * (n + arr.offset))[16 * arr.offset:]
+    return buf.tobytes()
+
+
+def decode_dec128(data: bytes, n: int, p: int, s: int) -> pa.Array:
+    return pa.Array.from_buffers(pa.decimal128(p, s), n,
+                                 [None, pa.py_buffer(data)])
+
+
 # --- codec interface (dispatch by type tag) -----------------------------------
 
 def encode(values, tag: str) -> tuple[bytes, dict]:
+    if tag.startswith("dec38:"):    # 16-byte decimal128 (pagecodec dec38:p:s)
+        return encode_dec128(values), {}
     if tag.startswith("dec:"):      # unscaled int64 (pagecodec dec:<p>:<s>)
         tag = "i64"
     if tag in _FIXED:
@@ -87,6 +108,9 @@ def encode(values, tag: str) -> tuple[bytes, dict]:
 
 
 def decode(data: bytes, params: dict, n: int, tag: str):
+    if tag.startswith("dec38:"):
+        parts = tag.split(":")
+        return decode_dec128(data, n, int(parts[-2]), int(parts[-1]))
     if tag.startswith("dec:"):
         tag = "i64"
     if tag in _FIXED:

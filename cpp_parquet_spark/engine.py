@@ -23,6 +23,7 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -114,8 +115,11 @@ def _page_cuts(arr: pa.Array, tag: str, page_bytes: int, rows_max: int) -> list[
         targets = np.arange(1, int(cum[-1] // page_bytes) + 2) * page_bytes
         cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
     else:
-        w = (8 if tag in ("i64", "f64", "ts", "tsn") or pagecodec.is_dec(tag)
-             else (4 if tag in ("i32", "f32", "date") else 1))
+        w = (16 if pagecodec.is_dec38(tag)
+             else 8 if tag in ("i64", "f64", "ts", "tsn")
+             or pagecodec.is_dec(tag)
+             else 4 if tag in ("i32", "f32", "date")
+             else 2 if tag == "i16" else 1)
         rows = min(rows_max, max(1024, page_bytes // w))
         cuts = np.arange(rows, n + rows, rows).clip(None, n)
     cuts = np.unique(np.concatenate((cuts, [n])))
@@ -135,7 +139,7 @@ def _bloom_hashes(arr: pa.Array, tag: str) -> np.ndarray | None:
     work = arr.drop_null() if arr.null_count else arr
     if len(work) == 0:
         return None
-    if tag in ("i64", "i32", "ts", "tsn"):
+    if tag in ("i64", "i32", "i16", "i8", "ts", "tsn"):
         if tag in ("ts", "tsn"):
             work = work.cast(pa.int64())
         return pd.util.hash_array(
@@ -199,7 +203,7 @@ def _exact_int_sum(arr: pa.Array, tag: str) -> tuple[int, int] | None:
             return 0, 0
         v = work.to_numpy(zero_copy_only=False)
         return int(np.count_nonzero(v)), len(work)
-    if tag not in ("i64", "i32", "ts", "tsn", "date") \
+    if tag not in ("i64", "i32", "i16", "i8", "ts", "tsn", "date") \
             and not pagecodec.is_dec(tag):
         return None
     work = arr.drop_null() if arr.null_count else arr
@@ -254,6 +258,7 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     bloom_cols = set(cfg.bloom_cols)
     bloom_bits = cfg.bloom_bits
     ndv_sketch = cfg.ndv_sketch
+    ndv_cols = set(cfg.ndv_cols)
 
     prof_dir = os.environ.get("CPS_KERNEL_PROF")
 
@@ -310,9 +315,9 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
                     arr = batch.column(col).slice(s, e - s)
                     arr = pagecodec.to_arrow(arr, tag)
                     h = None
-                    if col in bloom_cols or (ndv_sketch
-                                             and tag in ("i64", "i32",
-                                                         "ts", "tsn")):
+                    if col in bloom_cols or col in ndv_cols \
+                            or (ndv_sketch and tag in ("i64", "i32",
+                                                       "ts", "tsn")):
                         h = _bloom_hashes(arr, tag)
                     if h is not None and col in bloom_cols:
                         key = (part, col)
@@ -451,24 +456,51 @@ def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
     return kernel
 
 
-def encodable_columns(df: DataFrame) -> tuple[list[str], list[str]]:
-    cols, tags = [], []
+def encodable_columns(df: DataFrame,
+                      ignore_columns: Sequence[str] | None = None
+                      ) -> tuple[list[str], list[str]]:
+    """Schema -> (column names, type tags) for the encode kernel.
+
+    FAILS LOUDLY: a column whose Spark type has no page tag (MapType,
+    StructType, nested arrays, interval types, ...) raises ``ValueError``
+    naming every offender, unless the caller lists it in
+    ``ignore_columns`` (an explicit "yes, drop these from the encoded
+    table" allowlist). Silent column drops are how data quietly goes
+    missing at 100 TB — an error at plan time is the only safe default."""
+    ignore = set(ignore_columns or ())
+    cols, tags, unsupported = [], [], []
     for f in df.schema.fields:
+        if f.name in ignore:
+            continue
         tag = pagecodec.spark_type_tag(f.dataType)
-        if tag is not None:
+        if tag is None:
+            unsupported.append(f"{f.name} ({f.dataType.simpleString()})")
+        else:
             cols.append(f.name)
             tags.append(tag)
+    if unsupported:
+        raise ValueError(
+            "unsupported column types for encode: "
+            + ", ".join(unsupported)
+            + ". Flatten them first (e.g. map/struct -> scalar columns, "
+            "nested arrays -> one list level) or pass "
+            "ignore_columns=[...] to drop them explicitly.")
     return cols, tags
 
 
 def encode_table(df: DataFrame, cfg: EncodeConfig,
-                 plan: dict[tuple[int, str], str] | None = None) -> DataFrame:
+                 plan: dict[tuple[int, str], str] | None = None,
+                 ignore_columns: Sequence[str] | None = None) -> DataFrame:
     """DataFrame -> pages DataFrame (pure transformation, no writes).
 
     ``plan``: optional (part_id, column) -> codec decisions from
     stats.plan_decisions (the sampling pass); without it each column
-    chunk self-selects on its first page."""
-    cols, tags = encodable_columns(df)
+    chunk self-selects on its first page.
+
+    ``ignore_columns``: explicit allowlist of columns to DROP from the
+    encoded table; any other unsupported-type column raises (see
+    encodable_columns)."""
+    cols, tags = encodable_columns(df, ignore_columns)
     if not cols:
         raise ValueError("no encodable columns")
     prepared = cluster_by_part(with_part_id(df.select(*cols), cfg), cfg)
@@ -622,7 +654,8 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
 # zone-map text -> SQL cast target per tag (see pagecodec.page_minmax);
 # strings compare as-is, the int family (incl. epoch-us timestamps and
 # 0/1 bools) as long, floats as double
-_ZONE_CAST = {"i32": "long", "i64": "long", "bool": "long", "ts": "long",
+_ZONE_CAST = {"i32": "long", "i64": "long", "i16": "long", "i8": "long",
+              "bool": "long", "ts": "long",
               "tsn": "long", "date": "long", "f32": "double", "f64": "double"}
 
 
@@ -853,7 +886,8 @@ def manifest_from_pages(pages_meta: DataFrame, run_id: str,
 def run_encode(spark: SparkSession, df: DataFrame, dst: str,
                cfg: EncodeConfig, run_id: str | None = None,
                plan: dict[tuple[int, str], str] | None = None,
-               resume: bool = True) -> dict:
+               resume: bool = True,
+               ignore_columns: Sequence[str] | None = None) -> dict:
     """Durable, resumable encode. Returns summary stats (driver-side).
 
     ``plan``: stats-pass codec decisions (stats.plan_decisions); must be
@@ -868,11 +902,11 @@ def run_encode(spark: SparkSession, df: DataFrame, dst: str,
     done = None
     if resume and _exists(spark, manifest_dir):
         done = spark.read.parquet(manifest_dir).select("part_id").distinct()
-    src = with_part_id(df.select(*encodable_columns(df)[0]), cfg)
+    cols, tags = encodable_columns(df, ignore_columns)
+    src = with_part_id(df.select(*cols), cfg)
     if done is not None:
         src = src.join(F.broadcast(done),
                        src["__part_id"] == done["part_id"], "left_anti")
-    cols, tags = encodable_columns(df)
     prepared = cluster_by_part(src, cfg)
     pages = prepared.mapInArrow(make_encode_kernel(cols, tags, cfg, plan),
                                 PAGES_SCHEMA)
@@ -1976,8 +2010,19 @@ def upsert(spark: SparkSession, df: DataFrame, dst: str, cfg: EncodeConfig,
     The key column should be in ``cfg.bloom_cols`` so the delete pass
     prunes instead of scanning every part. The key list of the upsert
     BATCH (not the table) comes to the driver — upsert batches are
-    incremental by nature; bulk rewrites belong to purge/compact."""
-    keys = [r[0] for r in df.select(key).distinct().collect()]
+    incremental by nature; bulk rewrites belong to purge/compact. That
+    contract is ENFORCED: more than ``_MAX_LITERAL_PRUNE`` distinct keys
+    in one batch raises before anything is collected (an accidental
+    whole-table upsert would otherwise OOM the driver) — split the
+    batch, or use rewrite_dataset/purge for bulk replacement."""
+    kdf = df.select(key).distinct()
+    keys = [r[0] for r in kdf.limit(_MAX_LITERAL_PRUNE + 1).collect()]
+    if len(keys) > _MAX_LITERAL_PRUNE:
+        raise ValueError(
+            f"upsert batch has more than {_MAX_LITERAL_PRUNE} distinct "
+            f"'{key}' values; upsert is for incremental batches (the key "
+            "set is collected to the driver for bloom/zone pruning). "
+            "Split the batch or rebuild via rewrite_dataset/purge.")
     dstats = delete_where_in(spark, dst, key, keys)
     astats = run_encode(spark, df, dst, cfg, run_id=run_id, resume=False)
     return {"rows_replaced": dstats.get("rows_deleted", 0),
@@ -1998,8 +2043,9 @@ def column_ndv_fast(pages: DataFrame, column: str) -> dict | None:
     same metadata-sized-driver-traffic pattern as ivf_train; no
     .collect() of per-part rows. Returns
     {"ndv": float, "parts": int, "n_hashed": int}, or None when the
-    column carries no sketch (string columns outside bloom_cols,
-    float/array columns, pre-sidecar datasets) OR when ANY part holding
+    column carries no sketch (string columns outside bloom_cols and
+    cfg.ndv_cols, float/array columns, pre-sidecar datasets) OR when ANY
+    part holding
     data pages lacks one (e.g. bloom_cols changed between appends) — a
     partial sketch would silently undercount, so absence at part
     granularity means "run the exact countDistinct", never a wrong

@@ -48,6 +48,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError(f"direction must be backward|forward, got "
                          f"{direction!r}")
     by = list(by)
+    if not by:
+        # Window.partitionBy() of nothing funnels EVERY row through one
+        # task — correct output, zero parallelism, and at scale one
+        # executor sorting the whole union. Refuse rather than silently
+        # serialize; a global as-of (no key) should pre-bucket the time
+        # axis into coarse ranges and pass that bucket as `by`.
+        raise ValueError(
+            "asof_join with empty `by` would run as a single-partition "
+            "window (the whole union sorted on one task). Pass at least "
+            "one key column, or bucket the time axis first and pass the "
+            "bucket column as `by`.")
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c != on and c not in by]

@@ -35,6 +35,10 @@ class EncodeConfig:
     #                                          ("zlib" | None); default off
     page_crc: bool = False                   # optional page checksum
     #                                          (parquet PageHeader.crc analogue)
+    ndv_cols: tuple[str, ...] = ()           # EXTRA columns to HLL-sketch
+    #                                          (string/binary columns not in
+    #                                          bloom_cols cost one object-
+    #                                          hash pass, so they're opt-in)
     ndv_sketch: bool = True                  # per-(part, column) HLL NDV
     #                                          sidecars for int-family
     #                                          columns (bloom-indexed str

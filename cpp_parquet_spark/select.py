@@ -65,7 +65,10 @@ def choose_int_codec(v: np.ndarray) -> str:
     span = (st["hi"] - st["lo"]) & 0xFFFFFFFFFFFFFFFF
     bw = bit_width_for(span)
     vb = (bw + 7) // 8
-    est = {"plain": 8 * n, "for": (n * bw) // 8 + 16}
+    # PLAIN baseline at the column's own word width (i8 stores 1 B/value,
+    # not 8) so narrow ints don't get pushed into FOR for a phantom win
+    w = v.dtype.itemsize
+    est = {"plain": w * n, "for": (n * bw) // 8 + 16}
     if n > 1:
         u = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
         d = (u[1:] - u[:-1]).view(np.int64)

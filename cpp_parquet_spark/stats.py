@@ -67,6 +67,12 @@ def _col_stats(arr: pa.Array, tag: str) -> dict:
            "delta_bits": 64.0, "dec_scale": 0.0, "prefix_frac": 0.0}
     if len(work) == 0:
         return out
+    if pagecodec.is_dec38(tag):
+        # wide decimals are PLAIN-passthrough only (legal_codecs) — the
+        # selector never consults these stats, so skip the object-array
+        # conversion a decimal128 to_numpy would cost
+        out["total_bytes"] = 16 * len(work)
+        return out
     if tag in pagecodec.ARRS_TAGS:
         offs = np.frombuffer(work.buffers()[1], np.int32,
                              count=len(work) + 1,

@@ -174,6 +174,29 @@ def test_ndv_fast_accuracy_and_merge(spark, sf_dir):
     assert abs(got_s["ndv"] - exact_s) <= 1, (got_s, exact_s)
     # unindexed string column: no sketch -> None (absence means exact scan)
     assert column_ndv_fast(pages, "text") is None
+    pages.unpersist()
+
+
+def test_ndv_fast_string_via_ndv_cols(spark, sf_dir):
+    """cfg.ndv_cols (round 4): an HLL sketch for a string column WITHOUT
+    a bloom index — opt-in because it costs one object-hash pass."""
+    from cpp_parquet_spark.engine import column_ndv_fast
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = EncodeConfig(keys=("source",), salt_from=("doc_id",),
+                       num_parts=4, table_name="documents",
+                       ndv_cols=("text", "lang"))
+    pages = encode_table(df, cfg).cache()
+    try:
+        for col in ("text", "lang"):
+            got = column_ndv_fast(pages, col)
+            exact = df.select(col).distinct().count()
+            assert got is not None, col
+            assert abs(got["ndv"] - exact) / max(exact, 1) < 0.05, \
+                (col, got, exact)
+        # and no bloom sidecar rode along (ndv_cols is sketch-only)
+        assert pages.filter("codec = '__bloom__'").count() == 0
+    finally:
+        pages.unpersist()
 
 
 def test_ndv_fast_merges_across_runs(spark, tmp_path):

@@ -52,8 +52,15 @@ def test_forward_and_tolerance(spark, frames):
 
 def test_no_by_and_collision_guard(spark, frames):
     left, right = frames
-    out = asof_join(left.select("id", "t"), right.select("t", "v"),
-                    on="t")
+    # empty `by` is REFUSED (round 4): Window.partitionBy() of nothing
+    # would funnel the whole union through one task — a global as-of
+    # must bucket the time axis and pass the bucket as `by` instead
+    with pytest.raises(ValueError, match="single-partition"):
+        asof_join(left.select("id", "t"), right.select("t", "v"), on="t")
+    # the global semantics survive via a constant bucket key, explicit
+    bl = left.select("id", "t").withColumn("bk", F.lit(0))
+    br = right.select("t", "v").withColumn("bk", F.lit(0))
+    out = asof_join(bl, br, on="t", by=("bk",))
     # keys ignored: the global right timeline {6,10,30,49} applies
     assert _rows(out.filter(F.col("id") == 4).select("r_t")) == {(None,)}
     assert _rows(out.filter(F.col("id") == 2).select("r_t")) == {(10.0,)}
@@ -84,12 +91,12 @@ def test_plan_has_no_join_explosion(spark, frames):
 
 def test_timestamp_tolerance_seconds(spark):
     left = spark.createDataFrame(
-        [Row(id=1, ts="2024-01-01 00:10:00")]).withColumn(
+        [Row(id=1, k=0, ts="2024-01-01 00:10:00")]).withColumn(
         "ts", F.col("ts").cast("timestamp"))
     right = spark.createDataFrame(
-        [Row(ts="2024-01-01 00:00:00", v=1.0)]).withColumn(
+        [Row(k=0, ts="2024-01-01 00:00:00", v=1.0)]).withColumn(
         "ts", F.col("ts").cast("timestamp"))
-    hit = asof_join(left, right, on="ts", tolerance=600.0)
-    miss = asof_join(left, right, on="ts", tolerance=599.0)
+    hit = asof_join(left, right, on="ts", by=("k",), tolerance=600.0)
+    miss = asof_join(left, right, on="ts", by=("k",), tolerance=599.0)
     assert hit.collect()[0]["r_v"] == 1.0
     assert miss.collect()[0]["r_v"] is None

@@ -69,7 +69,8 @@ def test_spark_type_tag_mapping():
     from pyspark.sql import types as T
     assert pagecodec.spark_type_tag(T.DateType()) == "date"
     assert pagecodec.spark_type_tag(T.DecimalType(12, 2)) == "dec:12:2"
-    assert pagecodec.spark_type_tag(T.DecimalType(38, 10)) is None  # > int64
+    # > int64 unscaled: wide-decimal passthrough tag (round 4)
+    assert pagecodec.spark_type_tag(T.DecimalType(38, 10)) == "dec38:38:10"
     assert pagecodec.spark_type_for("date") == T.DateType()
     assert pagecodec.spark_type_for("dec:12:2") == T.DecimalType(12, 2)
     assert pagecodec.legal_codecs("dec:12:2") == pagecodec.LEGAL["i64"]
