@@ -1,0 +1,446 @@
+"""Parquet cross-reader conformance for E1-E5 (SURVEY.md §5.2 item 1).
+
+Everything else in the engine stores pages in its own framing (the pages
+table); the codecs themselves, though, implement the *format's* value
+grammars — PLAIN fixed-width (parquet.thrift Encodings PLAIN), the
+RLE/bit-packed hybrid (arrow rle_encoding.h grammar), dictionary +
+RLE-coded indices, and definition levels. This module proves that claim
+against the actual format, both directions:
+
+* :func:`write_parquet` — assemble a REAL ``.parquet`` file (v1 data
+  pages, uncompressed) whose page payloads come verbatim from OUR
+  emitters: ``plain.encode_fixed`` bytes for fixed-width values,
+  ``rle.encode`` streams for definition levels and dictionary indices.
+  pyarrow's Parquet reader must read back the exact values.
+* :func:`read_parquet_with_our_codecs` — open a file pyarrow WROTE
+  (v1, dictionary-encoded, uncompressed), walk its footer and page
+  headers with the minimal Thrift compact-protocol reader below, and
+  decode the page payloads with OUR ``rle.decode`` (definition levels
+  and dictionary indices) — cross-reader evidence in the other
+  direction.
+
+One deliberate engine-internal deviation is bridged here rather than
+hidden: our PLAIN string layout is ``[u32 lengths][concat bytes]``
+(split for vectorization; same size) while format PLAIN BYTE_ARRAY is
+interleaved ``(u32 len, bytes)*`` — :func:`_interleave` /
+:func:`_deinterleave` convert, vectorized (no per-value Python).
+
+The Thrift structures and ids follow the public parquet-format
+``parquet.thrift`` and the Thrift compact-protocol spec. Only the
+subset these two functions need is implemented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import plain, rle
+
+# --- parquet-format enum values (parquet.thrift) ------------------------------
+T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
+ENC_PLAIN, ENC_PLAIN_DICTIONARY, ENC_RLE, ENC_RLE_DICTIONARY = 0, 2, 3, 8
+REP_REQUIRED, REP_OPTIONAL = 0, 1
+PAGE_DATA, PAGE_DICTIONARY = 0, 2
+CONV_UTF8 = 0
+
+_MAGIC = b"PAR1"
+
+# --- Thrift compact protocol: minimal writer -----------------------------------
+# wire types (compact): 1=BOOL_TRUE 2=BOOL_FALSE 3=BYTE 4=I16 5=I32 6=I64
+# 7=DOUBLE 8=BINARY 9=LIST 12=STRUCT
+_CT_I32, _CT_I64, _CT_BINARY, _CT_LIST, _CT_STRUCT = 5, 6, 8, 9, 12
+
+
+def _uvarint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(x: int) -> int:
+    return (x << 1) ^ (x >> 63)
+
+
+class _CW:
+    """Compact-protocol struct writer: fields must be added in ascending
+    id order (the short-form header stores the id DELTA)."""
+
+    def __init__(self) -> None:
+        self.b = bytearray()
+        self.last = 0
+
+    def _hdr(self, fid: int, ctype: int) -> None:
+        delta = fid - self.last
+        if 0 < delta <= 15:
+            self.b.append((delta << 4) | ctype)
+        else:
+            self.b.append(ctype)
+            self.b += _uvarint(_zigzag(fid))
+        self.last = fid
+
+    def i32(self, fid: int, v: int) -> "_CW":
+        self._hdr(fid, _CT_I32)
+        self.b += _uvarint(_zigzag(v))
+        return self
+
+    def i64(self, fid: int, v: int) -> "_CW":
+        self._hdr(fid, _CT_I64)
+        self.b += _uvarint(_zigzag(v))
+        return self
+
+    def binary(self, fid: int, v: bytes) -> "_CW":
+        self._hdr(fid, _CT_BINARY)
+        self.b += _uvarint(len(v)) + v
+        return self
+
+    def list_i32(self, fid: int, vals: list[int]) -> "_CW":
+        self._hdr(fid, _CT_LIST)
+        self.b += self._list_hdr(len(vals), _CT_I32)
+        for v in vals:
+            self.b += _uvarint(_zigzag(v))
+        return self
+
+    def list_binary(self, fid: int, vals: list[bytes]) -> "_CW":
+        self._hdr(fid, _CT_LIST)
+        self.b += self._list_hdr(len(vals), _CT_BINARY)
+        for v in vals:
+            self.b += _uvarint(len(v)) + v
+        return self
+
+    def list_struct(self, fid: int, vals: list[bytes]) -> "_CW":
+        self._hdr(fid, _CT_LIST)
+        self.b += self._list_hdr(len(vals), _CT_STRUCT)
+        for v in vals:
+            self.b += v
+        return self
+
+    def struct(self, fid: int, v: bytes) -> "_CW":
+        self._hdr(fid, _CT_STRUCT)
+        self.b += v
+        return self
+
+    @staticmethod
+    def _list_hdr(size: int, etype: int) -> bytes:
+        if size < 15:
+            return bytes([(size << 4) | etype])
+        return bytes([0xF0 | etype]) + _uvarint(size)
+
+    def done(self) -> bytes:
+        return bytes(self.b) + b"\x00"        # STOP
+
+
+# --- Thrift compact protocol: minimal reader -----------------------------------
+
+class _CR:
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def _uv(self) -> int:
+        r, s = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            r |= (b & 0x7F) << s
+            if not (b & 0x80):
+                return r
+            s += 7
+
+    def _zz(self) -> int:
+        u = self._uv()
+        return (u >> 1) ^ -(u & 1)
+
+    def _value(self, ctype: int):
+        if ctype in (1, 2):                   # bool packed in header
+            return ctype == 1
+        if ctype in (3, 4, 5, 6):             # byte/i16/i32/i64
+            return self._zz()
+        if ctype == 7:                        # double
+            v = np.frombuffer(self.buf, np.float64, 1, self.pos)[0]
+            self.pos += 8
+            return float(v)
+        if ctype == 8:                        # binary
+            n = self._uv()
+            v = self.buf[self.pos:self.pos + n]
+            self.pos += n
+            return v
+        if ctype in (9, 10):                  # list/set
+            h = self.buf[self.pos]
+            self.pos += 1
+            size = h >> 4
+            et = h & 0x0F
+            if size == 15:
+                size = self._uv()
+            return [self._value(et) for _ in range(size)]
+        if ctype == 12:                       # struct
+            return self.struct()
+        raise ValueError(f"compact type {ctype} unsupported")
+
+    def struct(self) -> dict:
+        """One struct -> {field_id: value}; nested structs recurse."""
+        out: dict = {}
+        last = 0
+        while True:
+            h = self.buf[self.pos]
+            self.pos += 1
+            if h == 0:
+                return out
+            delta = h >> 4
+            ctype = h & 0x0F
+            fid = last + delta if delta else self._zz()
+            last = fid
+            out[fid] = self._value(ctype)
+
+
+# --- PLAIN BYTE_ARRAY layout bridge -------------------------------------------
+
+def _interleave(arr: pa.Array) -> bytes:
+    """Our split PLAIN string layout -> format PLAIN ``(u32 len, bytes)*``.
+    Vectorized: one scatter for the 4 length bytes, one gather-copy for
+    the payload."""
+    split = plain.encode_binary(arr)
+    n = len(arr)
+    lens = np.frombuffer(split[:4 * n], np.uint32).astype(np.int64)
+    payload = np.frombuffer(split[4 * n:], np.uint8)
+    pos = np.zeros(n + 1, np.int64)
+    np.cumsum(lens + 4, out=pos[1:])
+    out = np.zeros(int(pos[-1]), np.uint8)
+    idx = pos[:-1]
+    for k in range(4):                        # 4 iterations, not per-value
+        out[idx + k] = (lens >> (8 * k)) & 0xFF
+    src_starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=src_starts[1:])
+    dest = np.arange(payload.shape[0], dtype=np.int64) + \
+        np.repeat(idx + 4 - src_starts, lens)
+    out[dest] = payload
+    return out.tobytes()
+
+
+def _deinterleave(data: bytes, n: int) -> pa.Array:
+    """Format PLAIN ``(u32 len, bytes)*`` -> string array, via a length
+    walk (the lengths chain, so this loop is over VALUES of one page —
+    acceptable for conformance reads; the engine's own pages never use
+    the interleaved form)."""
+    buf = np.frombuffer(data, np.uint8)
+    lens = np.empty(n, np.int64)
+    pos = 0
+    for i in range(n):
+        lens[i] = int(buf[pos:pos + 4].view(np.uint32)[0])
+        pos += 4 + lens[i]
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1] + 4, out=starts[1:])
+    starts += 4                                # skip each length prefix
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    payload = np.empty(int(offs[-1]), np.uint8)
+    src = np.arange(payload.shape[0], dtype=np.int64) + \
+        np.repeat(starts - offs[:-1], lens)
+    payload[:] = buf[src]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload.tobytes())],
+    ).cast(pa.large_string())
+
+
+# --- writer --------------------------------------------------------------------
+
+_PQ_TYPE = {"i32": T_INT32, "i64": T_INT64, "f64": T_DOUBLE,
+            "str": T_BYTE_ARRAY}
+_NP_OF = {"i32": np.int32, "i64": np.int64, "f64": np.float64}
+
+
+def _plain_values(work: pa.Array, tag: str) -> bytes:
+    if tag == "str":
+        return _interleave(work)
+    return plain.encode_fixed(
+        work.to_numpy(zero_copy_only=False), tag)
+
+
+def _page_header(ptype: int, usize: int, num_values: int,
+                 encoding: int) -> bytes:
+    inner = (_CW().i32(1, num_values).i32(2, encoding)
+             .i32(3, ENC_RLE).i32(4, ENC_RLE).done()) \
+        if ptype == PAGE_DATA else \
+        (_CW().i32(1, num_values).i32(2, encoding).done())
+    w = _CW().i32(1, ptype).i32(2, usize).i32(3, usize)
+    if ptype == PAGE_DATA:
+        w.struct(5, inner)
+    else:
+        w.struct(7, inner)
+    return w.done()
+
+
+def _def_levels(arr: pa.Array) -> bytes:
+    """Optional-column definition levels: RLE(bw=1) with the v1 u32
+    length prefix, stream bytes from OUR encoder."""
+    valid = arr.is_valid().to_numpy(zero_copy_only=False) \
+        if arr.null_count else np.ones(len(arr), bool)
+    stream, _ = rle.encode(valid.astype(np.uint64), bit_width=1)
+    return np.uint32(len(stream)).tobytes() + stream
+
+
+def write_parquet(path: str, columns: dict[str, pa.Array],
+                  dictionary: set[str] | frozenset[str] = frozenset()
+                  ) -> None:
+    """Write a real one-row-group Parquet file (v1 pages, uncompressed)
+    whose value streams come from OUR codec emitters. ``dictionary``
+    names columns written as dict page + RLE-coded indices
+    (PLAIN_DICTIONARY convention); the rest are PLAIN."""
+    n_rows = {len(a) for a in columns.values()}
+    assert len(n_rows) == 1, "columns must be equal length"
+    n = n_rows.pop()
+    body = bytearray(_MAGIC)
+    chunks = []
+    for name, arr in columns.items():
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        tag = {pa.int32(): "i32", pa.int64(): "i64",
+               pa.float64(): "f64"}.get(arr.type, "str")
+        work = arr.drop_null() if arr.null_count else arr
+        if tag == "str":
+            work = work.cast(pa.large_string())
+        optional = arr.null_count > 0
+        levels = _def_levels(arr) if optional else b""
+        dict_off = None
+        chunk_start = len(body)
+        if name in dictionary:
+            dct = work.dictionary_encode()
+            uniq = dct.dictionary
+            if tag == "str":
+                uniq = uniq.cast(pa.large_string())
+            dict_payload = _plain_values(uniq, tag)
+            codes = dct.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            bw = max(int(codes.max()).bit_length(), 1) if len(codes) else 1
+            idx_stream, _ = rle.encode(codes, bit_width=bw)
+            data_payload = levels + bytes([bw]) + idx_stream
+            dict_off = len(body)
+            body += _page_header(PAGE_DICTIONARY, len(dict_payload),
+                                 len(uniq), ENC_PLAIN_DICTIONARY)
+            body += dict_payload
+            data_off = len(body)
+            body += _page_header(PAGE_DATA, len(data_payload), n,
+                                 ENC_PLAIN_DICTIONARY)
+            body += data_payload
+            encodings = [ENC_PLAIN_DICTIONARY, ENC_RLE]
+        else:
+            data_payload = levels + _plain_values(work, tag)
+            data_off = len(body)
+            body += _page_header(PAGE_DATA, len(data_payload), n, ENC_PLAIN)
+            body += data_payload
+            encodings = [ENC_PLAIN, ENC_RLE]
+        # chunk sizes INCLUDE the page headers (parquet.thrift
+        # total_compressed_size semantics — readers slice the chunk
+        # region by this)
+        total = len(body) - chunk_start
+        meta = (_CW().i32(1, _PQ_TYPE[tag]).list_i32(2, encodings)
+                .list_binary(3, [name.encode()]).i32(4, 0)
+                .i64(5, n).i64(6, total).i64(7, total)
+                .i64(9, data_off))
+        if dict_off is not None:
+            meta.i64(11, dict_off)
+        chunks.append((name, tag, optional,
+                       _CW().i64(2, data_off).struct(3, meta.done()).done(),
+                       total))
+    root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
+    elems = [root]
+    for name, tag, optional, _, _ in chunks:
+        e = _CW().i32(1, _PQ_TYPE[tag]) \
+            .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
+            .binary(4, name.encode())
+        if tag == "str":
+            e.i32(6, CONV_UTF8)
+        elems.append(e.done())
+    rg = (_CW().list_struct(1, [c[3] for c in chunks])
+          .i64(2, sum(c[4] for c in chunks)).i64(3, n)).done()
+    fmeta = (_CW().i32(1, 1).list_struct(2, elems).i64(3, n)
+             .list_struct(4, [rg])
+             .binary(6, b"cpp_parquet_spark interop")).done()
+    body += fmeta
+    body += np.uint32(len(fmeta)).tobytes()
+    body += _MAGIC
+    with open(path, "wb") as f:
+        f.write(bytes(body))
+
+
+# --- reader (pyarrow-written file -> our decoders) ------------------------------
+
+def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
+    """Decode every column of a v1, UNCOMPRESSED Parquet file using OUR
+    rle/plain/dictionary kernels (page headers and footer parsed with
+    the minimal compact-protocol reader). Supports the subset the
+    conformance tests write via pyarrow: flat INT32/INT64/DOUBLE/
+    BYTE_ARRAY(UTF8) columns, PLAIN or dictionary-encoded, optional or
+    required, any number of data pages per chunk."""
+    buf = open(path, "rb").read()
+    assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    schema = meta[2]
+    # leaf elements follow the root; map name -> (type, optional)
+    leaves = {}
+    for el in schema[1:]:
+        leaves[el[4].decode()] = (el[1], el.get(3, 0) == REP_OPTIONAL)
+    out: dict[str, pa.Array] = {}
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            cm = chunk[3]
+            name = cm[3][0].decode()
+            ptype, optional = leaves[name]
+            n_total = cm[5]
+            pos = cm.get(11, cm[9])           # dictionary page first if any
+            uniq = None
+            got: list[pa.Array] = []
+            n_seen = 0
+            while n_seen < n_total:
+                r = _CR(buf, pos)
+                ph = r.struct()
+                payload = buf[r.pos:r.pos + ph[3]]
+                pos = r.pos + ph[3]
+                if ph[1] == PAGE_DICTIONARY:
+                    nd = ph[7][1]
+                    uniq = _decode_plain(payload, nd, ptype)
+                    continue
+                if ph[1] != PAGE_DATA:
+                    continue
+                dp = ph[5]
+                nv = dp[1]
+                enc = dp[2]
+                if optional:
+                    dlen = int(np.frombuffer(payload[:4], np.uint32)[0])
+                    levels = rle.decode(payload[4:4 + dlen], {"bw": 1}, nv)
+                    valid = levels.astype(bool)
+                    payload = payload[4 + dlen:]
+                else:
+                    valid = np.ones(nv, bool)
+                k = int(valid.sum())
+                if enc in (ENC_PLAIN_DICTIONARY, ENC_RLE_DICTIONARY):
+                    bw = payload[0]
+                    codes = rle.decode(payload[1:], {"bw": int(bw)}, k)
+                    vals = uniq.take(pa.array(codes.astype(np.int64)))
+                elif enc == ENC_PLAIN:
+                    vals = _decode_plain(payload, k, ptype)
+                else:
+                    raise ValueError(f"encoding {enc} unsupported")
+                if k < nv:
+                    idx = np.cumsum(valid, dtype=np.int64) - 1
+                    vals = vals.take(pa.array(idx, mask=~valid))
+                got.append(vals)
+                n_seen += nv
+            col = pa.concat_arrays([g.cast(got[0].type) for g in got])
+            out[name] = col
+    return out
+
+
+def _decode_plain(payload: bytes, k: int, ptype: int) -> pa.Array:
+    if ptype == T_BYTE_ARRAY:
+        return _deinterleave(payload, k)
+    np_t = {T_INT32: "i32", T_INT64: "i64", T_DOUBLE: "f64"}[ptype]
+    return pa.array(plain.decode_fixed(payload, np_t, k))
