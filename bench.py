@@ -2,13 +2,21 @@
 """Bench harness (SURVEY.md §7 M7; driver contract).
 
 Runs the engine's headline pipelines on ``local[$SPARK_GRAFT_CPUS]``
-(default 32) and prints ONE JSON line::
+(default 32). Two artifacts (VERDICT r3 item 3 — the r3 single-line
+record outgrew the driver's capture window and parsed as null):
+
+- stdout LAST line: a COMPACT headline JSON —
 
     {"metric": "bench_total_wall", "value": <sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": <sf>,
      "encode_gbps": <content GB/s of the north-rule encode>,
      "decode_gbps": <content GB/s of decode alone, cached pages>,
-     "content_bytes": <bytes encoded in the headline query>}
+     "content_bytes": ..., "size": {...ratios only...},
+     "scaling": {...efficiencies only...}, "receipts": <path>}
+
+- ``$BENCH_RECEIPTS`` (default ``BENCH_local_last.json`` next to this
+  file): the FULL record — per-rep walls, membw receipts per wall, busy
+  maps, flare reruns, host bandwidth curves.
 
 Inputs:
 - the north-rule table ``(repo, path, commit, lang, content)`` synthesized
@@ -164,20 +172,26 @@ def q_encode_repofiles_zstd(spark: SparkSession) -> None:
 def _standin_sizes() -> dict | None:
     """Stand-in reference writer (pyarrow, the toy cpp-parquet's codec
     set): PLAIN/UNCOMPRESSED file size + single-thread write wall over
-    the same input — the BASELINE.md comparison, refreshed per run."""
+    the same input — the BASELINE.md comparison, refreshed per run.
+    Min-of-3 walls (same discipline as every engine wall: a single
+    measurement swung 0.14-0.94 GB/s across r3 records under co-tenant
+    bandwidth pressure, making the vs-reference ratio noise)."""
     import tempfile
     try:
         import pyarrow.parquet as pq
         tbl = pq.read_table(_repofiles_parquet())
+        walls = []
         with tempfile.TemporaryDirectory() as td:
-            dst = os.path.join(td, "standin.parquet")
-            t0 = time.monotonic()
-            pq.write_table(tbl, dst, use_dictionary=False,
-                           compression="NONE")
-            wall = time.monotonic() - t0
+            for i in range(3):
+                dst = os.path.join(td, f"standin{i}.parquet")
+                t0 = time.monotonic()
+                pq.write_table(tbl, dst, use_dictionary=False,
+                               compression="NONE")
+                walls.append(round(time.monotonic() - t0, 3))
             plain_bytes = os.path.getsize(dst)
         return {"plain_bytes": plain_bytes,
-                "plain_write_s": round(wall, 3)}
+                "plain_write_s": min(walls),
+                "plain_write_walls": walls}
     except Exception:
         return None
 
@@ -790,17 +804,22 @@ def main() -> None:
     # bandwidth flare (BENCH.md "Measurement caveat"); such queries get
     # ONE re-run after the idle gate and the min is reported, with the
     # re-run recorded in `flare_reruns` so the JSON stays honest
+    # EVERY query has an entry (VERDICT r3 item 4: the committed r3
+    # record caught the slow tail of queries with no rerun bound —
+    # dedup_minhash 8.4 s clean vs 22.2 s recorded). Values = r3
+    # clean-window walls rounded up a little.
     expected = {
-        "encode_repofiles": 3.5, "encode_repofiles_zstd": 4.5,
-        "encode_repofiles_plain": 1.6,
-        "encode_repofiles_noshuffle": 2.0, "roundtrip_repofiles": 9.0,
+        "encode_repofiles": 2.5, "encode_repofiles_zstd": 2.5,
+        "encode_repofiles_plain": 1.5,
+        "encode_repofiles_noshuffle": 1.8, "roundtrip_repofiles": 4.5,
         # decode runs 3 reps internally (min-of-reps handles flares
         # itself, so no outer flare-rerun wanted -> generous bound)
         "decode_repofiles": 18.0,
         "stats_select": 0.8, "encode_documents": 0.8,
-        "encode_lineitem": 2.0, "join_agg": 0.8, "dedup_minhash": 19.0,
-        "text_pipeline": 15.0, "pushdown": 11.0, "ann_topk": 5.0,
-        "mix_pipeline": 5.0, "dedup_lines": 22.0,
+        "encode_lineitem": 2.0, "join_agg": 0.8, "dedup_minhash": 9.0,
+        "text_pipeline": 8.5, "pushdown": 5.5, "ann_topk": 5.0,
+        "mix_pipeline": 3.0, "dedup_lines": 7.0,
+        "agg_fast": 8.5, "dedup_spans": 8.0,
     }
     flare_factor = 2.0
 
@@ -889,7 +908,44 @@ def main() -> None:
             if sec is not None:
                 out["encode_gbps"] = sec["gbps_n4"]
                 out["encode_plain_gbps"] = sec["plain"]["gbps_n4"]
-    print(json.dumps(out))
+
+    # artifact contract (VERDICT r3 item 3): the FULL record — per-rep
+    # walls, membw receipts, busy maps, host curves — goes to a file; the
+    # LAST stdout line is a COMPACT headline JSON small enough for the
+    # driver's capture window (r3's everything-on-one-line record outgrew
+    # it and BENCH_r03.json landed unparseable).
+    receipts_path = os.environ.get("BENCH_RECEIPTS",
+                                   os.path.join(os.path.dirname(
+                                       os.path.abspath(__file__)),
+                                       "BENCH_local_last.json"))
+    try:
+        with open(receipts_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        receipts_path = None
+    head = {k: out.get(k) for k in
+            ("metric", "value", "unit", "queries", "sf", "encode_gbps",
+             "encode_plain_gbps", "decode_gbps", "content_bytes", "cpus",
+             "agg_fast_meta_s", "agg_fast_scan_s")
+            if out.get(k) is not None}
+    if "size" in out:
+        head["size"] = {k: out["size"][k] for k in
+                        ("ratio", "zstd_ratio", "enc_vs_standin",
+                         "zstd_vs_standin", "standin_gbps")
+                        if k in out["size"]}
+    sc = out.get("scaling")
+    if sc:
+        head["scaling"] = {"efficiency": sc.get("efficiency")}
+        for leg in ("primary", "secondary"):
+            p = sc.get(leg)
+            if p:
+                head["scaling"][leg] = {
+                    k: p[k] for k in
+                    ("n_cpus", "n4_cpus", "gbps_n", "gbps_n4", "efficiency",
+                     "clean_window", "engine_vs_host") if k in p}
+    if receipts_path:
+        head["receipts"] = receipts_path
+    print(json.dumps(head, separators=(",", ":")))
 
 
 if __name__ == "__main__":
