@@ -207,6 +207,43 @@ def q_parquet_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h").agg(F.count("*").alias("cnt")))
 
 
+def q_roundtrip_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested columns (round 4, cpp_parquet_spark.nested): a
+    map<string,string> and a struct<u:bigint,v:double> derived from
+    events — including NULL maps and NULL structs — flatten to leaf
+    columns (aligned keys/vals lists + struct-null bool), encode through
+    the standard pipeline, decode, unflatten, then project the nested
+    values back out and aggregate; the oracle computes the identical
+    aggregate straight from the source, so a match proves the nested
+    round trip value-exact including the null-map/null-struct
+    distinction."""
+    from cpp_parquet_spark import nested
+    src = (_read(spark, sf_dir, "events")
+           .select(F.col("event_id").alias("id"),
+                   F.expr("CASE WHEN event_id % 13 = 0 THEN NULL ELSE "
+                          "map('type', event_type, 'uid', "
+                          "CAST(user_id AS STRING)) END").alias("m"),
+                   F.expr("CASE WHEN event_id % 7 = 0 THEN NULL ELSE "
+                          "named_struct('u', user_id, 'v', value) END")
+                   .alias("st")))
+    cfg = EncodeConfig(keys=("id",), salt_from=(), num_parts=8,
+                       order_keys=("id",), table_name="events_nested")
+    pages, spec = nested.encode_nested(src, cfg)
+    back = nested.decode_nested(pages, spec)
+    return (back.select(F.col("m")["type"].alias("m_type"),
+                        F.col("m").isNull().alias("m_null"),
+                        F.col("st").isNull().alias("st_null"),
+                        F.col("m")["uid"].cast("long").alias("m_uid"),
+                        F.col("st")["u"].alias("st_u"),
+                        F.col("st")["v"].alias("st_v"))
+            .groupBy("m_type", "m_null", "st_null")
+            .agg(F.count("*").alias("n"),
+                 F.sum("m_uid").alias("sum_uid"),
+                 F.sum("st_u").alias("sum_u"),
+                 F.round(F.sum("st_v"), 4).alias("sum_v"))
+            .orderBy("m_type", "m_null", "st_null"))
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1262,7 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-reader conformance
         "roundtrip_wide_types": q_roundtrip_wide_types,
         "parquet_interop": q_parquet_interop,
-        # ---- driver window rows 33-50: core regression set --------------
+        "roundtrip_map_struct": q_roundtrip_map_struct,
+        # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
         "roundtrip_documents_text": _roundtrip_hist("documents", DOCS_CFG, "text"),
@@ -1285,7 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_decision_sql": q_codec_decision_sql,
         # pipeline relational ops (§2.3) representatives
         "join_orders_customer": q_join_orders_customer,
-        "events_sessionize": q_events_sessionize,
         # dedup family representatives
         "dedup_exact_survivors": q_dedup_exact_survivors,
         # LSH pairs are exact-Jaccard verified, so the oracle's exact n=4
@@ -1299,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-checked per commit by tools/check_contract.py -------
         "stats_cardinality": q_stats_cardinality,
         "dict_domain": q_dict_domain,
+        "events_sessionize": q_events_sessionize,
         "stats_run_lengths": q_stats_run_lengths,
         "stats_bytes_by_group": q_stats_bytes_by_group,
         "groupby_topk_sources": q_groupby_topk_sources,
@@ -1428,6 +1466,19 @@ def oracle_sql() -> dict[str, str]:
                    )) AS h,
                    count(*) AS cnt
             FROM lineitem GROUP BY 1""",
+        "roundtrip_map_struct": """
+            SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                        ELSE event_type END AS m_type,
+                   (event_id % 13 = 0) AS m_null,
+                   (event_id % 7 = 0) AS st_null,
+                   count(*) AS n,
+                   sum(CASE WHEN event_id % 13 = 0 THEN NULL
+                            ELSE user_id END) AS sum_uid,
+                   sum(CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE user_id END) AS sum_u,
+                   round(sum(CASE WHEN event_id % 7 = 0 THEN NULL
+                                  ELSE value END), 4) AS sum_v
+            FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "parquet_interop": """
             SELECT sha256(concat(
                      coalesce(CAST(doc_id AS VARCHAR), 'NULL'), '|',
