@@ -914,10 +914,14 @@ def main() -> None:
     # LAST stdout line is a COMPACT headline JSON small enough for the
     # driver's capture window (r3's everything-on-one-line record outgrew
     # it and BENCH_r03.json landed unparseable).
+    # BENCH_ONLY partial runs get their own default receipts file so a
+    # quick diagnostic never clobbers the last FULL run's claim record
+    default_name = "BENCH_local_only.json" if only else \
+        "BENCH_local_last.json"
     receipts_path = os.environ.get("BENCH_RECEIPTS",
                                    os.path.join(os.path.dirname(
                                        os.path.abspath(__file__)),
-                                       "BENCH_local_last.json"))
+                                       default_name))
     try:
         with open(receipts_path, "w") as f:
             json.dump(out, f, indent=1)
