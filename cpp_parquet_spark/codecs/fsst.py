@@ -356,118 +356,78 @@ def encode(values, table: SymbolTable | None = None) -> tuple[bytes, dict]:
 
 
 def decode(data: bytes, params: dict, n: int, tag: str = "str"):
+    """Decode = ONE Arrow binary ``take``.
+
+    Every stream byte maps to an entry of a 513-row binary symbol table
+    (rows 0..255: the code expansions; rows 256..511: the 256 possible
+    raw escape-payload bytes as single-byte entries; row 512: empty) and
+    ``symtab.take(idx)`` materializes the entire concatenated output —
+    offsets AND data — in one C++ kernel. Escapes become index fixups on
+    the (sparse) 0xFF positions: the marker position maps to the raw
+    byte's row, the payload position maps to the empty row. The decoded
+    string array is then assembled ZERO-COPY: its data buffer IS the
+    take result's, and its offsets are the take offsets gathered at the
+    string boundaries. Replaces the round-3 padded-gather kernel whose
+    per-output-byte numpy index math (repeat + arange + add + gather)
+    capped it at ~0.06 GB/s/thread — this shape measures ~10x that."""
     raw = np.frombuffer(data, dtype=np.uint8)
     n_codes = int(raw[:2].view(np.uint16)[0])
     pos = 2
-    sym_lens = raw[pos : pos + n_codes].astype(np.int32)
+    sym_lens = raw[pos : pos + n_codes].astype(np.int64)
     pos += n_codes
     flat_len = int(sym_lens.sum())
     flat = raw[pos : pos + flat_len]
     pos += flat_len
     enc_lens = raw[pos : pos + 4 * n].view(np.uint32).astype(np.int64)
     pos += 4 * n
-    stream = raw[pos:]
-    starts_tab = np.zeros(n_codes, dtype=np.int32)
-    np.cumsum(sym_lens[:-1], out=starts_tab[1:])
-
-    # -- 256-entry decode LUTs, built once per page (<= 254 tiny rows):
-    # len256[c] = emitted byte count of code c (ESC emits 1: its raw byte;
-    # rows >= n_codes other than ESC never occur in a valid stream);
-    # pad64[c] = the expansion right-padded to 8 bytes, viewed as one
-    # uint64 so the hot gather is a single 8-byte load from a 2 KiB table
-    # (a 64 K pair-LUT variant measured SLOWER — it blows L1/L2).
-    len256 = np.zeros(256, dtype=np.uint8)
-    len256[:n_codes] = sym_lens
-    len256[ESC] = 1
-    pad = np.zeros((256, 8), dtype=np.uint8)
-    for c in range(n_codes):
-        pad[c, : int(sym_lens[c])] = flat[starts_tab[c]:
-                                          starts_tab[c] + sym_lens[c]]
-    pad64 = pad.view(np.uint64).ravel()
-
+    s = raw[pos:]
     cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(enc_lens, out=cum[1:])
-    # string-aligned segments keep decode temporaries cache-resident under
-    # many-worker concurrency (same rationale as _encode_with_table)
-    if stream.shape[0] <= SEG_BYTES:
-        out_bytes, dec_lens = _decode_segment(stream, cum, len256, pad64)
-    else:
-        targets = np.arange(1, int(cum[-1] // SEG_BYTES) + 2,
-                            dtype=np.int64) * SEG_BYTES
-        cuts = np.unique(np.searchsorted(cum, targets).clip(1, n))
-        if cuts[-1] != n:
-            cuts = np.append(cuts, n)
-        outs, lens_parts = [], []
-        prev = 0
-        for c in cuts.tolist():
-            lo = int(cum[prev])
-            ob, dl = _decode_segment(stream[lo: int(cum[c])],
-                                     cum[prev: c + 1] - lo, len256, pad64)
-            outs.append(ob)
-            lens_parts.append(dl)
-            prev = c
-        out_bytes = np.concatenate(outs)
-        dec_lens = np.concatenate(lens_parts)
-
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(dec_lens, out=offsets[1:])
-    arr = pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(), n,
-        [None, pa.py_buffer(offsets.tobytes()),
-         pa.py_buffer(out_bytes.tobytes())],
-    )
-    return arr.cast(pa.large_string()) if tag == "str" else arr
-
-
-def _decode_segment(s: np.ndarray, cum: np.ndarray, len256: np.ndarray,
-                    pad64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Expand one stream segment via padded-symbol gather + one index
-    compaction. Every stream byte is an "emit": codes emit len256[c]
-    bytes, an escape's raw byte emits 0 (its bytes ride on the ESC
-    position) — so there is no emit-position subset to materialize at
-    all (the previous kernel's ``sid`` repeat / ``pos_e`` flatnonzero /
-    per-byte-position shrinking passes are gone; measured ~2x faster
-    single-thread on source text).
-
-    ``cum``: string-boundary byte offsets within ``s`` (cum[0] == 0,
-    cum[-1] == len(s)); int32 index math throughout — offsets are
-    bounded by 8 * SEG_BYTES << 2^31."""
     ns = s.shape[0]
     if ns == 0:
-        return (np.empty(0, np.uint8),
-                np.zeros(cum.shape[0] - 1, dtype=np.int64))
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(np.zeros(n + 1, np.int64).tobytes()),
+             pa.py_buffer(b"")],
+        ).cast(pa.large_string() if tag == "str" else pa.large_binary())
+
+    # per-page symbol table (tiny: <= 254 expansions + 256 raw bytes)
+    tab_lens = np.zeros(513, dtype=np.int64)
+    tab_lens[:n_codes] = sym_lens
+    tab_lens[256:512] = 1
+    toffs = np.zeros(514, dtype=np.int64)
+    np.cumsum(tab_lens, out=toffs[1:])
+    tdata = np.concatenate([flat, np.arange(256, dtype=np.uint8)])
+    symtab = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), 513,
+        [None, pa.py_buffer(toffs.tobytes()), pa.py_buffer(tdata.tobytes())])
+
+    idx = s.astype(np.int32)
     # -- escape resolution: in each maximal chain of consecutive 0xFF
     # bytes (chains also break at string boundaries), even offsets are
-    # escapes and odd offsets are their raw bytes. Only the (sparse) 0xFF
-    # positions are touched — string ids come from one searchsorted over
-    # those positions, not a stream-length sid array.
+    # escape MARKERS and odd offsets are their raw payload bytes. Only
+    # the (sparse) 0xFF positions are touched — string ids come from one
+    # searchsorted over those positions, not a stream-length sid array.
     p = np.flatnonzero(s == ESC)
-    esc_pos = raw_pos = None
-    L = len256[s]
     if p.size:
         sid_p = np.searchsorted(cum, p, side="right")
-        idx = np.arange(p.size, dtype=np.int64)
+        ar = np.arange(p.size, dtype=np.int64)
         new_chain = np.empty(p.size, dtype=bool)
         new_chain[0] = True
         new_chain[1:] = (np.diff(p) > 1) | (sid_p[1:] != sid_p[:-1])
-        chain_first = np.maximum.accumulate(np.where(new_chain, idx, 0))
-        esc_pos = p[((idx - chain_first) & 1) == 0]
+        chain_first = np.maximum.accumulate(np.where(new_chain, ar, 0))
+        esc_pos = p[((ar - chain_first) & 1) == 0]
         raw_pos = esc_pos + 1
-        L = L.copy()
-        L[raw_pos] = 0          # raw bytes emit nothing themselves
-    offs = np.zeros(ns + 1, dtype=np.int32)
-    np.cumsum(L, out=offs[1:])
-    total = int(offs[-1])
-    # output byte k of stream position i lives at pad-byte 8*i + (k -
-    # offs[i]); repeat the per-position base by L and add a running
-    # arange — two int32 passes of output length, then ONE byte gather
-    g = pad64[s]
-    base = np.repeat(np.arange(ns, dtype=np.int32) * 8 - offs[:-1], L)
-    sel = base + np.arange(total, dtype=np.int32)
-    out = g.view(np.uint8)[sel]
-    if esc_pos is not None:
-        # ESC emitted 1 placeholder byte (pad64[ESC] is zeros); overwrite
-        # with the true raw byte that follows it in the stream
-        out[offs[esc_pos]] = s[raw_pos]
-    dec_lens = (offs[cum[1:]] - offs[cum[:-1]]).astype(np.int64)
-    return out, dec_lens
+        idx[esc_pos] = s[raw_pos].astype(np.int32) + 256
+        idx[raw_pos] = 512
+    taken = symtab.take(pa.array(idx))
+    out_offs = np.frombuffer(taken.buffers()[1], np.int64, ns + 1,
+                             offset=taken.offset * 8)
+    str_offs = out_offs[cum]          # string boundaries, zero-copy data
+    dbuf = taken.buffers()[2]
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(str_offs).tobytes()),
+         dbuf if dbuf is not None else pa.py_buffer(b"")],
+    )
+    return arr.cast(pa.large_string()) if tag == "str" else arr
