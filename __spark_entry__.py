@@ -1175,6 +1175,35 @@ def q_decode_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("nd_lang"))
 
 
+def q_decode_pushdown_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal zone-map pushdown (round 4): decimal pages carry scaled
+    decimal TEXT min/max in their zones (pagecodec.page_minmax dec
+    branch) and prune_parts/decode_where compare them in the
+    decimal(38, s) domain — previously decimal zones were NULL and
+    never pruned. Orders are range-clustered on o_totalprice, so the
+    derived decimal(14,2) price column is part-contiguous (monotone
+    cast) and a selective price range skips parts outright; pruning
+    effectiveness is pinned in tests/test_zonemap.py, and this query
+    proves no qualifying row was dropped vs the SOURCE-table filter."""
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    df = (_read(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey"), F.col("o_totalprice"),
+                  F.expr("CAST(o_totalprice AS DECIMAL(14,2))")
+                  .alias("price")))
+    bounds = plan_range_bounds(df, "o_totalprice", 8)
+    cfg = EncodeConfig(range_on="o_totalprice", range_bounds=bounds,
+                       salt_from=(), order_keys=("o_orderkey",),
+                       table_name="orders_decrange")
+    pages = encode_table(df, cfg)
+    out = decode_where(pages, "price", lo="50000.00", hi="80000.00")
+    return out.agg(
+        F.count("*").alias("n"),
+        F.sum("price").alias("sum_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.countDistinct("o_orderkey").alias("nd_orders"))
+
+
 def q_zorder_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering on (doc_id, n_chars): part_id is the
     top bits of an interleaved quantile-rank code
@@ -1289,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
         "decode_pushdown_eq": q_decode_pushdown_eq,
         "decode_pushdown_range": q_decode_pushdown_range,
+        "decode_pushdown_decimal": q_decode_pushdown_decimal,
         "zorder_prune_documents": q_zorder_prune_documents,
         "decode_projection": q_decode_projection,
         "scan_column_agg": q_scan_column_agg,
@@ -1317,8 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # page framing conservation law (S2)
         "pages_conservation_documents":
             _pages_conservation("documents", DOCS_CFG),
-        "pages_conservation_lineitem":
-            _pages_conservation("lineitem", LINEITEM_CFG),
         # stats / selection (E8, S6)
         "codec_decision_sql": q_codec_decision_sql,
         # pipeline relational ops (§2.3) representatives
@@ -1334,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         # ---- below the driver's 50-row window: rotated-out rows, still --
         # ---- oracle-checked per commit by tools/check_contract.py -------
+        "pages_conservation_lineitem":
+            _pages_conservation("lineitem", LINEITEM_CFG),
         "stats_cardinality": q_stats_cardinality,
         "dict_domain": q_dict_domain,
         "events_sessionize": q_events_sessionize,
@@ -2482,6 +2512,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
             FROM documents
             WHERE doc_id BETWEEN 100 AND 299""",
+        "decode_pushdown_decimal": """
+            WITH t AS (SELECT o_orderkey,
+                              CAST(o_totalprice AS DECIMAL(14,2)) AS price
+                       FROM orders)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   SUM(price) AS sum_price,
+                   MIN(price) AS min_price,
+                   MAX(price) AS max_price,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_orders
+            FROM t
+            WHERE price >= CAST('50000.00' AS DECIMAL(14,2))
+              AND price <= CAST('80000.00' AS DECIMAL(14,2))""",
         "zorder_prune_documents": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

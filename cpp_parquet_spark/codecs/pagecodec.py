@@ -134,6 +134,17 @@ def dec_precision_scale(tag: str) -> tuple[int, int]:
     return int(parts[-2]), int(parts[-1])
 
 
+def dec_text(unscaled: int, scale: int) -> str:
+    """Scaled decimal text of an unscaled int ("12.34" for 1234, s=2) —
+    casts losslessly to decimal(38, s) in Spark SQL and DuckDB alike.
+    Used for decimal zone bounds and the ``__agg__`` exact-sum sidecar."""
+    if scale == 0:
+        return str(unscaled)
+    sign = "-" if unscaled < 0 else ""
+    ds = str(abs(unscaled)).rjust(scale + 1, "0")
+    return f"{sign}{ds[:-scale]}.{ds[-scale:]}"
+
+
 def int_like(tag: str) -> bool:
     """Tags whose value stream rides the int codec family."""
     return tag in INT_TAGS or is_dec(tag)
@@ -617,12 +628,21 @@ def page_minmax(arr: pa.Array, tag: str) -> tuple[str | None, str | None]:
 
     import pyarrow.compute as pc
 
-    if tag in ARR_TAGS or tag == "bin" or is_dec(tag) or is_dec38(tag):
-        # decimals: the text form would need scale-aware SQL casts on the
-        # zone-scan side; no pruning is the safe "unknown" default
+    if tag in ARR_TAGS or tag == "bin":
         return None, None
     if len(arr) - arr.null_count == 0:
         return None, None
+    if is_dec(tag):
+        # scaled decimal text; the zone scan casts to decimal(38, s)
+        _, s = dec_precision_scale(tag)
+        u = dec_unscaled(arr.drop_null() if arr.null_count else arr)
+        return dec_text(int(u.min()), s), dec_text(int(u.max()), s)
+    if is_dec38(tag):
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            return None, None
+        return str(mn), str(mx)
     if tag in ("ts", "tsn"):
         arr = arr.cast(pa.int64())
     elif tag == "date":

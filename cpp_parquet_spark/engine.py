@@ -235,11 +235,7 @@ def _agg_sum_text(s: int, tag: str) -> str:
     straight to decimal(38, scale) without knowing the unscaled domain."""
     if not pagecodec.is_dec(tag):
         return str(s)
-    _, scale = pagecodec.dec_precision_scale(tag)
-    if scale == 0:
-        return str(s)
-    sign, ds = ("-" if s < 0 else ""), str(abs(s)).rjust(scale + 1, "0")
-    return f"{sign}{ds[:-scale]}.{ds[-scale:]}"
+    return pagecodec.dec_text(s, pagecodec.dec_precision_scale(tag)[1])
 
 
 def make_encode_kernel(cols: list[str], tags: list[str], cfg: EncodeConfig,
@@ -659,6 +655,25 @@ _ZONE_CAST = {"i32": "long", "i64": "long", "i16": "long", "i8": "long",
               "tsn": "long", "date": "long", "f32": "double", "f64": "double"}
 
 
+def _zone_cast(tag: str | None) -> str | None:
+    """SQL cast target for a tag's zone text, incl. parameterized
+    decimals (round 4: decimal zones are scaled decimal text and prune
+    in the decimal(38, s) domain)."""
+    if tag is None:
+        return None
+    if pagecodec.is_dec(tag) or pagecodec.is_dec38(tag):
+        return f"decimal(38,{pagecodec.dec_precision_scale(tag)[1]})"
+    return _ZONE_CAST.get(tag)
+
+
+def _zone_lit(v, cast: str | None):
+    """Bound literal in the zone compare domain: decimal bounds go
+    through a text cast so callers may pass str/Decimal/int/float."""
+    if cast is not None and cast.startswith("decimal"):
+        return F.lit(str(v)).cast(cast)
+    return F.lit(v)
+
+
 def _column_tag(pages: DataFrame, column: str,
                 columns: list[tuple[str, str]] | None) -> str | None:
     hint = dict(columns or getattr(pages, "_cps_columns", None) or [])
@@ -679,18 +694,23 @@ def prune_parts(pages: DataFrame, column: str, lo=None, hi=None,
     page with NULL min/max (binary/list column, all-null page, long
     string, NaN float) keeps its part. ``lo``/``hi`` use the zone text
     domain: numbers for numeric columns, epoch MICROseconds for
-    timestamps, 0/1 for bools, raw strings for string columns."""
+    timestamps, 0/1 for bools, raw strings for string columns, and
+    decimal values (str/Decimal/number, e.g. "123.45") for decimal
+    columns — round 4: decimal zones prune in the decimal(38, s)
+    domain instead of the old never-prunes NULL zones."""
     tag = tag or _column_tag(pages, column, None)
-    cast = _ZONE_CAST.get(tag)
+    cast = _zone_cast(tag)
     mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
     mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
     zones = (pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
                   .select("part_id", mn.alias("mn"), mx.alias("mx")))
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & F.coalesce(F.col("mx") >= F.lit(lo), F.lit(True))
+        keep = keep & F.coalesce(F.col("mx") >= _zone_lit(lo, cast),
+                                 F.lit(True))
     if hi is not None:
-        keep = keep & F.coalesce(F.col("mn") <= F.lit(hi), F.lit(True))
+        keep = keep & F.coalesce(F.col("mn") <= _zone_lit(hi, cast),
+                                 F.lit(True))
     # a part survives when ANY of its pages may intersect
     return zones.filter(keep).select("part_id").distinct()
 
@@ -732,16 +752,19 @@ def decode_where(pages: DataFrame, column: str, lo=None, hi=None,
     for col, plo, phi in preds:
         tag = _column_tag(pages, col, cols_hint)
         c = F.col(col)
+        cast = None
         if tag in ("ts", "tsn"):  # zone domain is epoch microseconds
             c = F.unix_micros(c.cast("timestamp"))
         elif tag == "date":       # zone domain is epoch days
             c = F.datediff(c, F.lit("1970-01-01"))
         elif tag == "bool":
             c = c.cast("long")
+        elif tag and (pagecodec.is_dec(tag) or pagecodec.is_dec38(tag)):
+            cast = _zone_cast(tag)  # bounds are decimal text/values
         if plo is not None:
-            out = out.filter(c >= F.lit(plo))
+            out = out.filter(c >= _zone_lit(plo, cast))
         if phi is not None:
-            out = out.filter(c <= F.lit(phi))
+            out = out.filter(c <= _zone_lit(phi, cast))
     return out
 
 
@@ -755,14 +778,14 @@ def scan_column(pages: DataFrame, column: str, lo=None, hi=None,
     fraction of one column's bytes; the residual filter still applies,
     so results equal `decode + filter` exactly."""
     tag = _column_tag(pages, column, columns)
-    cast = _ZONE_CAST.get(tag)
+    cast = _zone_cast(tag)
     mn = F.col("min_v").cast(cast) if cast else F.col("min_v")
     mx = F.col("max_v").cast(cast) if cast else F.col("max_v")
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & F.coalesce(mx >= F.lit(lo), F.lit(True))
+        keep = keep & F.coalesce(mx >= _zone_lit(lo, cast), F.lit(True))
     if hi is not None:
-        keep = keep & F.coalesce(mn <= F.lit(hi), F.lit(True))
+        keep = keep & F.coalesce(mn <= _zone_lit(hi, cast), F.lit(True))
     hot = (pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
                 .filter(keep)
                 .select("data", "params", "codec", "type",
@@ -1856,7 +1879,7 @@ def column_stats_fast(pages: DataFrame, column: str,
       falls back to ``scan_column``; the count stays exact either way.
     """
     tag = _column_tag(pages, column, columns)
-    cast = _ZONE_CAST.get(tag)
+    cast = _zone_cast(tag)
     hot = pages.filter((F.col("column") == column) & (F.col("col_idx") >= 0))
     dels = pages.filter(F.col("codec") == DELETE_CODEC)
     dkeys = ([F.col("part_id"), F.col("run_id")]
@@ -1920,7 +1943,7 @@ def column_agg_fast(pages: DataFrame, column: str,
     sum_t = "decimal(38,0)"
     if pagecodec.is_dec(tag):
         sum_t = f"decimal(38,{pagecodec.dec_precision_scale(tag)[1]})"
-    cast = _ZONE_CAST.get(tag)
+    cast = _zone_cast(tag)
     rel = pages.filter((F.col("column") == column)
                        | (F.col("codec") == DELETE_CODEC))
     is_data = (F.col("col_idx") >= 0) & (F.col("column") == column)

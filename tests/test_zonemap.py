@@ -509,3 +509,74 @@ def test_column_stats_fast_metadata_only(spark, sf_dir, tmp_path):
         li.l_orderkey == li.select("l_orderkey").first()[0]).count()
     assert r2["n"] == li.count() - n_del
     assert r2["min_v"] is None and r2["max_v"] is None
+
+
+# ---------------------------------------------------------------------------
+# round 4: decimal zones (scaled decimal text, decimal(38, s) compare domain)
+# ---------------------------------------------------------------------------
+
+def test_page_minmax_decimals():
+    import decimal
+    D = decimal.Decimal
+    arr = pa.array([D("1.25"), D("-3.50"), None, D("7.00")],
+                   pa.decimal128(10, 2))
+    assert pagecodec.page_minmax(arr, "dec:10:2") == ("-3.50", "7.00")
+    wide = pa.array([D(10**20), D(-5 * 10**19), None], pa.decimal128(38, 0))
+    assert pagecodec.page_minmax(wide, "dec38:38:0") == \
+        ("-50000000000000000000", "100000000000000000000")
+    # all-null stays unknown
+    assert pagecodec.page_minmax(
+        pa.array([None, None], pa.decimal128(10, 2)), "dec:10:2") \
+        == (None, None)
+
+
+def test_decimal_pushdown_prunes_and_matches(spark):
+    """Range-clustered decimal column: a selective price range must PRUNE
+    parts (not just filter rows) and decode_where == decode + filter."""
+    from cpp_parquet_spark.partitioning import plan_range_bounds
+    df = (spark.range(0, 20000)
+          .select(F.col("id"),
+                  F.expr("CAST(id AS DECIMAL(14,2)) / 100").alias("price"),
+                  F.expr("CAST(CAST(id AS DECIMAL(38,6)) * "
+                         "CAST(100000000000000 AS DECIMAL(15,0)) "
+                         "AS DECIMAL(38,6))").alias("wide")))
+    bounds = plan_range_bounds(df, "id", 8)
+    cfg = EncodeConfig(range_on="id", range_bounds=bounds, salt_from=(),
+                       order_keys=("id",), table_name="zdec")
+    pages = encode_table(df, cfg).cache()
+    try:
+        pages.count()
+        total = pages.select("part_id").distinct().count()
+        kept = prune_parts(pages, "price", lo="50.00", hi="60.00").count()
+        assert kept < total, (kept, total)     # zones actually pruned
+        got = decode_where(pages, "price", lo="50.00", hi="60.00",
+                           spark=spark)
+        want = df.filter((F.col("price") >= 50) & (F.col("price") <= 60))
+        assert got.count() == want.count() == 1001
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # wide-decimal (dec38) zones prune too
+        kept_w = prune_parts(pages, "wide",
+                             lo="500000000000000000.000000",
+                             hi="600000000000000000.000000").count()
+        assert kept_w < total, (kept_w, total)
+    finally:
+        pages.unpersist()
+
+
+def test_decimal_metadata_minmax(spark):
+    """column_stats_fast / column_agg_fast return typed decimal extrema
+    from zones alone (previously decimals always came back NULL)."""
+    import decimal
+    from cpp_parquet_spark.engine import column_agg_fast
+    df = (spark.range(0, 5000)
+          .select(F.col("id"),
+                  F.expr("CAST(id AS DECIMAL(14,2)) / 4").alias("d")))
+    cfg = EncodeConfig(keys=("id",), salt_from=(), num_parts=4,
+                       order_keys=("id",), table_name="zdm")
+    pages = encode_table(df, cfg)
+    r = column_agg_fast(pages, "d").collect()[0]
+    assert r["min_v"] == decimal.Decimal("0")
+    assert r["max_v"] == decimal.Decimal("1249.75")
+    assert r["sum_v"] == decimal.Decimal("3124375.00")
+    assert r["n"] == 5000
