@@ -35,14 +35,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import plain, rle
+from .codecs import pagecodec, plain, rle
 
 # --- parquet-format enum values (parquet.thrift) ------------------------------
 T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
+T_FLBA = 7                                # FIXED_LEN_BYTE_ARRAY
 ENC_PLAIN, ENC_PLAIN_DICTIONARY, ENC_RLE, ENC_RLE_DICTIONARY = 0, 2, 3, 8
 REP_REQUIRED, REP_OPTIONAL = 0, 1
 PAGE_DATA, PAGE_DICTIONARY = 0, 2
-CONV_UTF8 = 0
+# ConvertedType (parquet.thrift): annotations over the physical types
+CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
+CONV_INT_8, CONV_INT_16 = 15, 16
 
 _MAGIC = b"PAR1"
 
@@ -251,14 +254,64 @@ def _deinterleave(data: bytes, n: int) -> pa.Array:
 
 # --- writer --------------------------------------------------------------------
 
-_PQ_TYPE = {"i32": T_INT32, "i64": T_INT64, "f64": T_DOUBLE,
-            "str": T_BYTE_ARRAY}
+_PQ_TYPE = {"i32": T_INT32, "i64": T_INT64, "f32": T_FLOAT,
+            "f64": T_DOUBLE, "str": T_BYTE_ARRAY, "bool": T_BOOLEAN}
 _NP_OF = {"i32": np.int32, "i64": np.int64, "f64": np.float64}
+
+
+def _colspec(t: pa.DataType) -> tuple[str, int, list[tuple[int, int]]]:
+    """(emitter tag, physical type, SchemaElement extra fields) for an
+    Arrow column type. Narrow ints, dates and small decimals ride the
+    format's INT32/INT64 physical types with a ConvertedType annotation
+    (parquet.thrift SchemaElement fids 6=converted_type 7=scale
+    8=precision) — the exact storage convention pyarrow itself uses."""
+    if t == pa.bool_():
+        return "bool", T_BOOLEAN, []
+    if t == pa.int8():
+        return "i32", T_INT32, [(6, CONV_INT_8)]
+    if t == pa.int16():
+        return "i32", T_INT32, [(6, CONV_INT_16)]
+    if t == pa.int32():
+        return "i32", T_INT32, []
+    if t == pa.int64():
+        return "i64", T_INT64, []
+    if t == pa.date32():
+        return "i32", T_INT32, [(6, CONV_DATE)]
+    if t == pa.float32():
+        return "f32", T_FLOAT, []
+    if t == pa.float64():
+        return "f64", T_DOUBLE, []
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise ValueError("interop writer: decimal precision > 18")
+        return "i64", T_INT64, [(6, CONV_DECIMAL),
+                                (7, t.scale), (8, t.precision)]
+    return "str", T_BYTE_ARRAY, [(6, CONV_UTF8)]
+
+
+def _pq_work(work: pa.Array, tag: str) -> pa.Array:
+    """Null-free values in the physical-type domain the emitter packs:
+    narrow ints widen to int32, date32 reinterprets as epoch-day int32,
+    decimals become unscaled int64 (low word; p <= 18), strings go
+    large_string."""
+    t = work.type
+    if t in (pa.int8(), pa.int16()):
+        return work.cast(pa.int32())
+    if t == pa.date32():
+        return work.view(pa.int32())
+    if pa.types.is_decimal(t):
+        return pa.array(pagecodec.dec_unscaled(work.combine_chunks()
+                        if isinstance(work, pa.ChunkedArray) else work))
+    if tag == "str" and not pa.types.is_large_string(t):
+        return work.cast(pa.large_string())
+    return work
 
 
 def _plain_values(work: pa.Array, tag: str) -> bytes:
     if tag == "str":
         return _interleave(work)
+    if tag == "bool":
+        return plain.encode_bool(work.to_numpy(zero_copy_only=False))
     return plain.encode_fixed(
         work.to_numpy(zero_copy_only=False), tag)
 
@@ -301,20 +354,18 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     for name, arr in columns.items():
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        tag = {pa.int32(): "i32", pa.int64(): "i64",
-               pa.float64(): "f64"}.get(arr.type, "str")
+        tag, ptype, extras = _colspec(arr.type)
         work = arr.drop_null() if arr.null_count else arr
-        if tag == "str":
-            work = work.cast(pa.large_string())
         optional = arr.null_count > 0
         levels = _def_levels(arr) if optional else b""
         dict_off = None
         chunk_start = len(body)
         if name in dictionary:
+            if tag == "bool":
+                raise ValueError("the format has no BOOLEAN dictionary "
+                                 "encoding; write bools PLAIN")
             dct = work.dictionary_encode()
-            uniq = dct.dictionary
-            if tag == "str":
-                uniq = uniq.cast(pa.large_string())
+            uniq = _pq_work(dct.dictionary, tag)
             dict_payload = _plain_values(uniq, tag)
             codes = dct.indices.to_numpy(zero_copy_only=False) \
                 .astype(np.uint64)
@@ -331,7 +382,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             body += data_payload
             encodings = [ENC_PLAIN_DICTIONARY, ENC_RLE]
         else:
-            data_payload = levels + _plain_values(work, tag)
+            data_payload = levels + _plain_values(_pq_work(work, tag), tag)
             data_off = len(body)
             body += _page_header(PAGE_DATA, len(data_payload), n, ENC_PLAIN)
             body += data_payload
@@ -340,26 +391,26 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         # total_compressed_size semantics — readers slice the chunk
         # region by this)
         total = len(body) - chunk_start
-        meta = (_CW().i32(1, _PQ_TYPE[tag]).list_i32(2, encodings)
+        meta = (_CW().i32(1, ptype).list_i32(2, encodings)
                 .list_binary(3, [name.encode()]).i32(4, 0)
                 .i64(5, n).i64(6, total).i64(7, total)
                 .i64(9, data_off))
         if dict_off is not None:
             meta.i64(11, dict_off)
-        chunks.append((name, tag, optional,
+        chunks.append((name, ptype, extras, optional,
                        _CW().i64(2, data_off).struct(3, meta.done()).done(),
                        total))
     root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
     elems = [root]
-    for name, tag, optional, _, _ in chunks:
-        e = _CW().i32(1, _PQ_TYPE[tag]) \
+    for name, ptype, extras, optional, _, _ in chunks:
+        e = _CW().i32(1, ptype) \
             .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
             .binary(4, name.encode())
-        if tag == "str":
-            e.i32(6, CONV_UTF8)
+        for fid, v in extras:
+            e.i32(fid, v)
         elems.append(e.done())
-    rg = (_CW().list_struct(1, [c[3] for c in chunks])
-          .i64(2, sum(c[4] for c in chunks)).i64(3, n)).done()
+    rg = (_CW().list_struct(1, [c[4] for c in chunks])
+          .i64(2, sum(c[5] for c in chunks)).i64(3, n)).done()
     fmeta = (_CW().i32(1, 1).list_struct(2, elems).i64(3, n)
              .list_struct(4, [rg])
              .binary(6, b"cpp_parquet_spark interop")).done()
@@ -384,16 +435,17 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
     schema = meta[2]
-    # leaf elements follow the root; map name -> (type, optional)
+    # leaf elements follow the root; keep the whole SchemaElement so the
+    # ConvertedType annotation (fid 6, + scale 7 / precision 8) survives
     leaves = {}
     for el in schema[1:]:
-        leaves[el[4].decode()] = (el[1], el.get(3, 0) == REP_OPTIONAL)
+        leaves[el[4].decode()] = (el[1], el.get(3, 0) == REP_OPTIONAL, el)
     out: dict[str, pa.Array] = {}
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
             name = cm[3][0].decode()
-            ptype, optional = leaves[name]
+            ptype, optional, el = leaves[name]
             n_total = cm[5]
             pos = cm.get(11, cm[9])           # dictionary page first if any
             uniq = None
@@ -406,7 +458,7 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                 pos = r.pos + ph[3]
                 if ph[1] == PAGE_DICTIONARY:
                     nd = ph[7][1]
-                    uniq = _decode_plain(payload, nd, ptype)
+                    uniq = _decode_plain(payload, nd, ptype, el.get(2, 0))
                     continue
                 if ph[1] != PAGE_DATA:
                     continue
@@ -426,7 +478,7 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     codes = rle.decode(payload[1:], {"bw": int(bw)}, k)
                     vals = uniq.take(pa.array(codes.astype(np.int64)))
                 elif enc == ENC_PLAIN:
-                    vals = _decode_plain(payload, k, ptype)
+                    vals = _decode_plain(payload, k, ptype, el.get(2, 0))
                 else:
                     raise ValueError(f"encoding {enc} unsupported")
                 if k < nv:
@@ -435,12 +487,49 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                 got.append(vals)
                 n_seen += nv
             col = pa.concat_arrays([g.cast(got[0].type) for g in got])
-            out[name] = col
+            out[name] = _apply_converted(col, el)
     return out
 
 
-def _decode_plain(payload: bytes, k: int, ptype: int) -> pa.Array:
+def _apply_converted(col: pa.Array, el: dict) -> pa.Array:
+    """Lift a physical-domain column into its ConvertedType annotation
+    (date32 / narrow ints / decimal). Decimal reinterprets the ints as
+    UNSCALED values (a plain cast would scale them), via the text form —
+    per-value Python, acceptable for conformance reads."""
+    conv = el.get(6)
+    if conv == CONV_DATE:
+        return col.cast(pa.int32()).view(pa.date32())
+    if conv == CONV_INT_8:
+        return col.cast(pa.int8())
+    if conv == CONV_INT_16:
+        return col.cast(pa.int16())
+    if conv == CONV_DECIMAL:
+        import decimal
+        s, p = el.get(7, 0), el.get(8, 38)
+
+        def as_unscaled(v):
+            # INT32/INT64 storage gives ints; FLBA storage gives
+            # big-endian two's-complement bytes (parquet.thrift DECIMAL)
+            if isinstance(v, bytes):
+                return int.from_bytes(v, "big", signed=True)
+            return int(v)
+
+        return pa.array(
+            [None if v is None else
+             decimal.Decimal(as_unscaled(v)).scaleb(-s)
+             for v in col.to_pylist()], pa.decimal128(p, s))
+    return col
+
+
+def _decode_plain(payload: bytes, k: int, ptype: int,
+                  tlen: int = 0) -> pa.Array:
     if ptype == T_BYTE_ARRAY:
         return _deinterleave(payload, k)
-    np_t = {T_INT32: "i32", T_INT64: "i64", T_DOUBLE: "f64"}[ptype]
+    if ptype == T_BOOLEAN:
+        return pa.array(plain.decode_bool(payload, k))
+    if ptype == T_FLBA:
+        return pa.array([payload[i * tlen:(i + 1) * tlen]
+                         for i in range(k)], pa.binary())
+    np_t = {T_INT32: "i32", T_INT64: "i64",
+            T_FLOAT: "f32", T_DOUBLE: "f64"}[ptype]
     return pa.array(plain.decode_fixed(payload, np_t, k))

@@ -115,3 +115,88 @@ def test_interleave_roundtrip():
     assert blob[:4] == b"\x00\x00\x00\x00"
     back = interop._deinterleave(blob, len(arr))
     assert back.to_pylist() == arr.to_pylist()
+
+
+# --- round 4: extended physical/converted types --------------------------------
+
+def _ext_cols(n=1500, seed=5):
+    import datetime
+    import decimal
+    rng = np.random.default_rng(seed)
+    D = decimal.Decimal
+    days = rng.integers(-3000, 20000, n).astype(np.int32)
+    dmask = np.arange(n) % 9 == 0
+    return {
+        "b_req": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "i8_opt": pa.array([None if i % 7 == 0 else int(v) for i, v in
+                            enumerate(rng.integers(-128, 128, n))],
+                           pa.int8()),
+        "i16_req": pa.array(rng.integers(-2**15, 2**15, n).astype(np.int16)),
+        "f32_req": pa.array(rng.normal(size=n).astype(np.float32)),
+        "d_opt": pa.array(days, pa.int32(), mask=dmask).view(pa.date32()),
+        "dec_req": pa.array([D(int(v)).scaleb(-2) for v in
+                             rng.integers(-10**10, 10**10, n)],
+                            pa.decimal128(12, 2)),
+        "dec_opt": pa.array([None if i % 11 == 0 else D(int(v)).scaleb(-4)
+                             for i, v in
+                             enumerate(rng.integers(-10**17, 10**17, n))],
+                            pa.decimal128(18, 4)),
+        "_dt": datetime,  # unused guard against lint removal
+    }
+
+
+def _drop_guard(cols):
+    cols = dict(cols)
+    cols.pop("_dt")
+    return cols
+
+
+def test_our_extended_types_read_by_pyarrow(tmp_path):
+    """Direction A for bool/date/narrow-int/float32/decimal: a file built
+    from OUR emitters (PLAIN bool bit-pack LSB-first, INT32-widened
+    narrow ints, epoch-day dates, unscaled-int64 decimals) must read
+    back exactly in pyarrow, PLAIN and dictionary-encoded."""
+    cols = _drop_guard(_ext_cols())
+    p = str(tmp_path / "ours_ext.parquet")
+    interop.write_parquet(p, cols,
+                          dictionary={"i16_req", "dec_req", "d_opt"})
+    got = pq.read_table(p)
+    assert got.num_rows == len(cols["b_req"])
+    for name, arr in cols.items():
+        g = got.column(name).combine_chunks()
+        g = g.cast(arr.type) if g.type != arr.type else g
+        assert g.to_pylist() == arr.to_pylist(), name
+
+
+def test_our_bool_dictionary_rejected(tmp_path):
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        interop.write_parquet(str(tmp_path / "x.parquet"),
+                              {"b": pa.array([True, False])},
+                              dictionary={"b"})
+
+
+def test_our_wide_decimal_rejected(tmp_path):
+    import decimal
+    with pytest.raises(ValueError, match="precision"):
+        interop.write_parquet(
+            str(tmp_path / "x.parquet"),
+            {"w": pa.array([decimal.Decimal(1)], pa.decimal128(38, 0))})
+
+
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_pyarrow_extended_types_read_by_our_codecs(tmp_path, use_dictionary):
+    """Direction B: pyarrow-written bool/date/narrow-int/float32/decimal
+    decode exactly through OUR kernels + the ConvertedType lift
+    (pyarrow stores decimals as FIXED_LEN_BYTE_ARRAY big-endian
+    two's-complement; the reader handles FLBA + INT32/INT64 storage)."""
+    cols = _drop_guard(_ext_cols(seed=29))
+    tbl = pa.table(cols)
+    p = str(tmp_path / "theirs_ext.parquet")
+    pq.write_table(tbl, p, compression="NONE",
+                   use_dictionary=use_dictionary,
+                   data_page_version="1.0", write_statistics=False)
+    got = interop.read_parquet_with_our_codecs(p)
+    for name, arr in cols.items():
+        g = got[name]
+        g = g.cast(arr.type) if g.type != arr.type else g
+        assert g.to_pylist() == arr.to_pylist(), name
