@@ -1,4 +1,5 @@
-"""Parquet cross-reader conformance for E1-E5 (SURVEY.md §5.2 item 1).
+"""Parquet cross-reader conformance for E1-E5 + the DELTA family / BSS
+(SURVEY.md §5.2 item 1).
 
 Everything else in the engine stores pages in its own framing (the pages
 table); the codecs themselves, though, implement the *format's* value
@@ -35,14 +36,16 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import pagecodec, plain, rle
+from .codecs import bss, deltafmt, pagecodec, plain, rle
 
 # --- parquet-format enum values (parquet.thrift) ------------------------------
 T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
 T_FLBA = 7                                # FIXED_LEN_BYTE_ARRAY
 ENC_PLAIN, ENC_PLAIN_DICTIONARY, ENC_RLE, ENC_RLE_DICTIONARY = 0, 2, 3, 8
+ENC_DELTA_BINARY_PACKED, ENC_DELTA_LENGTH_BA, ENC_DELTA_BA = 5, 6, 7
+ENC_BYTE_STREAM_SPLIT = 9
 REP_REQUIRED, REP_OPTIONAL = 0, 1
-PAGE_DATA, PAGE_DICTIONARY = 0, 2
+PAGE_DATA, PAGE_DICTIONARY, PAGE_DATA_V2 = 0, 2, 3
 # ConvertedType (parquet.thrift): annotations over the physical types
 CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
 CONV_INT_8, CONV_INT_16 = 15, 16
@@ -91,6 +94,10 @@ class _CW:
     def i32(self, fid: int, v: int) -> "_CW":
         self._hdr(fid, _CT_I32)
         self.b += _uvarint(_zigzag(v))
+        return self
+
+    def bool_(self, fid: int, v: bool) -> "_CW":
+        self._hdr(fid, 1 if v else 2)     # compact bool rides the header
         return self
 
     def i64(self, fid: int, v: int) -> "_CW":
@@ -317,35 +324,95 @@ def _plain_values(work: pa.Array, tag: str) -> bytes:
 
 
 def _page_header(ptype: int, usize: int, num_values: int,
-                 encoding: int) -> bytes:
-    inner = (_CW().i32(1, num_values).i32(2, encoding)
-             .i32(3, ENC_RLE).i32(4, ENC_RLE).done()) \
-        if ptype == PAGE_DATA else \
-        (_CW().i32(1, num_values).i32(2, encoding).done())
-    w = _CW().i32(1, ptype).i32(2, usize).i32(3, usize)
+                 encoding: int, num_nulls: int = 0,
+                 def_len: int = 0) -> bytes:
+    """PageHeader bytes for a v1 data page, dictionary page, or v2 data
+    page (DataPageHeaderV2 at fid 8: num_values/num_nulls/num_rows/
+    encoding/def-levels-length/rep-levels-length/is_compressed)."""
     if ptype == PAGE_DATA:
-        w.struct(5, inner)
+        inner = (_CW().i32(1, num_values).i32(2, encoding)
+                 .i32(3, ENC_RLE).i32(4, ENC_RLE).done())
+        fid = 5
+    elif ptype == PAGE_DATA_V2:
+        inner = (_CW().i32(1, num_values).i32(2, num_nulls)
+                 .i32(3, num_values).i32(4, encoding)
+                 .i32(5, def_len).i32(6, 0).bool_(7, False).done())
+        fid = 8
     else:
-        w.struct(7, inner)
+        inner = (_CW().i32(1, num_values).i32(2, encoding).done())
+        fid = 7
+    w = _CW().i32(1, ptype).i32(2, usize).i32(3, usize)
+    w.struct(fid, inner)
     return w.done()
 
 
-def _def_levels(arr: pa.Array) -> bytes:
-    """Optional-column definition levels: RLE(bw=1) with the v1 u32
-    length prefix, stream bytes from OUR encoder."""
+def _level_stream(arr: pa.Array) -> bytes:
+    """Definition-level RLE(bw=1) stream bytes from OUR encoder (no
+    length prefix — v1 prepends u32, v2 carries the length in the page
+    header)."""
     valid = arr.is_valid().to_numpy(zero_copy_only=False) \
         if arr.null_count else np.ones(len(arr), bool)
     stream, _ = rle.encode(valid.astype(np.uint64), bit_width=1)
+    return stream
+
+
+def _def_levels(arr: pa.Array) -> bytes:
+    """Optional-column definition levels with the v1 u32 length prefix."""
+    stream = _level_stream(arr)
     return np.uint32(len(stream)).tobytes() + stream
 
 
+_ENC_BY_NAME = {
+    "delta": ENC_DELTA_BINARY_PACKED,
+    "delta_length": ENC_DELTA_LENGTH_BA,
+    "delta_byte_array": ENC_DELTA_BA,
+    "byte_stream_split": ENC_BYTE_STREAM_SPLIT,
+}
+
+
+def _encode_values(work: pa.Array, tag: str, enc: int) -> bytes:
+    """Value-section bytes for one data page in the given format
+    encoding, from OUR kernels (deltafmt / bss / plain)."""
+    if enc == ENC_PLAIN:
+        return _plain_values(work, tag)
+    if enc == ENC_DELTA_BINARY_PACKED:
+        if tag not in ("i32", "i64"):
+            raise ValueError(f"DELTA_BINARY_PACKED is int-only, got {tag}")
+        return deltafmt.dbp_encode(work.to_numpy(zero_copy_only=False),
+                                   bits=32 if tag == "i32" else 64)
+    if enc == ENC_DELTA_LENGTH_BA:
+        if tag != "str":
+            raise ValueError("DELTA_LENGTH_BYTE_ARRAY is BYTE_ARRAY-only")
+        return deltafmt.dlba_encode(work)
+    if enc == ENC_DELTA_BA:
+        if tag != "str":
+            raise ValueError("DELTA_BYTE_ARRAY is BYTE_ARRAY-only")
+        return deltafmt.dba_encode(work)
+    if enc == ENC_BYTE_STREAM_SPLIT:
+        if tag not in ("f32", "f64"):
+            raise ValueError(f"BYTE_STREAM_SPLIT here is float-only, "
+                             f"got {tag}")
+        return bss.split_bytes(work.to_numpy(zero_copy_only=False))
+    raise ValueError(f"encoding {enc} has no emitter")
+
+
 def write_parquet(path: str, columns: dict[str, pa.Array],
-                  dictionary: set[str] | frozenset[str] = frozenset()
+                  dictionary: set[str] | frozenset[str] = frozenset(),
+                  encodings: dict[str, str] | None = None,
                   ) -> None:
-    """Write a real one-row-group Parquet file (v1 pages, uncompressed)
-    whose value streams come from OUR codec emitters. ``dictionary``
-    names columns written as dict page + RLE-coded indices
-    (PLAIN_DICTIONARY convention); the rest are PLAIN."""
+    """Write a real one-row-group Parquet file (uncompressed) whose page
+    payloads come verbatim from OUR codec emitters. ``dictionary`` names
+    columns written as dict page + RLE-coded indices (PLAIN_DICTIONARY
+    convention, v1 pages); ``encodings`` maps column name -> one of
+    ``delta`` (DELTA_BINARY_PACKED, int physical types),
+    ``delta_length`` / ``delta_byte_array`` (BYTE_ARRAY), or
+    ``byte_stream_split`` (FLOAT/DOUBLE) — those columns are written as
+    **v2 data pages** (levels outside the value section, lengths carried
+    in the DataPageHeaderV2). The rest are PLAIN v1 pages."""
+    encodings = encodings or {}
+    overlap = set(encodings) & set(dictionary)
+    if overlap:
+        raise ValueError(f"columns both dictionary and encoded: {overlap}")
     n_rows = {len(a) for a in columns.values()}
     assert len(n_rows) == 1, "columns must be equal length"
     n = n_rows.pop()
@@ -360,7 +427,17 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         levels = _def_levels(arr) if optional else b""
         dict_off = None
         chunk_start = len(body)
-        if name in dictionary:
+        if name in encodings:
+            enc = _ENC_BY_NAME[encodings[name]]
+            lvl = _level_stream(arr) if optional else b""
+            payload = lvl + _encode_values(_pq_work(work, tag), tag, enc)
+            data_off = len(body)
+            body += _page_header(PAGE_DATA_V2, len(payload), n, enc,
+                                 num_nulls=arr.null_count,
+                                 def_len=len(lvl))
+            body += payload
+            enc_list = [enc, ENC_RLE]
+        elif name in dictionary:
             if tag == "bool":
                 raise ValueError("the format has no BOOLEAN dictionary "
                                  "encoding; write bools PLAIN")
@@ -380,18 +457,18 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             body += _page_header(PAGE_DATA, len(data_payload), n,
                                  ENC_PLAIN_DICTIONARY)
             body += data_payload
-            encodings = [ENC_PLAIN_DICTIONARY, ENC_RLE]
+            enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
         else:
             data_payload = levels + _plain_values(_pq_work(work, tag), tag)
             data_off = len(body)
             body += _page_header(PAGE_DATA, len(data_payload), n, ENC_PLAIN)
             body += data_payload
-            encodings = [ENC_PLAIN, ENC_RLE]
+            enc_list = [ENC_PLAIN, ENC_RLE]
         # chunk sizes INCLUDE the page headers (parquet.thrift
         # total_compressed_size semantics — readers slice the chunk
         # region by this)
         total = len(body) - chunk_start
-        meta = (_CW().i32(1, ptype).list_i32(2, encodings)
+        meta = (_CW().i32(1, ptype).list_i32(2, enc_list)
                 .list_binary(3, [name.encode()]).i32(4, 0)
                 .i64(5, n).i64(6, total).i64(7, total)
                 .i64(9, data_off))
@@ -424,12 +501,14 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
 # --- reader (pyarrow-written file -> our decoders) ------------------------------
 
 def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
-    """Decode every column of a v1, UNCOMPRESSED Parquet file using OUR
-    rle/plain/dictionary kernels (page headers and footer parsed with
-    the minimal compact-protocol reader). Supports the subset the
-    conformance tests write via pyarrow: flat INT32/INT64/DOUBLE/
-    BYTE_ARRAY(UTF8) columns, PLAIN or dictionary-encoded, optional or
-    required, any number of data pages per chunk."""
+    """Decode every column of an UNCOMPRESSED Parquet file (v1 or v2
+    data pages) using OUR rle/plain/dictionary/deltafmt/bss kernels
+    (page headers and footer parsed with the minimal compact-protocol
+    reader). Supports the subset the conformance tests write via
+    pyarrow: flat INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY(UTF8) columns,
+    PLAIN / dictionary / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+    DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT encoded, optional or required,
+    any number of data pages per chunk."""
     buf = open(path, "rb").read()
     assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
@@ -460,18 +539,37 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     nd = ph[7][1]
                     uniq = _decode_plain(payload, nd, ptype, el.get(2, 0))
                     continue
-                if ph[1] != PAGE_DATA:
-                    continue
-                dp = ph[5]
-                nv = dp[1]
-                enc = dp[2]
-                if optional:
-                    dlen = int(np.frombuffer(payload[:4], np.uint32)[0])
-                    levels = rle.decode(payload[4:4 + dlen], {"bw": 1}, nv)
-                    valid = levels.astype(bool)
-                    payload = payload[4 + dlen:]
+                if ph[1] == PAGE_DATA:
+                    dp = ph[5]
+                    nv = dp[1]
+                    enc = dp[2]
+                    if optional:
+                        # v1: def levels ride the value section with a
+                        # u32 length prefix
+                        dlen = int(np.frombuffer(payload[:4], np.uint32)[0])
+                        levels = rle.decode(payload[4:4 + dlen],
+                                            {"bw": 1}, nv)
+                        valid = levels.astype(bool)
+                        payload = payload[4 + dlen:]
+                    else:
+                        valid = np.ones(nv, bool)
+                elif ph[1] == PAGE_DATA_V2:
+                    # DataPageHeaderV2: 1=num_values 2=num_nulls
+                    # 4=encoding 5=def-levels len 6=rep-levels len;
+                    # levels lead the payload, rep before def, no prefix
+                    dp = ph[8]
+                    nv = dp[1]
+                    enc = dp[4]
+                    rlen, dlen = dp.get(6, 0), dp.get(5, 0)
+                    if dlen:
+                        levels = rle.decode(payload[rlen:rlen + dlen],
+                                            {"bw": 1}, nv)
+                        valid = levels.astype(bool)
+                    else:
+                        valid = np.ones(nv, bool)
+                    payload = payload[rlen + dlen:]
                 else:
-                    valid = np.ones(nv, bool)
+                    continue
                 k = int(valid.sum())
                 if enc in (ENC_PLAIN_DICTIONARY, ENC_RLE_DICTIONARY):
                     bw = payload[0]
@@ -479,6 +577,21 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     vals = uniq.take(pa.array(codes.astype(np.int64)))
                 elif enc == ENC_PLAIN:
                     vals = _decode_plain(payload, k, ptype, el.get(2, 0))
+                elif enc == ENC_DELTA_BINARY_PACKED:
+                    v, _ = deltafmt.dbp_decode(
+                        payload, 0, bits=32 if ptype == T_INT32 else 64)
+                    if v.size != k:
+                        raise ValueError(f"DBP count {v.size} != {k}")
+                    vals = pa.array(v)
+                elif enc == ENC_DELTA_LENGTH_BA:
+                    vals = deltafmt.dlba_decode(payload, k) \
+                        .cast(pa.large_string())
+                elif enc == ENC_DELTA_BA:
+                    vals = deltafmt.dba_decode(payload, k) \
+                        .cast(pa.large_string())
+                elif enc == ENC_BYTE_STREAM_SPLIT:
+                    dt = {T_FLOAT: np.float32, T_DOUBLE: np.float64}[ptype]
+                    vals = pa.array(bss.unsplit_bytes(payload, k, dt))
                 else:
                     raise ValueError(f"encoding {enc} unsupported")
                 if k < nv:
