@@ -207,6 +207,42 @@ def q_parquet_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h").agg(F.count("*").alias("cnt")))
 
 
+def q_parquet_interop_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 extension of the cross-reader conformance query: the
+    documents table is written as a REAL .parquet file with **v2 data
+    pages** whose value streams come from OUR DELTA-family emitters
+    (DELTA_BINARY_PACKED ints, DELTA_LENGTH_BYTE_ARRAY text,
+    DELTA_BYTE_ARRAY source strings — cpp_parquet_spark.codecs.deltafmt,
+    the public parquet-format Encodings.md grammars), read back by
+    PYARROW's Parquet reader, and histogrammed; the oracle computes the
+    same histogram from the source table. Driver-side single file BY
+    DESIGN — format-conformance evidence, not a scale path
+    (tests/test_deltafmt.py covers the reverse direction: pyarrow-written
+    DELTA/BSS pages, v1 and v2, through our decoders)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from cpp_parquet_spark import interop
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars", "source", "text"])
+    cols = {n: tbl.column(n).combine_chunks() for n in tbl.column_names}
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ours_delta.parquet")
+        interop.write_parquet(p, cols, encodings={
+            "doc_id": "delta", "n_chars": "delta",
+            "text": "delta_length", "source": "delta_byte_array"})
+        back = pq.read_table(p)
+    df = spark.createDataFrame(back.to_pandas())
+    row_txt = F.concat_ws(
+        "|", F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("NULL")),
+        F.coalesce(F.col("source"), F.lit("NULL")),
+        F.coalesce(F.col("text"), F.lit("NULL")))
+    return (df.select(F.sha2(row_txt.cast("binary"), 256).alias("h"))
+            .groupBy("h").agg(F.count("*").alias("cnt")))
+
+
 def q_roundtrip_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested columns (round 4, cpp_parquet_spark.nested): a
     map<string,string> and a struct<u:bigint,v:double> derived from
@@ -1329,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-reader conformance
         "roundtrip_wide_types": q_roundtrip_wide_types,
         "parquet_interop": q_parquet_interop,
+        "parquet_interop_delta": q_parquet_interop_delta,
         "roundtrip_map_struct": q_roundtrip_map_struct,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
@@ -1513,6 +1550,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(concat(
                      coalesce(CAST(doc_id AS VARCHAR), 'NULL'), '|',
                      coalesce(lang, 'NULL'), '|',
+                     coalesce(text, 'NULL'))) AS h,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1""",
+        "parquet_interop_delta": """
+            SELECT sha256(concat(
+                     coalesce(CAST(doc_id AS VARCHAR), 'NULL'), '|',
+                     coalesce(CAST(n_chars AS VARCHAR), 'NULL'), '|',
+                     coalesce(source, 'NULL'), '|',
                      coalesce(text, 'NULL'))) AS h,
                    count(*) AS cnt
             FROM documents GROUP BY 1""",
