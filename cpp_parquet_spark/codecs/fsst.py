@@ -62,15 +62,17 @@ class SymbolTable:
         self._enc_luts = None             # lazy uint8 encode-side LUTs
 
     def enc_luts(self):
-        """(base_lut8, [flat round luts as uint8]) — the encode hot path
-        gathers through uint8 LUTs (codes fit: 0..253, ESC=255 marks OOV
-        in base_lut8; round LUT entries are code+1 <= 254), halving LUT
-        gather traffic vs the int16 originals."""
+        """(base_lut8 as pa.Array, [flat round luts as pa.Array uint8]) —
+        the encode hot path gathers through Arrow ``take`` (uint16 indices
+        stay uint16 inside the kernel; numpy fancy-indexing upcasts every
+        index to int64 and measured 4-6x slower on the same LUTs). Codes
+        fit uint8: 0..253, ESC=255 marks OOV in base_lut8; round LUT
+        entries are code+1 <= 254."""
         if self._enc_luts is None:
             base8 = np.where(self.base_lut < 0, ESC,
                              self.base_lut).astype(np.uint8)
-            self._enc_luts = (base8,
-                              [l.astype(np.uint8).ravel()
+            self._enc_luts = (pa.array(base8),
+                              [pa.array(l.astype(np.uint8).ravel())
                                for l in self.round_luts])
         return self._enc_luts
 
@@ -102,17 +104,17 @@ def _pair_keys(a: np.ndarray) -> np.ndarray:
     return k
 
 
-def _sub_pass(a: np.ndarray, lut_flat: np.ndarray) -> np.ndarray:
-    """One greedy non-overlapping pair-substitution pass (all numpy).
+def _sub_pass(a: np.ndarray, lut_pa: "pa.Array") -> np.ndarray:
+    """One greedy non-overlapping pair-substitution pass.
 
     a: uint8 codes (SENT breaks strings, ESC marks OOV);
-    lut_flat: uint8[65536] flat merge table storing ``code + 1`` (0 = no
-    merge; ESC/SENT rows and columns are 0 by construction, so no merge
-    can cross a string boundary or swallow an escape). Gather via an
-    explicit uint16 key + flat-LUT lookup (measured 1.8x faster than the
-    2-D fancy-index form, which pays int64 index arithmetic per element);
-    the uint8 LUT halves gather traffic vs the int16 original and makes
-    the substitution ``z[sel] - 1`` a cast-free uint8 subtract.
+    lut_pa: pa.Array uint8[65536] flat merge table storing ``code + 1``
+    (0 = no merge; ESC/SENT rows and columns are 0 by construction, so no
+    merge can cross a string boundary or swallow an escape). The gather
+    runs through Arrow ``take`` — it keeps uint16 indices uint16, where
+    numpy's fancy index upcasts every index to int64 (measured 0.57 ms vs
+    3.2 ms on a 1.5M-key segment); the result buffer is re-viewed as
+    numpy zero-copy.
 
     Greedy selection (even offsets within each maximal run of consecutive
     match positions) is BIT-PARALLEL: the match mask packs to a CPython
@@ -120,21 +122,21 @@ def _sub_pass(a: np.ndarray, lut_flat: np.ndarray) -> np.ndarray:
     propagates by doubling — ``K = starts; K |= (K << s) & P; P &= P << s``
     with ``P`` = "this and previous both match", O(log longest-run)
     word-wide passes. Measured 4.6x faster than the previous int32
-    ``maximum.accumulate`` parity scan, bit-identical output. The final
-    compaction gathers through ``flatnonzero(alive)`` because numpy's
-    integer fancy-index is ~1.5x faster than its boolean-mask path at
-    this density.
-    """
+    ``maximum.accumulate`` parity scan, bit-identical output. The
+    substitution is a branch-free byte-wise bit-select
+    (``(z-1)&m | a&~m`` with m = keep*0xFF — no per-element branch,
+    measured 1.15x over ``np.where``), and the compaction is one
+    ``np.compress`` over the alive mask."""
     n = a.shape[0]
     if n < 2:
         return a
     k16 = a[:-1].astype(np.uint16)
     k16 <<= 8
     k16 |= a[1:]
-    z = lut_flat[k16]
-    m = z.astype(bool)
-    x = int.from_bytes(np.packbits(m, bitorder="little").tobytes(),
-                       "little")
+    zt = lut_pa.take(pa.array(k16))
+    z = np.frombuffer(zt.buffers()[1], np.uint8, n - 1, offset=zt.offset)
+    x = int.from_bytes(
+        np.packbits(z.astype(bool), bitorder="little").tobytes(), "little")
     if x == 0:
         return a
     keep_i = x & ~(x << 1)              # run starts (offset 0: kept)
@@ -149,19 +151,20 @@ def _sub_pass(a: np.ndarray, lut_flat: np.ndarray) -> np.ndarray:
     keep = np.unpackbits(kb, bitorder="little",
                          count=n - 1).view(bool)
     # alive mask comes free in the bigint domain (position i+1 dies when
-    # keep[i]); the substitution is a branch-free `where` over the whole
-    # array instead of flatnonzero(keep) + two fancy-index passes —
-    # measured 1.2x faster at segment size, bit-identical
+    # keep[i])
     dead = keep_i << 1
     alive_b = np.frombuffer(
         ((~dead) & ((1 << n) - 1)).to_bytes((n + 7) // 8 + 16, "little"),
         np.uint8)
     alive = np.unpackbits(alive_b, bitorder="little", count=n).view(bool)
-    z -= 1            # uint8 wrap at non-match positions is masked by where
+    mask8 = keep.view(np.uint8) * np.uint8(255)
+    hi = z - np.uint8(1)      # uint8 wrap at non-match positions is masked
+    hi &= mask8
     out = np.empty(n, dtype=np.uint8)
-    out[:-1] = np.where(keep, z, a[:-1])
+    np.bitwise_and(a[:-1], ~mask8, out=out[:-1])
+    out[:-1] |= hi
     out[-1] = a[-1]
-    return out[np.flatnonzero(alive)]
+    return np.compress(alive, out)
 
 
 def _with_sentinels(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -234,7 +237,7 @@ def train(values) -> SymbolTable | None:
             x, y = pair_key >> 8, pair_key & 0xFF
             expansions.append(expansions[x] + expansions[y])
         round_luts.append(lut)
-        a = _sub_pass(a, lut.astype(np.uint8).ravel())
+        a = _sub_pass(a, pa.array(lut.astype(np.uint8).ravel()))
         vocab += order.shape[0]
     if not round_luts:
         return None
@@ -242,13 +245,14 @@ def train(values) -> SymbolTable | None:
 
 
 #: segment target for the encode passes. Each segment's temporaries are
-#: ~12x this size. Re-measured after the uint8-LUT/parity-scan kernel cut
-#: per-byte temporaries (2026-08-18, 32-way multiprocessing on the same
-#: corpus): 256 KiB aggregate 328 MB/s vs 240 MB/s at the round-1 128 KiB
-#: and 322 MB/s at 512 KiB — the leaner kernel's hot set now fits the
-#: shared L3 slice at 256 KiB, and fewer segments means less per-segment
-#: Python dispatch.
-SEG_BYTES = 1 << 18
+#: ~12x this size. Re-measured after the Arrow-take/bit-select kernel
+#: (2026-08-20, sf0.1 documents.text): single-thread 0.074 GB/s at
+#: 128 KiB vs 0.071 at 256 KiB and 0.056 at 512 KiB; 32-way
+#: multiprocessing aggregate 1.21 GB/s at 128 KiB vs 1.14 / 0.87 —
+#: the hot set (a, k16, z, masks) fits the per-core L2 at 128 KiB and
+#: the cheaper kernel no longer amortizes Python dispatch any better
+#: at 256 KiB. (Old kernel's 32-way aggregate on this corpus: 0.33.)
+SEG_BYTES = 1 << 17
 
 
 def _encode_segment(data: np.ndarray, lens: np.ndarray,
@@ -256,8 +260,10 @@ def _encode_segment(data: np.ndarray, lens: np.ndarray,
     """Encode a group of whole strings; returns (out uint8, enc_lens u32)."""
     n = lens.shape[0]
     base8, round_flat = table.enc_luts()
-    codes8 = base8[data]                  # uint8; ESC marks OOV (ESC is
-    oov = codes8 == ESC                   # never a legal base code)
+    ct = base8.take(pa.array(data))       # arrow take: uint8 idx stays u8
+    codes8 = np.frombuffer(ct.buffers()[1], np.uint8, data.shape[0],
+                           offset=ct.offset)
+    oov = codes8 == ESC                   # ESC is never a legal base code
     a = _with_sentinels(codes8, lens)
     for lut in round_flat:
         a = _sub_pass(a, lut)
