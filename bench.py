@@ -181,7 +181,12 @@ def _standin_sizes() -> dict | None:
         import pyarrow.parquet as pq
         tbl = pq.read_table(_repofiles_parquet())
         walls = []
-        with tempfile.TemporaryDirectory() as td:
+        # tmpfs when available: the engine leg materializes through a
+        # noop sink (no disk write), so the stand-in gets the same
+        # courtesy — pure writer CPU, not /tmp disk writeback (measured
+        # 0.05-0.09 GB/s on-disk vs ~1.6 GB/s tmpfs for the same call)
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(dir=base) as td:
             for i in range(3):
                 dst = os.path.join(td, f"standin{i}.parquet")
                 t0 = time.monotonic()
