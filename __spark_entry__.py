@@ -280,6 +280,54 @@ def q_roundtrip_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("m_type", "m_null", "st_null"))
 
 
+def q_parquet_interop_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 LIST cross-reader conformance (Dremel repetition levels):
+    documents.text is split into a token list (plus a null list for
+    every doc_id % 97 == 0 row and the per-doc token count as a second
+    probe column), written as a REAL .parquet file whose 3-level LIST
+    pages — repetition + definition level streams and dictionary-coded
+    leaf values — come from OUR emitters (interop.write_parquet), read
+    back by PYARROW's Parquet reader, tokens re-joined, and the result
+    histogrammed; the oracle computes the same histogram from the source
+    table with DuckDB string ops. Driver-side single file BY DESIGN —
+    format-conformance evidence, not a scale path (the reverse direction
+    — pyarrow-written list files through our kernels — is pinned by
+    tests/test_interop_lists.py)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cpp_parquet_spark import interop
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    doc_id = tbl.column("doc_id").combine_chunks()
+    import pyarrow.compute as pc
+    toks = pc.split_pattern(tbl.column("text").combine_chunks(), " ")
+    import numpy as np
+    null_mask = (doc_id.to_numpy(zero_copy_only=False) % 97) == 0
+    toks = pc.if_else(pa.array(null_mask), pa.scalar(None, toks.type), toks)
+    ntok = pc.list_value_length(toks)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ours_lists.parquet")
+        interop.write_parquet(
+            p, {"doc_id": doc_id, "toks": toks, "ntok": ntok},
+            dictionary={"toks"})
+        back = pq.read_table(p)
+    joined = pc.binary_join(back.column("toks").combine_chunks(),
+                            pa.scalar(" "))
+    flat = pa.table({"doc_id": back.column("doc_id"),
+                     "txt": joined, "ntok": back.column("ntok")})
+    df = spark.createDataFrame(flat.to_pandas())
+    row_txt = F.concat_ws(
+        "|", F.col("doc_id").cast("string"),
+        F.coalesce(F.col("txt"), F.lit("NULL")),
+        F.coalesce(F.col("ntok").cast("long").cast("string"),
+                   F.lit("NULL")))
+    return (df.select(F.sha2(row_txt.cast("binary"), 256).alias("h"))
+            .groupBy("h").agg(F.count("*").alias("cnt")))
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1367,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop": q_parquet_interop,
         "parquet_interop_delta": q_parquet_interop_delta,
         "roundtrip_map_struct": q_roundtrip_map_struct,
+        "parquet_interop_lists": q_parquet_interop_lists,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
@@ -1559,6 +1608,16 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(CAST(n_chars AS VARCHAR), 'NULL'), '|',
                      coalesce(source, 'NULL'), '|',
                      coalesce(text, 'NULL'))) AS h,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1""",
+        "parquet_interop_lists": """
+            SELECT sha256(concat(
+                     CAST(doc_id AS VARCHAR), '|',
+                     CASE WHEN doc_id % 97 = 0 THEN 'NULL' ELSE text END,
+                     '|',
+                     CASE WHEN doc_id % 97 = 0 THEN 'NULL'
+                          ELSE CAST(len(string_split(text, ' ')) AS VARCHAR)
+                     END)) AS h,
                    count(*) AS cnt
             FROM documents GROUP BY 1""",
         "stats_cardinality": """

@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from .codecs import bss, deltafmt, pagecodec, plain, rle
+from .codecs.bitpack import bit_width_for
 
 # --- parquet-format enum values (parquet.thrift) ------------------------------
 T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
@@ -44,10 +45,11 @@ T_FLBA = 7                                # FIXED_LEN_BYTE_ARRAY
 ENC_PLAIN, ENC_PLAIN_DICTIONARY, ENC_RLE, ENC_RLE_DICTIONARY = 0, 2, 3, 8
 ENC_DELTA_BINARY_PACKED, ENC_DELTA_LENGTH_BA, ENC_DELTA_BA = 5, 6, 7
 ENC_BYTE_STREAM_SPLIT = 9
-REP_REQUIRED, REP_OPTIONAL = 0, 1
+REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
 PAGE_DATA, PAGE_DICTIONARY, PAGE_DATA_V2 = 0, 2, 3
 # ConvertedType (parquet.thrift): annotations over the physical types
 CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
+CONV_LIST = 3
 CONV_INT_8, CONV_INT_16 = 15, 16
 
 _MAGIC = b"PAR1"
@@ -362,6 +364,51 @@ def _def_levels(arr: pa.Array) -> bytes:
     return np.uint32(len(stream)).tobytes() + stream
 
 
+def _list_levels(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, pa.Array, bool]:
+    """Dremel shredding of a single-level list column (the format's
+    3-level LIST structure: ``optional group (LIST) { repeated group
+    list { optional element } }``).
+
+    Returns ``(rep, deflev, leaf_values_no_nulls, elem_optional)``. One
+    level slot per element, plus one slot for each null or empty list.
+    rep: 0 = first slot of a row, 1 = continuation. def: 0 = null list,
+    1 = empty list, 2 = null element, 3 = present element (with a
+    required element the writer still emits the optional-element
+    structure — pyarrow's own convention for arrow list types)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = (arr.value_lengths().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    n = len(arr)
+    list_valid = arr.is_valid().to_numpy(zero_copy_only=False) \
+        if arr.null_count else np.ones(n, bool)
+    lens = np.where(list_valid, lens, 0)
+    slots = np.maximum(lens, 1)
+    total = int(slots.sum())
+    starts = np.zeros(n, np.int64)
+    np.cumsum(slots[:-1], out=starts[1:])
+    rep = np.ones(total, np.uint64)
+    rep[starts] = 0
+    flat = arr.flatten()                     # elements of non-null lists
+    elem_valid = flat.is_valid().to_numpy(zero_copy_only=False) \
+        if flat.null_count else np.ones(len(flat), bool)
+    deflev = np.full(total, 3, np.uint64)
+    # element slot index: row's first slot + intra-row offset
+    ne = int(lens.sum())
+    intra = np.arange(ne, dtype=np.int64) - \
+        np.repeat(np.cumsum(lens) - lens, lens)
+    elem_slot = np.repeat(starts, lens) + intra
+    deflev[elem_slot[~elem_valid]] = 2       # null elements
+    deflev[starts[(lens == 0) & list_valid]] = 1   # empty lists
+    deflev[starts[~list_valid]] = 0          # null lists
+    return rep, deflev, flat.drop_null(), True
+
+
+def _prefixed_rle(levels: np.ndarray, bw: int) -> bytes:
+    stream, _ = rle.encode(levels, bit_width=bw)
+    return np.uint32(len(stream)).tobytes() + stream
+
+
 _ENC_BY_NAME = {
     "delta": ENC_DELTA_BINARY_PACKED,
     "delta_length": ENC_DELTA_LENGTH_BA,
@@ -421,6 +468,64 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     for name, arr in columns.items():
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            # 3-level LIST structure: one v1 data page with repetition +
+            # definition level streams ahead of the element values
+            rep, deflev, leaf, _ = _list_levels(arr)
+            tag, ptype, extras = _colspec(leaf.type)
+            if tag == "bool":
+                raise ValueError("interop writer: list<bool> unsupported")
+            work = _pq_work(leaf, tag)
+            n_slots = rep.shape[0]
+            lvl = _prefixed_rle(rep, 1) + _prefixed_rle(deflev, 2)
+            chunk_start = len(body)
+            dict_off = None
+            if name in dictionary:
+                dct = work.dictionary_encode()
+                uniq = _pq_work(dct.dictionary, tag)
+                dict_payload = _plain_values(uniq, tag)
+                codes = dct.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                bw = max(int(codes.max()).bit_length(), 1) \
+                    if len(codes) else 1
+                idx_stream, _ = rle.encode(codes, bit_width=bw)
+                data_payload = lvl + bytes([bw]) + idx_stream
+                dict_off = len(body)
+                body += _page_header(PAGE_DICTIONARY, len(dict_payload),
+                                     len(uniq), ENC_PLAIN_DICTIONARY)
+                body += dict_payload
+                data_off = len(body)
+                body += _page_header(PAGE_DATA, len(data_payload), n_slots,
+                                     ENC_PLAIN_DICTIONARY)
+                body += data_payload
+                enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
+            else:
+                data_payload = lvl + _plain_values(work, tag)
+                data_off = len(body)
+                body += _page_header(PAGE_DATA, len(data_payload), n_slots,
+                                     ENC_PLAIN)
+                body += data_payload
+                enc_list = [ENC_PLAIN, ENC_RLE]
+            total = len(body) - chunk_start
+            path_seg = [name.encode(), b"list", b"element"]
+            meta = (_CW().i32(1, ptype).list_i32(2, enc_list)
+                    .list_binary(3, path_seg).i32(4, 0)
+                    .i64(5, n_slots).i64(6, total).i64(7, total)
+                    .i64(9, data_off))
+            if dict_off is not None:
+                meta.i64(11, dict_off)
+            group = (_CW().i32(3, REP_OPTIONAL).binary(4, name.encode())
+                     .i32(5, 1).i32(6, CONV_LIST)).done()
+            mid = (_CW().i32(3, REP_REPEATED).binary(4, b"list")
+                   .i32(5, 1)).done()
+            leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
+                .binary(4, b"element")
+            for fid, v in extras:
+                leaf_el.i32(fid, v)
+            chunks.append((name, [group, mid, leaf_el.done()],
+                           _CW().i64(2, data_off)
+                           .struct(3, meta.done()).done(), total))
+            continue
         tag, ptype, extras = _colspec(arr.type)
         work = arr.drop_null() if arr.null_count else arr
         optional = arr.null_count > 0
@@ -474,20 +579,20 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 .i64(9, data_off))
         if dict_off is not None:
             meta.i64(11, dict_off)
-        chunks.append((name, ptype, extras, optional,
-                       _CW().i64(2, data_off).struct(3, meta.done()).done(),
-                       total))
-    root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
-    elems = [root]
-    for name, ptype, extras, optional, _, _ in chunks:
         e = _CW().i32(1, ptype) \
             .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
             .binary(4, name.encode())
         for fid, v in extras:
             e.i32(fid, v)
-        elems.append(e.done())
-    rg = (_CW().list_struct(1, [c[4] for c in chunks])
-          .i64(2, sum(c[5] for c in chunks)).i64(3, n)).done()
+        chunks.append((name, [e.done()],
+                       _CW().i64(2, data_off).struct(3, meta.done()).done(),
+                       total))
+    root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
+    elems = [root]
+    for _, col_elems, _, _ in chunks:
+        elems.extend(col_elems)
+    rg = (_CW().list_struct(1, [c[2] for c in chunks])
+          .i64(2, sum(c[3] for c in chunks)).i64(3, n)).done()
     fmeta = (_CW().i32(1, 1).list_struct(2, elems).i64(3, n)
              .list_struct(4, [rg])
              .binary(6, b"cpp_parquet_spark interop")).done()
@@ -514,21 +619,51 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
     schema = meta[2]
-    # leaf elements follow the root; keep the whole SchemaElement so the
-    # ConvertedType annotation (fid 6, + scale 7 / precision 8) survives
-    leaves = {}
-    for el in schema[1:]:
-        leaves[el[4].decode()] = (el[1], el.get(3, 0) == REP_OPTIONAL, el)
+    # depth-first schema walk (SchemaElement.num_children, fid 5): leaf
+    # -> (ptype, el, max_rep, max_def, def_at_rep). def increments per
+    # optional-or-repeated ancestor, rep per repeated; def_at_rep is the
+    # def level at the (single supported) repeated ancestor — slots with
+    # def >= def_at_rep carry an element, def == def_at_rep - 1 is an
+    # empty list, anything lower a null list.
+    leaves: dict[str, tuple] = {}
+    pos_ref = [1]
+
+    def _consume(prefix: tuple, d: int, r: int, def_at_rep: int | None):
+        el = schema[pos_ref[0]]
+        pos_ref[0] += 1
+        rep_t = el.get(3, 0)
+        nd = d + (1 if rep_t != REP_REQUIRED else 0)
+        nr = r + (1 if rep_t == REP_REPEATED else 0)
+        dar = nd if rep_t == REP_REPEATED else def_at_rep
+        path = prefix + (el[4].decode(),)
+        nch = el.get(5, 0)
+        if nch == 0:
+            leaves[".".join(path)] = (el[1], el, nr, nd, dar)
+        else:
+            for _ in range(nch):
+                _consume(path, nd, nr, dar)
+
+    n_top = schema[0].get(5, len(schema) - 1)
+    for _ in range(n_top):
+        _consume((), 0, 0, None)
     out: dict[str, pa.Array] = {}
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
+            pathname = ".".join(seg.decode() for seg in cm[3])
             name = cm[3][0].decode()
-            ptype, optional, el = leaves[name]
+            ptype, el, max_rep, max_def, def_at_rep = leaves[pathname]
+            if max_rep > 1:
+                raise ValueError("only single-level lists supported")
+            optional = max_rep == 0 and max_def > 0
             n_total = cm[5]
             pos = cm.get(11, cm[9])           # dictionary page first if any
             uniq = None
             got: list[pa.Array] = []
+            reps: list[np.ndarray] = []
+            defs: list[np.ndarray] = []
+            def_bw = bit_width_for(max_def) if max_def else 0
+            rep_bw = bit_width_for(max_rep) if max_rep else 0
             n_seen = 0
             while n_seen < n_total:
                 r = _CR(buf, pos)
@@ -543,16 +678,20 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     dp = ph[5]
                     nv = dp[1]
                     enc = dp[2]
-                    if optional:
-                        # v1: def levels ride the value section with a
-                        # u32 length prefix
+                    # v1: levels ride the value section, rep before def,
+                    # each a u32-length-prefixed RLE stream
+                    if max_rep:
+                        rlen = int(np.frombuffer(payload[:4], np.uint32)[0])
+                        reps.append(rle.decode(payload[4:4 + rlen],
+                                               {"bw": rep_bw}, nv))
+                        payload = payload[4 + rlen:]
+                    if max_def:
                         dlen = int(np.frombuffer(payload[:4], np.uint32)[0])
                         levels = rle.decode(payload[4:4 + dlen],
-                                            {"bw": 1}, nv)
-                        valid = levels.astype(bool)
+                                            {"bw": def_bw}, nv)
                         payload = payload[4 + dlen:]
                     else:
-                        valid = np.ones(nv, bool)
+                        levels = np.full(nv, max_def, np.uint64)
                 elif ph[1] == PAGE_DATA_V2:
                     # DataPageHeaderV2: 1=num_values 2=num_nulls
                     # 4=encoding 5=def-levels len 6=rep-levels len;
@@ -561,15 +700,19 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     nv = dp[1]
                     enc = dp[4]
                     rlen, dlen = dp.get(6, 0), dp.get(5, 0)
+                    if max_rep:
+                        reps.append(rle.decode(payload[:rlen],
+                                               {"bw": rep_bw}, nv))
                     if dlen:
                         levels = rle.decode(payload[rlen:rlen + dlen],
-                                            {"bw": 1}, nv)
-                        valid = levels.astype(bool)
+                                            {"bw": def_bw}, nv)
                     else:
-                        valid = np.ones(nv, bool)
+                        levels = np.full(nv, max_def, np.uint64)
                     payload = payload[rlen + dlen:]
                 else:
                     continue
+                defs.append(levels)
+                valid = levels == max_def     # slots storing a value
                 k = int(valid.sum())
                 if enc in (ENC_PLAIN_DICTIONARY, ENC_RLE_DICTIONARY):
                     bw = payload[0]
@@ -594,14 +737,53 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     vals = pa.array(bss.unsplit_bytes(payload, k, dt))
                 else:
                     raise ValueError(f"encoding {enc} unsupported")
-                if k < nv:
+                if max_rep == 0 and k < nv:
                     idx = np.cumsum(valid, dtype=np.int64) - 1
                     vals = vals.take(pa.array(idx, mask=~valid))
                 got.append(vals)
                 n_seen += nv
             col = pa.concat_arrays([g.cast(got[0].type) for g in got])
-            out[name] = _apply_converted(col, el)
+            if max_rep:
+                col = _reassemble_list(
+                    col, np.concatenate(reps), np.concatenate(defs),
+                    max_def, def_at_rep, el)
+                out[name] = col
+            else:
+                out[name] = _apply_converted(col, el)
     return out
+
+
+def _reassemble_list(vals: pa.Array, rep: np.ndarray, deflev: np.ndarray,
+                     max_def: int, def_at_rep: int, el: dict) -> pa.Array:
+    """Dremel record reassembly for a single-level list column.
+
+    ``vals`` holds only the stored leaf values (def == max_def, in slot
+    order); rep/def are the full level streams. rep == 0 starts a row;
+    def >= def_at_rep marks an element slot (null element when
+    def < max_def, possible only with an optional element);
+    def == def_at_rep - 1 an empty list; lower a null list."""
+    n_slots = rep.shape[0]
+    row_start = np.flatnonzero(rep == 0)
+    n_rows = row_start.shape[0]
+    elem_slot = deflev >= def_at_rep
+    elem_valid = deflev[elem_slot] == max_def
+    # re-insert null elements among the element slots
+    if not elem_valid.all():
+        idx = np.cumsum(elem_valid, dtype=np.int64) - 1
+        vals = vals.take(pa.array(idx, mask=~elem_valid))
+    vals = _apply_converted(vals, el)
+    counts = np.add.reduceat(elem_slot.astype(np.int64), row_start) \
+        if n_rows else np.empty(0, np.int64)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    list_valid = deflev[row_start] >= def_at_rep - 1
+    vbuf = None
+    if not list_valid.all():
+        vbuf = pa.py_buffer(
+            np.packbits(list_valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.large_list(vals.type), n_rows,
+        [vbuf, pa.py_buffer(offs.tobytes())], children=[vals])
 
 
 def _apply_converted(col: pa.Array, el: dict) -> pa.Array:

@@ -1,0 +1,95 @@
+"""Parquet LIST cross-reader conformance (Dremel repetition levels).
+
+Both directions over the format's 3-level structure
+``optional group (LIST) { repeated group list { optional element } }``:
+our emitters write real .parquet pages with rep+def level streams that
+pyarrow must read back exactly, and pyarrow-written list files (v1 and
+v2 pages, dict and plain, multi-page) must decode exactly through our
+rle/plain/dictionary kernels + `_reassemble_list`."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cpp_parquet_spark import interop
+
+INTS = pa.array([[1, 2, 3], None, [], [4], [5, None, 7], None, []],
+                pa.list_(pa.int64()))
+STRS = pa.array([["a", "bb"], [], None, ["ccc", "", "dd"], [None, "e"],
+                 ["x"], ["y", "z"]], pa.list_(pa.string()))
+FLAT = pa.array([10, None, 30, 40, 50, 60, 70], pa.int64())
+
+
+def test_our_writer_pyarrow_reads_lists(tmp_path):
+    p = str(tmp_path / "ours.parquet")
+    interop.write_parquet(p, {"ints": INTS, "strs": STRS, "flat": FLAT})
+    t = pq.read_table(p)
+    assert t.column("ints").combine_chunks().cast(INTS.type).equals(INTS)
+    assert t.column("strs").combine_chunks().cast(STRS.type).equals(STRS)
+    assert t.column("flat").combine_chunks().cast(FLAT.type).equals(FLAT)
+
+
+def test_our_writer_dict_list_leaf(tmp_path):
+    p = str(tmp_path / "ours_dict.parquet")
+    interop.write_parquet(p, {"strs": STRS}, dictionary={"strs"})
+    t = pq.read_table(p)
+    assert t.column("strs").combine_chunks().cast(STRS.type).equals(STRS)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(use_dictionary=True),
+    dict(use_dictionary=False),
+    dict(use_dictionary=False, data_page_version="2.0"),
+    dict(use_dictionary=True, data_page_version="2.0"),
+    dict(use_dictionary=False, data_page_size=64),   # many pages/chunk
+], ids=["dict", "plain", "v2", "v2dict", "multipage"])
+def test_pyarrow_writer_our_kernels_read_lists(tmp_path, kw):
+    p = str(tmp_path / "theirs.parquet")
+    pq.write_table(pa.table({"ints": INTS, "strs": STRS, "flat": FLAT}),
+                   p, compression="NONE", **kw)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["ints"].cast(INTS.type).equals(INTS)
+    assert out["strs"].cast(STRS.type).equals(STRS)
+    assert out["flat"].cast(FLAT.type).equals(FLAT)
+
+
+def test_list_levels_shred_shapes():
+    rep, deflev, leaf, _ = interop._list_levels(INTS)
+    # slots: 3 +1(null) +1(empty) +1 +3 +1(null) +1(empty) = 11
+    assert rep.tolist() == [0, 1, 1, 0, 0, 0, 0, 1, 1, 0, 0]
+    assert deflev.tolist() == [3, 3, 3, 0, 1, 3, 3, 2, 3, 0, 1]
+    assert leaf.to_pylist() == [1, 2, 3, 4, 5, 7]
+
+
+def test_roundtrip_ours_to_ours(tmp_path):
+    p = str(tmp_path / "both.parquet")
+    interop.write_parquet(p, {"ints": INTS, "strs": STRS})
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["ints"].cast(INTS.type).equals(INTS)
+    assert out["strs"].cast(STRS.type).equals(STRS)
+
+
+def test_large_random_lists_roundtrip(tmp_path):
+    rng = np.random.RandomState(7)
+    rows = []
+    for _ in range(2000):
+        r = rng.rand()
+        if r < 0.05:
+            rows.append(None)
+        elif r < 0.15:
+            rows.append([])
+        else:
+            n = rng.randint(1, 9)
+            rows.append([None if rng.rand() < 0.1 else int(rng.randint(-1000, 1000))
+                         for _ in range(n)])
+    arr = pa.array(rows, pa.list_(pa.int64()))
+    p = str(tmp_path / "rand.parquet")
+    interop.write_parquet(p, {"v": arr})
+    assert pq.read_table(p).column("v").combine_chunks() \
+        .cast(arr.type).equals(arr)
+    p2 = str(tmp_path / "rand2.parquet")
+    pq.write_table(pa.table({"v": arr}), p2, compression="NONE",
+                   data_page_size=4096)
+    assert interop.read_parquet_with_our_codecs(p2)["v"] \
+        .cast(arr.type).equals(arr)
