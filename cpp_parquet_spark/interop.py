@@ -47,6 +47,11 @@ ENC_DELTA_BINARY_PACKED, ENC_DELTA_LENGTH_BA, ENC_DELTA_BA = 5, 6, 7
 ENC_BYTE_STREAM_SPLIT = 9
 REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
 PAGE_DATA, PAGE_DICTIONARY, PAGE_DATA_V2 = 0, 2, 3
+# CompressionCodec (parquet.thrift): page-level block compression
+COMP_NONE, COMP_SNAPPY, COMP_GZIP, COMP_ZSTD, COMP_LZ4_RAW = 0, 1, 2, 6, 7
+_COMP_NAME = {COMP_SNAPPY: "snappy", COMP_GZIP: "gzip",
+              COMP_ZSTD: "zstd", COMP_LZ4_RAW: "lz4_raw"}
+_COMP_BY_NAME = {v: k for k, v in _COMP_NAME.items()}
 # ConvertedType (parquet.thrift): annotations over the physical types
 CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
 CONV_LIST = 3
@@ -327,10 +332,14 @@ def _plain_values(work: pa.Array, tag: str) -> bytes:
 
 def _page_header(ptype: int, usize: int, num_values: int,
                  encoding: int, num_nulls: int = 0,
-                 def_len: int = 0) -> bytes:
+                 def_len: int = 0, rep_len: int = 0,
+                 csize: int | None = None,
+                 compressed: bool = False) -> bytes:
     """PageHeader bytes for a v1 data page, dictionary page, or v2 data
     page (DataPageHeaderV2 at fid 8: num_values/num_nulls/num_rows/
-    encoding/def-levels-length/rep-levels-length/is_compressed)."""
+    encoding/def-levels-length/rep-levels-length/is_compressed).
+    ``usize``/``csize`` are the thrift uncompressed_page_size /
+    compressed_page_size pair (equal when the page is raw)."""
     if ptype == PAGE_DATA:
         inner = (_CW().i32(1, num_values).i32(2, encoding)
                  .i32(3, ENC_RLE).i32(4, ENC_RLE).done())
@@ -338,12 +347,14 @@ def _page_header(ptype: int, usize: int, num_values: int,
     elif ptype == PAGE_DATA_V2:
         inner = (_CW().i32(1, num_values).i32(2, num_nulls)
                  .i32(3, num_values).i32(4, encoding)
-                 .i32(5, def_len).i32(6, 0).bool_(7, False).done())
+                 .i32(5, def_len).i32(6, rep_len)
+                 .bool_(7, compressed).done())
         fid = 8
     else:
         inner = (_CW().i32(1, num_values).i32(2, encoding).done())
         fid = 7
-    w = _CW().i32(1, ptype).i32(2, usize).i32(3, usize)
+    w = _CW().i32(1, ptype).i32(2, usize)
+    w.i32(3, usize if csize is None else csize)
     w.struct(fid, inner)
     return w.done()
 
@@ -446,25 +457,67 @@ def _encode_values(work: pa.Array, tag: str, enc: int) -> bytes:
 def write_parquet(path: str, columns: dict[str, pa.Array],
                   dictionary: set[str] | frozenset[str] = frozenset(),
                   encodings: dict[str, str] | None = None,
+                  compression: str | None = None,
                   ) -> None:
-    """Write a real one-row-group Parquet file (uncompressed) whose page
-    payloads come verbatim from OUR codec emitters. ``dictionary`` names
-    columns written as dict page + RLE-coded indices (PLAIN_DICTIONARY
+    """Write a real one-row-group Parquet file whose page payloads come
+    verbatim from OUR codec emitters. ``dictionary`` names columns
+    written as dict page + RLE-coded indices (PLAIN_DICTIONARY
     convention, v1 pages); ``encodings`` maps column name -> one of
     ``delta`` (DELTA_BINARY_PACKED, int physical types),
     ``delta_length`` / ``delta_byte_array`` (BYTE_ARRAY), or
     ``byte_stream_split`` (FLOAT/DOUBLE) — those columns are written as
     **v2 data pages** (levels outside the value section, lengths carried
-    in the DataPageHeaderV2). The rest are PLAIN v1 pages."""
+    in the DataPageHeaderV2). The rest are PLAIN v1 pages.
+
+    ``compression``: one of snappy/gzip/zstd/lz4_raw applies the
+    format's page-level block compression to every chunk — the whole
+    page payload for v1/dictionary pages, the value section only for v2
+    pages (levels stay raw per DataPageHeaderV2.is_compressed
+    semantics), with the uncompressed/compressed size pair in each page
+    header and the CompressionCodec id in the chunk metadata."""
     encodings = encodings or {}
     overlap = set(encodings) & set(dictionary)
     if overlap:
         raise ValueError(f"columns both dictionary and encoded: {overlap}")
+    comp_id = COMP_NONE
+    codec = None
+    if compression is not None:
+        if compression not in _COMP_BY_NAME:
+            raise ValueError(f"unsupported parquet compression "
+                             f"{compression!r} (have "
+                             f"{sorted(_COMP_BY_NAME)})")
+        comp_id = _COMP_BY_NAME[compression]
+        codec = pa.Codec(compression)
     n_rows = {len(a) for a in columns.values()}
     assert len(n_rows) == 1, "columns must be equal length"
     n = n_rows.pop()
     body = bytearray(_MAGIC)
     chunks = []
+
+    def emit_page(ptype: int, payload: bytes, nvals: int, enc: int,
+                  num_nulls: int = 0, v2_levels: bytes | None = None
+                  ) -> int:
+        """Append one page (compressing when configured); returns the
+        uncompressed page size (header + raw payload) for the chunk's
+        total_uncompressed_size bookkeeping."""
+        if v2_levels is not None:      # v2: levels raw, values compress
+            usize = len(v2_levels) + len(payload)
+            vals = codec.compress(payload, asbytes=True) if codec \
+                else payload
+            data = v2_levels + vals
+            hdr = _page_header(ptype, usize, nvals, enc,
+                               num_nulls=num_nulls,
+                               def_len=len(v2_levels), csize=len(data),
+                               compressed=codec is not None)
+        else:
+            usize = len(payload)
+            data = codec.compress(payload, asbytes=True) if codec \
+                else payload
+            hdr = _page_header(ptype, usize, nvals, enc,
+                               csize=len(data))
+        body.extend(hdr)
+        body.extend(data)
+        return len(hdr) + usize
     for name, arr in columns.items():
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -480,6 +533,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             lvl = _prefixed_rle(rep, 1) + _prefixed_rle(deflev, 2)
             chunk_start = len(body)
             dict_off = None
+            u_total = 0
             if name in dictionary:
                 dct = work.dictionary_encode()
                 uniq = _pq_work(dct.dictionary, tag)
@@ -491,26 +545,23 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 idx_stream, _ = rle.encode(codes, bit_width=bw)
                 data_payload = lvl + bytes([bw]) + idx_stream
                 dict_off = len(body)
-                body += _page_header(PAGE_DICTIONARY, len(dict_payload),
+                u_total += emit_page(PAGE_DICTIONARY, dict_payload,
                                      len(uniq), ENC_PLAIN_DICTIONARY)
-                body += dict_payload
                 data_off = len(body)
-                body += _page_header(PAGE_DATA, len(data_payload), n_slots,
+                u_total += emit_page(PAGE_DATA, data_payload, n_slots,
                                      ENC_PLAIN_DICTIONARY)
-                body += data_payload
                 enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
             else:
                 data_payload = lvl + _plain_values(work, tag)
                 data_off = len(body)
-                body += _page_header(PAGE_DATA, len(data_payload), n_slots,
+                u_total += emit_page(PAGE_DATA, data_payload, n_slots,
                                      ENC_PLAIN)
-                body += data_payload
                 enc_list = [ENC_PLAIN, ENC_RLE]
             total = len(body) - chunk_start
             path_seg = [name.encode(), b"list", b"element"]
             meta = (_CW().i32(1, ptype).list_i32(2, enc_list)
-                    .list_binary(3, path_seg).i32(4, 0)
-                    .i64(5, n_slots).i64(6, total).i64(7, total)
+                    .list_binary(3, path_seg).i32(4, comp_id)
+                    .i64(5, n_slots).i64(6, u_total).i64(7, total)
                     .i64(9, data_off))
             if dict_off is not None:
                 meta.i64(11, dict_off)
@@ -532,15 +583,14 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         levels = _def_levels(arr) if optional else b""
         dict_off = None
         chunk_start = len(body)
+        u_total = 0
         if name in encodings:
             enc = _ENC_BY_NAME[encodings[name]]
             lvl = _level_stream(arr) if optional else b""
-            payload = lvl + _encode_values(_pq_work(work, tag), tag, enc)
+            payload = _encode_values(_pq_work(work, tag), tag, enc)
             data_off = len(body)
-            body += _page_header(PAGE_DATA_V2, len(payload), n, enc,
-                                 num_nulls=arr.null_count,
-                                 def_len=len(lvl))
-            body += payload
+            u_total += emit_page(PAGE_DATA_V2, payload, n, enc,
+                                 num_nulls=arr.null_count, v2_levels=lvl)
             enc_list = [enc, ENC_RLE]
         elif name in dictionary:
             if tag == "bool":
@@ -555,27 +605,24 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             idx_stream, _ = rle.encode(codes, bit_width=bw)
             data_payload = levels + bytes([bw]) + idx_stream
             dict_off = len(body)
-            body += _page_header(PAGE_DICTIONARY, len(dict_payload),
+            u_total += emit_page(PAGE_DICTIONARY, dict_payload,
                                  len(uniq), ENC_PLAIN_DICTIONARY)
-            body += dict_payload
             data_off = len(body)
-            body += _page_header(PAGE_DATA, len(data_payload), n,
+            u_total += emit_page(PAGE_DATA, data_payload, n,
                                  ENC_PLAIN_DICTIONARY)
-            body += data_payload
             enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
         else:
             data_payload = levels + _plain_values(_pq_work(work, tag), tag)
             data_off = len(body)
-            body += _page_header(PAGE_DATA, len(data_payload), n, ENC_PLAIN)
-            body += data_payload
+            u_total += emit_page(PAGE_DATA, data_payload, n, ENC_PLAIN)
             enc_list = [ENC_PLAIN, ENC_RLE]
         # chunk sizes INCLUDE the page headers (parquet.thrift
         # total_compressed_size semantics — readers slice the chunk
         # region by this)
         total = len(body) - chunk_start
         meta = (_CW().i32(1, ptype).list_i32(2, enc_list)
-                .list_binary(3, [name.encode()]).i32(4, 0)
-                .i64(5, n).i64(6, total).i64(7, total)
+                .list_binary(3, [name.encode()]).i32(4, comp_id)
+                .i64(5, n).i64(6, u_total).i64(7, total)
                 .i64(9, data_off))
         if dict_off is not None:
             meta.i64(11, dict_off)
@@ -658,6 +705,10 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
             optional = max_rep == 0 and max_def > 0
             n_total = cm[5]
             pos = cm.get(11, cm[9])           # dictionary page first if any
+            comp = cm.get(4, 0)
+            if comp and comp not in _COMP_NAME:
+                raise ValueError(f"compression codec {comp} unsupported")
+            dcodec = pa.Codec(_COMP_NAME[comp]) if comp else None
             uniq = None
             got: list[pa.Array] = []
             reps: list[np.ndarray] = []
@@ -670,6 +721,12 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                 ph = r.struct()
                 payload = buf[r.pos:r.pos + ph[3]]
                 pos = r.pos + ph[3]
+                # v1 + dictionary pages: the whole payload is the
+                # compression unit (v2 pages keep levels raw — handled
+                # in the v2 branch)
+                if dcodec is not None and ph[1] != PAGE_DATA_V2:
+                    payload = dcodec.decompress(
+                        payload, decompressed_size=ph[2], asbytes=True)
                 if ph[1] == PAGE_DICTIONARY:
                     nd = ph[7][1]
                     uniq = _decode_plain(payload, nd, ptype, el.get(2, 0))
@@ -709,6 +766,14 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                     else:
                         levels = np.full(nv, max_def, np.uint64)
                     payload = payload[rlen + dlen:]
+                    # v2: only the value section compresses, flagged by
+                    # DataPageHeaderV2.is_compressed (default true when
+                    # the chunk has a codec)
+                    if dcodec is not None and dp.get(7, True):
+                        payload = dcodec.decompress(
+                            payload,
+                            decompressed_size=ph[2] - rlen - dlen,
+                            asbytes=True)
                 else:
                     continue
                 defs.append(levels)

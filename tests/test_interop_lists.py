@@ -93,3 +93,52 @@ def test_large_random_lists_roundtrip(tmp_path):
                    data_page_size=4096)
     assert interop.read_parquet_with_our_codecs(p2)["v"] \
         .cast(arr.type).equals(arr)
+
+
+@pytest.mark.parametrize("comp", ["snappy", "gzip", "zstd", "lz4_raw"])
+def test_our_compressed_pages_pyarrow_reads(tmp_path, comp):
+    p = str(tmp_path / f"c_{comp}.parquet")
+    txt = pa.array([f"tok{i % 3} row {i} " * 4 for i in range(7)])
+    interop.write_parquet(p, {"ints": INTS, "flat": FLAT, "txt": txt},
+                          dictionary={"txt"}, compression=comp)
+    t = pq.read_table(p)
+    assert t.column("ints").combine_chunks().cast(INTS.type).equals(INTS)
+    assert t.column("flat").combine_chunks().cast(FLAT.type).equals(FLAT)
+    assert t.column("txt").combine_chunks().cast(txt.type).equals(txt)
+
+
+def test_our_compressed_v2_delta_pages_pyarrow_reads(tmp_path):
+    # v2 semantics: levels stay raw, only the value section compresses
+    p = str(tmp_path / "v2z.parquet")
+    txt = pa.array([f"line {i} " * 3 for i in range(7)])
+    f32 = pa.array(np.arange(7, dtype=np.float32))
+    interop.write_parquet(p, {"flat": FLAT, "txt": txt, "f32": f32},
+                          encodings={"flat": "delta",
+                                     "txt": "delta_length",
+                                     "f32": "byte_stream_split"},
+                          compression="zstd")
+    t = pq.read_table(p)
+    assert t.column("flat").combine_chunks().cast(FLAT.type).equals(FLAT)
+    assert t.column("txt").combine_chunks().cast(txt.type).equals(txt)
+    assert t.column("f32").combine_chunks().equals(f32)
+
+
+@pytest.mark.parametrize("comp", ["snappy", "gzip", "zstd", "lz4"])
+@pytest.mark.parametrize("ver", ["1.0", "2.0"])
+def test_pyarrow_compressed_pages_our_kernels_read(tmp_path, comp, ver):
+    p = str(tmp_path / f"pc_{comp}_{ver}.parquet")
+    txt = pa.array([f"tok{i % 3} row {i} " * 4 for i in range(7)])
+    pq.write_table(pa.table({"ints": INTS, "strs": STRS, "flat": FLAT,
+                             "txt": txt}),
+                   p, compression=comp, data_page_version=ver)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["ints"].cast(INTS.type).equals(INTS)
+    assert out["strs"].cast(STRS.type).equals(STRS)
+    assert out["flat"].cast(FLAT.type).equals(FLAT)
+    assert out["txt"].cast(txt.type).equals(txt)
+
+
+def test_unknown_compression_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unsupported parquet compression"):
+        interop.write_parquet(str(tmp_path / "x.parquet"),
+                              {"flat": FLAT}, compression="brotli7")
