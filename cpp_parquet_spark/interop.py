@@ -131,6 +131,20 @@ class _CW:
             self.b += _uvarint(len(v)) + v
         return self
 
+    def list_i64(self, fid: int, vals: list[int]) -> "_CW":
+        self._hdr(fid, _CT_LIST)
+        self.b += self._list_hdr(len(vals), _CT_I64)
+        for v in vals:
+            self.b += _uvarint(_zigzag(v))
+        return self
+
+    def list_bool(self, fid: int, vals: list[bool]) -> "_CW":
+        # bool LIST elements are one byte each: 1 = true, 2 = false
+        self._hdr(fid, _CT_LIST)
+        self.b += self._list_hdr(len(vals), 1)
+        self.b += bytes(1 if v else 2 for v in vals)
+        return self
+
     def list_struct(self, fid: int, vals: list[bytes]) -> "_CW":
         self._hdr(fid, _CT_LIST)
         self.b += self._list_hdr(len(vals), _CT_STRUCT)
@@ -195,6 +209,13 @@ class _CR:
             et = h & 0x0F
             if size == 15:
                 size = self._uv()
+            if et in (1, 2):
+                # bool LIST elements occupy one byte each (1 = true,
+                # 2 = false) — unlike struct-field bools, whose value
+                # rides the field header
+                out = [self.buf[self.pos + i] == 1 for i in range(size)]
+                self.pos += size
+                return out
             return [self._value(et) for _ in range(size)]
         if ctype == 12:                       # struct
             return self.struct()
@@ -454,10 +475,27 @@ def _encode_values(work: pa.Array, tag: str, enc: int) -> bytes:
     raise ValueError(f"encoding {enc} has no emitter")
 
 
+def _plain_scalar_bytes(v, ptype: int) -> bytes:
+    """python value -> ColumnIndex min/max bytes (PLAIN, no prefix)."""
+    if ptype == T_INT32:
+        return np.int32(v).tobytes()
+    if ptype == T_INT64:
+        return np.int64(v).tobytes()
+    if ptype == T_FLOAT:
+        return np.float32(v).tobytes()
+    if ptype == T_DOUBLE:
+        return np.float64(v).tobytes()
+    if isinstance(v, str):
+        return v.encode()
+    return bytes(v)
+
+
 def write_parquet(path: str, columns: dict[str, pa.Array],
                   dictionary: set[str] | frozenset[str] = frozenset(),
                   encodings: dict[str, str] | None = None,
                   compression: str | None = None,
+                  page_rows: int | None = None,
+                  page_index: bool = False,
                   ) -> None:
     """Write a real one-row-group Parquet file whose page payloads come
     verbatim from OUR codec emitters. ``dictionary`` names columns
@@ -474,7 +512,14 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     page payload for v1/dictionary pages, the value section only for v2
     pages (levels stay raw per DataPageHeaderV2.is_compressed
     semantics), with the uncompressed/compressed size pair in each page
-    header and the CompressionCodec id in the chunk metadata."""
+    header and the CompressionCodec id in the chunk metadata.
+
+    ``page_rows`` splits flat PLAIN columns into multiple v1 data pages
+    of at most that many rows (the other shapes stay single-page);
+    ``page_index`` additionally writes the format's page-pruning
+    sidecar — an OffsetIndex (PageLocation per page) and a ColumnIndex
+    (null_pages / PLAIN min-max / boundary_order / null_counts) per
+    flat chunk, linked from ColumnChunk fields 4-7."""
     encodings = encodings or {}
     overlap = set(encodings) & set(dictionary)
     if overlap:
@@ -574,8 +619,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             for fid, v in extras:
                 leaf_el.i32(fid, v)
             chunks.append((name, [group, mid, leaf_el.done()],
-                           _CW().i64(2, data_off)
-                           .struct(3, meta.done()).done(), total))
+                           meta.done(), data_off, total, None))
             continue
         tag, ptype, extras = _colspec(arr.type)
         work = arr.drop_null() if arr.null_count else arr
@@ -584,6 +628,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         dict_off = None
         chunk_start = len(body)
         u_total = 0
+        pidx = None
         if name in encodings:
             enc = _ENC_BY_NAME[encodings[name]]
             lvl = _level_stream(arr) if optional else b""
@@ -612,9 +657,48 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                                  ENC_PLAIN_DICTIONARY)
             enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
         else:
-            data_payload = levels + _plain_values(_pq_work(work, tag), tag)
-            data_off = len(body)
-            u_total += emit_page(PAGE_DATA, data_payload, n, ENC_PLAIN)
+            # flat PLAIN: split into page_rows-sized v1 pages, tracking
+            # per-page locations and min/max for the page index
+            step = page_rows if page_rows else n
+            step = max(step, 1)
+            if page_index and tag != "bool":
+                pidx = {"pages": [], "null_pages": [], "mins": [],
+                        "maxs": [], "mins_v": [], "maxs_v": [],
+                        "null_counts": []}
+            data_off = None
+            for lo_r in range(0, max(n, 1), step):
+                win = arr.slice(lo_r, step)
+                nw = len(win)
+                if nw == 0 and n > 0:
+                    break
+                wwork = win.drop_null() if win.null_count else win
+                wlev = _def_levels(win) if optional else b""
+                payload = wlev + _plain_values(_pq_work(wwork, tag), tag)
+                off = len(body)
+                if data_off is None:
+                    data_off = off
+                u_total += emit_page(PAGE_DATA, payload, nw, ENC_PLAIN)
+                if pidx is not None:
+                    pidx["pages"].append((off, len(body) - off, lo_r))
+                    nulls = win.null_count
+                    pidx["null_counts"].append(int(nulls))
+                    if len(wwork) == 0:
+                        pidx["null_pages"].append(True)
+                        pidx["mins"].append(b"")
+                        pidx["maxs"].append(b"")
+                        pidx["mins_v"].append(None)
+                        pidx["maxs_v"].append(None)
+                    else:
+                        import pyarrow.compute as _pc
+                        mm = _pc.min_max(_pq_work(wwork, tag))
+                        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                        pidx["null_pages"].append(False)
+                        pidx["mins"].append(_plain_scalar_bytes(mn, ptype))
+                        pidx["maxs"].append(_plain_scalar_bytes(mx, ptype))
+                        pidx["mins_v"].append(mn)
+                        pidx["maxs_v"].append(mx)
+                if n == 0:
+                    break
             enc_list = [ENC_PLAIN, ENC_RLE]
         # chunk sizes INCLUDE the page headers (parquet.thrift
         # total_compressed_size semantics — readers slice the chunk
@@ -631,15 +715,44 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             .binary(4, name.encode())
         for fid, v in extras:
             e.i32(fid, v)
-        chunks.append((name, [e.done()],
-                       _CW().i64(2, data_off).struct(3, meta.done()).done(),
-                       total))
+        chunks.append((name, [e.done()], meta.done(), data_off, total,
+                       pidx))
+    # page-index sidecars land between the chunks and the footer
+    # (parquet-format PageIndex layout); ColumnChunk structs serialize
+    # afterwards so fields 4-7 can point at them
+    cc_bytes = []
+    for cname, col_elems, meta_b, data_off, total, pidx in chunks:
+        cw = _CW().i64(2, data_off).struct(3, meta_b)
+        if pidx is not None and pidx["pages"]:
+            oi_off = len(body)
+            locs = [(_CW().i64(1, off).i32(2, csz).i64(3, fr)).done()
+                    for off, csz, fr in pidx["pages"]]
+            oi = _CW().list_struct(1, locs).done()
+            body += oi
+            mvs = [v for v in pidx["mins_v"] if v is not None]
+            xvs = [v for v in pidx["maxs_v"] if v is not None]
+            asc = all(a <= b for a, b in zip(mvs, mvs[1:])) \
+                and all(a <= b for a, b in zip(xvs, xvs[1:]))
+            desc = all(a >= b for a, b in zip(mvs, mvs[1:])) \
+                and all(a >= b for a, b in zip(xvs, xvs[1:]))
+            order = BOUNDARY_ASC if asc else (
+                BOUNDARY_DESC if desc else BOUNDARY_UNORDERED)
+            ci_off = len(body)
+            ci = (_CW().list_bool(1, pidx["null_pages"])
+                  .list_binary(2, pidx["mins"])
+                  .list_binary(3, pidx["maxs"])
+                  .i32(4, order)
+                  .list_i64(5, pidx["null_counts"])).done()
+            body += ci
+            cw.i64(4, oi_off).i32(5, len(oi))
+            cw.i64(6, ci_off).i32(7, len(ci))
+        cc_bytes.append(cw.done())
     root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
     elems = [root]
-    for _, col_elems, _, _ in chunks:
+    for _, col_elems, _, _, _, _ in chunks:
         elems.extend(col_elems)
-    rg = (_CW().list_struct(1, [c[2] for c in chunks])
-          .i64(2, sum(c[3] for c in chunks)).i64(3, n)).done()
+    rg = (_CW().list_struct(1, cc_bytes)
+          .i64(2, sum(c[4] for c in chunks)).i64(3, n)).done()
     fmeta = (_CW().i32(1, 1).list_struct(2, elems).i64(3, n)
              .list_struct(4, [rg])
              .binary(6, b"cpp_parquet_spark interop")).done()
@@ -893,3 +1006,178 @@ def _decode_plain(payload: bytes, k: int, ptype: int,
     np_t = {T_INT32: "i32", T_INT64: "i64",
             T_FLOAT: "f32", T_DOUBLE: "f64"}[ptype]
     return pa.array(plain.decode_fixed(payload, np_t, k))
+
+
+# --- PageIndex (ColumnIndex / OffsetIndex, parquet.thrift) ---------------------
+#
+# The format's page-level pruning sidecar: per chunk, an OffsetIndex
+# (PageLocation{offset, compressed_page_size, first_row_index} per page)
+# and a ColumnIndex (null_pages / min_values / max_values /
+# boundary_order / null_counts, min-max PLAIN-encoded without the
+# BYTE_ARRAY length prefix). The structural twin of the engine's zone
+# maps (stats.py) — these functions prove the engine's pruning model
+# against the standard format: `read_page_index` parses pyarrow-written
+# indexes with the minimal Thrift reader, and `read_column_pruned`
+# decodes ONLY the pages whose [min,max] window intersects a predicate,
+# through our kernels.
+
+BOUNDARY_UNORDERED, BOUNDARY_ASC, BOUNDARY_DESC = 0, 1, 2
+
+
+def _plain_scalar(b: bytes, ptype: int):
+    """ColumnIndex min/max bytes -> python value (PLAIN, no prefix)."""
+    if ptype == T_INT32:
+        return int(np.frombuffer(b, np.int32, 1)[0])
+    if ptype == T_INT64:
+        return int(np.frombuffer(b, np.int64, 1)[0])
+    if ptype == T_FLOAT:
+        return float(np.frombuffer(b, np.float32, 1)[0])
+    if ptype == T_DOUBLE:
+        return float(np.frombuffer(b, np.float64, 1)[0])
+    if ptype == T_BOOLEAN:
+        return bool(b[0])
+    return bytes(b)                           # BYTE_ARRAY / FLBA: raw
+
+
+def read_page_index(path: str) -> dict[str, dict]:
+    """Parse every chunk's OffsetIndex + ColumnIndex (when present).
+
+    Returns {dotted column path: {"pages": [(offset, compressed_size,
+    first_row), ...], "null_pages": [...], "mins": [...], "maxs": [...],
+    "boundary_order": int, "null_counts": [...] | None}} with min/max
+    decoded into python values per the physical type."""
+    buf = open(path, "rb").read()
+    assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    out: dict[str, dict] = {}
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            cm = chunk[3]
+            pathname = ".".join(seg.decode() for seg in cm[3])
+            ent: dict = {}
+            if 4 in chunk:                    # offset_index_offset
+                oi = _CR(buf, chunk[4]).struct()
+                ent["pages"] = [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+            if 6 in chunk:                    # column_index_offset
+                ci = _CR(buf, chunk[6]).struct()
+                ptype = cm[1]
+                ent["null_pages"] = ci[1]
+                ent["mins"] = [None if np_ else _plain_scalar(b, ptype)
+                               for np_, b in zip(ci[1], ci[2])]
+                ent["maxs"] = [None if np_ else _plain_scalar(b, ptype)
+                               for np_, b in zip(ci[1], ci[3])]
+                ent["boundary_order"] = ci.get(4, BOUNDARY_UNORDERED)
+                ent["null_counts"] = ci.get(5)
+            if ent:
+                out[pathname] = ent
+    return out
+
+
+def read_column_pruned(path: str, column: str, lo, hi
+                       ) -> tuple[pa.Array, int, int]:
+    """Decode ONLY the pages of ``column`` whose ColumnIndex [min,max]
+    window intersects ``[lo, hi]`` — the format-level analogue of the
+    engine's zone-map pruning (stats.py). Flat required/optional
+    columns, PLAIN or dictionary pages (the shapes pyarrow writes with
+    a page index).
+
+    Returns ``(values, pages_read, pages_total)``: the concatenated
+    decoded values of the selected pages (nulls preserved), so the
+    caller can apply the exact predicate. Unselected pages are
+    guaranteed by the index to contain no qualifying value."""
+    idx = read_page_index(path)
+    ent = idx.get(column)
+    if ent is None or "pages" not in ent or "mins" not in ent:
+        raise ValueError(f"no page index for column {column!r}")
+    buf = open(path, "rb").read()
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    cm = None
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            if ".".join(s.decode() for s in chunk[3][3]) == column:
+                cm = chunk[3]
+    if cm is None:
+        raise ValueError(f"column {column!r} not found")
+    ptype = None
+    for el in meta[2][1:]:
+        if el[4].decode() == column and el.get(5, 0) == 0:
+            ptype = el[1]
+            elm = el
+    if ptype is None:
+        raise ValueError(f"{column!r} is not a flat column")
+    comp = cm.get(4, 0)
+    dcodec = pa.Codec(_COMP_NAME[comp]) if comp else None
+    optional = elm.get(3, 0) == REP_OPTIONAL
+    # dictionary page (if any) always decodes
+    uniq = None
+    if 11 in cm:
+        r = _CR(buf, cm[11])
+        ph = r.struct()
+        payload = buf[r.pos:r.pos + ph[3]]
+        if dcodec is not None:
+            payload = dcodec.decompress(payload, decompressed_size=ph[2],
+                                        asbytes=True)
+        uniq = _decode_plain(payload, ph[7][1], ptype, elm.get(2, 0))
+    pages = ent["pages"]
+    keep = []
+    for i, (off, csize, first_row) in enumerate(pages):
+        if ent["null_pages"][i]:
+            continue
+        if not (ent["maxs"][i] < lo or ent["mins"][i] > hi):
+            keep.append(i)
+    got = []
+    for i in keep:
+        off, csize, first_row = pages[i]
+        r = _CR(buf, off)
+        ph = r.struct()
+        payload = buf[r.pos:r.pos + ph[3]]
+        if dcodec is not None and ph[1] != PAGE_DATA_V2:
+            payload = dcodec.decompress(payload, decompressed_size=ph[2],
+                                        asbytes=True)
+        if ph[1] == PAGE_DATA:
+            dp = ph[5]
+            nv, enc = dp[1], dp[2]
+            if optional:
+                dlen = int(np.frombuffer(payload[:4], np.uint32)[0])
+                levels = rle.decode(payload[4:4 + dlen], {"bw": 1}, nv)
+                valid = levels.astype(bool)
+                payload = payload[4 + dlen:]
+            else:
+                valid = np.ones(nv, bool)
+        elif ph[1] == PAGE_DATA_V2:
+            dp = ph[8]
+            nv, enc = dp[1], dp[4]
+            rlen, dlen = dp.get(6, 0), dp.get(5, 0)
+            if dlen:
+                levels = rle.decode(payload[rlen:rlen + dlen], {"bw": 1}, nv)
+                valid = levels.astype(bool)
+            else:
+                valid = np.ones(nv, bool)
+            payload = payload[rlen + dlen:]
+            if dcodec is not None and dp.get(7, True):
+                payload = dcodec.decompress(
+                    payload, decompressed_size=ph[2] - rlen - dlen,
+                    asbytes=True)
+        else:
+            raise ValueError("unexpected page type in OffsetIndex")
+        k = int(valid.sum())
+        if enc in (ENC_PLAIN_DICTIONARY, ENC_RLE_DICTIONARY):
+            bw = payload[0]
+            codes = rle.decode(payload[1:], {"bw": int(bw)}, k)
+            vals = uniq.take(pa.array(codes.astype(np.int64)))
+        elif enc == ENC_PLAIN:
+            vals = _decode_plain(payload, k, ptype, elm.get(2, 0))
+        else:
+            raise ValueError(f"encoding {enc} unsupported in pruned read")
+        if k < nv:
+            ridx = np.cumsum(valid, dtype=np.int64) - 1
+            vals = vals.take(pa.array(ridx, mask=~valid))
+        got.append(vals)
+    if got:
+        col = pa.concat_arrays([g.cast(got[0].type) for g in got])
+    else:
+        col = pa.array([], pa.int64() if ptype in (T_INT32, T_INT64)
+                       else pa.large_string())
+    return _apply_converted(col, elm), len(keep), len(pages)

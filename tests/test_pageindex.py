@@ -1,0 +1,100 @@
+"""Parquet PageIndex (ColumnIndex / OffsetIndex) conformance.
+
+Both directions: pyarrow-written page indexes parse through our minimal
+Thrift reader and drive a correct page-pruned read via our kernels; our
+writer's indexes are read back by our parser AND pyarrow's metadata
+reader acknowledges them (has_column_index), while the data remains
+byte-exactly readable by pyarrow."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cpp_parquet_spark import interop
+
+
+def _fixture(n=20000, nulls=True):
+    vals = np.sort(np.random.RandomState(3).randint(0, 10**6, n)) \
+        .astype(np.int64)
+    if nulls:
+        obj = vals.astype(object)
+        obj[::171] = None
+        arr = pa.array(list(obj), pa.int64())
+    else:
+        arr = pa.array(vals)
+    txt = pa.array([f"w{v:06d}" for v in vals])
+    return vals, arr, txt
+
+
+def test_pyarrow_index_parses_and_prunes(tmp_path):
+    vals, arr, txt = _fixture()
+    p = str(tmp_path / "pa.parquet")
+    pq.write_table(pa.table({"v": arr, "s": txt}), p, compression="NONE",
+                   use_dictionary=False, data_page_size=4096,
+                   write_page_index=True)
+    idx = interop.read_page_index(p)
+    ent = idx["v"]
+    assert len(ent["pages"]) > 3
+    assert ent["boundary_order"] == interop.BOUNDARY_ASC
+    assert sum(ent["null_counts"]) == arr.null_count
+    lo, hi = 200000, 300000
+    got, nk, npg = interop.read_column_pruned(p, "v", lo, hi)
+    assert 0 < nk < npg
+    g = np.array([x for x in got.to_pylist() if x is not None])
+    mask = np.ones(len(vals), bool)
+    mask[::171] = False
+    exp = vals[mask & (vals >= lo) & (vals <= hi)]
+    assert np.array_equal(np.sort(g[(g >= lo) & (g <= hi)]), exp)
+
+
+@pytest.mark.parametrize("comp", [None, "zstd", "snappy"])
+def test_our_index_roundtrip_and_pyarrow_acknowledges(tmp_path, comp):
+    vals, arr, txt = _fixture()
+    p = str(tmp_path / f"ours_{comp}.parquet")
+    interop.write_parquet(p, {"v": arr, "s": txt}, page_rows=1000,
+                          page_index=True, compression=comp)
+    t = pq.read_table(p)
+    assert t.column("v").combine_chunks().cast(arr.type).equals(arr)
+    assert t.column("s").combine_chunks().cast(txt.type).equals(txt)
+    f = pq.ParquetFile(p)
+    col = f.metadata.row_group(0).column(0)
+    assert col.has_column_index
+    idx = interop.read_page_index(p)
+    assert len(idx["v"]["pages"]) == 20
+    assert idx["v"]["boundary_order"] == interop.BOUNDARY_ASC
+    got, nk, npg = interop.read_column_pruned(p, "s",
+                                              b"w200000", b"w300000")
+    assert 0 < nk < npg
+    ss = sorted(x for x in got.to_pylist()
+                if x and "w200000" <= x <= "w300000")
+    es = sorted(x for x in txt.to_pylist() if "w200000" <= x <= "w300000")
+    assert ss == es
+
+
+def test_all_null_page_and_descending(tmp_path):
+    n = 300
+    desc = np.arange(n, 0, -1, dtype=np.int64).astype(object)
+    desc[100:200] = None                        # one fully-null page
+    arr = pa.array(list(desc), pa.int64())
+    p = str(tmp_path / "desc.parquet")
+    interop.write_parquet(p, {"v": arr}, page_rows=100, page_index=True)
+    idx = interop.read_page_index(p)["v"]
+    assert idx["null_pages"] == [False, True, False]
+    assert idx["boundary_order"] == interop.BOUNDARY_DESC
+    got, nk, npg = interop.read_column_pruned(p, "v", 250, 260)
+    assert (nk, npg) == (1, 3)
+    g = [x for x in got.to_pylist() if x is not None and 250 <= x <= 260]
+    assert sorted(g) == list(range(250, 261))
+    # a window no page can satisfy reads nothing
+    got2, nk2, _ = interop.read_column_pruned(p, "v", 10**9, 2 * 10**9)
+    assert nk2 == 0 and len(got2) == 0
+
+
+def test_unordered_boundary(tmp_path):
+    rng = np.random.RandomState(11)
+    arr = pa.array(rng.randint(0, 1000, 400))
+    p = str(tmp_path / "u.parquet")
+    interop.write_parquet(p, {"v": arr}, page_rows=100, page_index=True)
+    assert interop.read_page_index(p)["v"]["boundary_order"] == \
+        interop.BOUNDARY_UNORDERED
