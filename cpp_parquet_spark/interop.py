@@ -496,6 +496,8 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                   compression: str | None = None,
                   page_rows: int | None = None,
                   page_index: bool = False,
+                  row_group_rows: int | None = None,
+                  statistics: bool = False,
                   ) -> None:
     """Write a real one-row-group Parquet file whose page payloads come
     verbatim from OUR codec emitters. ``dictionary`` names columns
@@ -519,7 +521,14 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     ``page_index`` additionally writes the format's page-pruning
     sidecar — an OffsetIndex (PageLocation per page) and a ColumnIndex
     (null_pages / PLAIN min-max / boundary_order / null_counts) per
-    flat chunk, linked from ColumnChunk fields 4-7."""
+    flat chunk, linked from ColumnChunk fields 4-7.
+
+    ``row_group_rows`` splits the file into multiple row groups of at
+    most that many rows (each with its own chunks/pages/indexes);
+    ``statistics`` writes the ColumnMetaData Statistics struct
+    (null_count / min_value / max_value, parquet.thrift fid 12) per
+    flat chunk — the row-group pruning sidecar pyarrow's metadata
+    reader surfaces as ``.statistics``."""
     encodings = encodings or {}
     overlap = set(encodings) & set(dictionary)
     if overlap:
@@ -537,7 +546,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     assert len(n_rows) == 1, "columns must be equal length"
     n = n_rows.pop()
     body = bytearray(_MAGIC)
-    chunks = []
+    row_groups: list[tuple[list, int]] = []
 
     def emit_page(ptype: int, payload: bytes, nvals: int, enc: int,
                   num_nulls: int = 0, v2_levels: bytes | None = None
@@ -563,9 +572,15 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         body.extend(hdr)
         body.extend(data)
         return len(hdr) + usize
-    for name, arr in columns.items():
+    rg_step = max(row_group_rows or max(n, 1), 1)
+    rg_starts = list(range(0, n, rg_step)) or [0]
+    for rg_lo in rg_starts:
+      chunks = []
+      for name, arr in columns.items():
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        arr = arr.slice(rg_lo, rg_step)
+        nw = len(arr)
         if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
             # 3-level LIST structure: one v1 data page with repetition +
             # definition level streams ahead of the element values
@@ -634,7 +649,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             lvl = _level_stream(arr) if optional else b""
             payload = _encode_values(_pq_work(work, tag), tag, enc)
             data_off = len(body)
-            u_total += emit_page(PAGE_DATA_V2, payload, n, enc,
+            u_total += emit_page(PAGE_DATA_V2, payload, nw, enc,
                                  num_nulls=arr.null_count, v2_levels=lvl)
             enc_list = [enc, ENC_RLE]
         elif name in dictionary:
@@ -653,23 +668,23 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             u_total += emit_page(PAGE_DICTIONARY, dict_payload,
                                  len(uniq), ENC_PLAIN_DICTIONARY)
             data_off = len(body)
-            u_total += emit_page(PAGE_DATA, data_payload, n,
+            u_total += emit_page(PAGE_DATA, data_payload, nw,
                                  ENC_PLAIN_DICTIONARY)
             enc_list = [ENC_PLAIN_DICTIONARY, ENC_RLE]
         else:
             # flat PLAIN: split into page_rows-sized v1 pages, tracking
             # per-page locations and min/max for the page index
-            step = page_rows if page_rows else n
+            step = page_rows if page_rows else nw
             step = max(step, 1)
             if page_index and tag != "bool":
                 pidx = {"pages": [], "null_pages": [], "mins": [],
                         "maxs": [], "mins_v": [], "maxs_v": [],
                         "null_counts": []}
             data_off = None
-            for lo_r in range(0, max(n, 1), step):
+            for lo_r in range(0, max(nw, 1), step):
                 win = arr.slice(lo_r, step)
-                nw = len(win)
-                if nw == 0 and n > 0:
+                nww = len(win)
+                if nww == 0 and nw > 0:
                     break
                 wwork = win.drop_null() if win.null_count else win
                 wlev = _def_levels(win) if optional else b""
@@ -677,9 +692,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 off = len(body)
                 if data_off is None:
                     data_off = off
-                u_total += emit_page(PAGE_DATA, payload, nw, ENC_PLAIN)
+                u_total += emit_page(PAGE_DATA, payload, nww, ENC_PLAIN)
                 if pidx is not None:
-                    pidx["pages"].append((off, len(body) - off, lo_r))
+                    pidx["pages"].append((off, len(body) - off,
+                                          rg_lo + lo_r))
                     nulls = win.null_count
                     pidx["null_counts"].append(int(nulls))
                     if len(wwork) == 0:
@@ -697,7 +713,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                         pidx["maxs"].append(_plain_scalar_bytes(mx, ptype))
                         pidx["mins_v"].append(mn)
                         pidx["maxs_v"].append(mx)
-                if n == 0:
+                if nw == 0:
                     break
             enc_list = [ENC_PLAIN, ENC_RLE]
         # chunk sizes INCLUDE the page headers (parquet.thrift
@@ -706,10 +722,19 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         total = len(body) - chunk_start
         meta = (_CW().i32(1, ptype).list_i32(2, enc_list)
                 .list_binary(3, [name.encode()]).i32(4, comp_id)
-                .i64(5, n).i64(6, u_total).i64(7, total)
+                .i64(5, nw).i64(6, u_total).i64(7, total)
                 .i64(9, data_off))
         if dict_off is not None:
             meta.i64(11, dict_off)
+        if statistics and tag != "bool":
+            w_all = arr.drop_null() if arr.null_count else arr
+            st = _CW().i64(3, arr.null_count)
+            if len(w_all):
+                import pyarrow.compute as _pc
+                mm = _pc.min_max(_pq_work(w_all, tag))
+                st.binary(5, _plain_scalar_bytes(mm["max"].as_py(), ptype))
+                st.binary(6, _plain_scalar_bytes(mm["min"].as_py(), ptype))
+            meta.struct(12, st.done())
         e = _CW().i32(1, ptype) \
             .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
             .binary(4, name.encode())
@@ -717,45 +742,54 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             e.i32(fid, v)
         chunks.append((name, [e.done()], meta.done(), data_off, total,
                        pidx))
+      row_groups.append(
+          (chunks, min(rg_step, n - rg_lo) if n else 0))
     # page-index sidecars land between the chunks and the footer
     # (parquet-format PageIndex layout); ColumnChunk structs serialize
     # afterwards so fields 4-7 can point at them
-    cc_bytes = []
-    for cname, col_elems, meta_b, data_off, total, pidx in chunks:
-        cw = _CW().i64(2, data_off).struct(3, meta_b)
-        if pidx is not None and pidx["pages"]:
-            oi_off = len(body)
-            locs = [(_CW().i64(1, off).i32(2, csz).i64(3, fr)).done()
-                    for off, csz, fr in pidx["pages"]]
-            oi = _CW().list_struct(1, locs).done()
-            body += oi
-            mvs = [v for v in pidx["mins_v"] if v is not None]
-            xvs = [v for v in pidx["maxs_v"] if v is not None]
-            asc = all(a <= b for a, b in zip(mvs, mvs[1:])) \
-                and all(a <= b for a, b in zip(xvs, xvs[1:]))
-            desc = all(a >= b for a, b in zip(mvs, mvs[1:])) \
-                and all(a >= b for a, b in zip(xvs, xvs[1:]))
-            order = BOUNDARY_ASC if asc else (
-                BOUNDARY_DESC if desc else BOUNDARY_UNORDERED)
-            ci_off = len(body)
-            ci = (_CW().list_bool(1, pidx["null_pages"])
-                  .list_binary(2, pidx["mins"])
-                  .list_binary(3, pidx["maxs"])
-                  .i32(4, order)
-                  .list_i64(5, pidx["null_counts"])).done()
-            body += ci
-            cw.i64(4, oi_off).i32(5, len(oi))
-            cw.i64(6, ci_off).i32(7, len(ci))
-        cc_bytes.append(cw.done())
+    rg_bytes = []
+    for chunks, rg_n in row_groups:
+        cc_bytes = []
+        for cname, col_elems, meta_b, data_off, total, pidx in chunks:
+            cw = _CW().i64(2, data_off).struct(3, meta_b)
+            if pidx is not None and pidx["pages"]:
+                oi_off = len(body)
+                locs = [(_CW().i64(1, off).i32(2, csz).i64(3, fr)).done()
+                        for off, csz, fr in pidx["pages"]]
+                oi = _CW().list_struct(1, locs).done()
+                body += oi
+                mvs = [v for v in pidx["mins_v"] if v is not None]
+                xvs = [v for v in pidx["maxs_v"] if v is not None]
+                asc = all(a <= b for a, b in zip(mvs, mvs[1:])) \
+                    and all(a <= b for a, b in zip(xvs, xvs[1:]))
+                desc = all(a >= b for a, b in zip(mvs, mvs[1:])) \
+                    and all(a >= b for a, b in zip(xvs, xvs[1:]))
+                order = BOUNDARY_ASC if asc else (
+                    BOUNDARY_DESC if desc else BOUNDARY_UNORDERED)
+                ci_off = len(body)
+                ci = (_CW().list_bool(1, pidx["null_pages"])
+                      .list_binary(2, pidx["mins"])
+                      .list_binary(3, pidx["maxs"])
+                      .i32(4, order)
+                      .list_i64(5, pidx["null_counts"])).done()
+                body += ci
+                cw.i64(4, oi_off).i32(5, len(oi))
+                cw.i64(6, ci_off).i32(7, len(ci))
+            cc_bytes.append(cw.done())
+        rg_bytes.append((_CW().list_struct(1, cc_bytes)
+                         .i64(2, sum(c[4] for c in chunks))
+                         .i64(3, rg_n)).done())
     root = (_CW().binary(4, b"schema").i32(5, len(columns))).done()
     elems = [root]
-    for _, col_elems, _, _, _, _ in chunks:
+    for _, col_elems, _, _, _, _ in row_groups[0][0]:
         elems.extend(col_elems)
-    rg = (_CW().list_struct(1, cc_bytes)
-          .i64(2, sum(c[4] for c in chunks)).i64(3, n)).done()
+    # column_orders (fid 7): one TYPE_ORDER per leaf — without this
+    # parquet-cpp refuses to surface the v2 min_value/max_value stats
+    type_order = _CW().struct(1, _CW().done()).done()
     fmeta = (_CW().i32(1, 1).list_struct(2, elems).i64(3, n)
-             .list_struct(4, [rg])
-             .binary(6, b"cpp_parquet_spark interop")).done()
+             .list_struct(4, rg_bytes)
+             .binary(6, b"cpp_parquet_spark interop")
+             .list_struct(7, [type_order] * len(row_groups[0][0]))).done()
     body += fmeta
     body += np.uint32(len(fmeta)).tobytes()
     body += _MAGIC
@@ -806,7 +840,7 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
     n_top = schema[0].get(5, len(schema) - 1)
     for _ in range(n_top):
         _consume((), 0, 0, None)
-    out: dict[str, pa.Array] = {}
+    parts: dict[str, list[pa.Array]] = {}
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
@@ -925,10 +959,14 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
                 col = _reassemble_list(
                     col, np.concatenate(reps), np.concatenate(defs),
                     max_def, def_at_rep, el)
-                out[name] = col
+                parts.setdefault(name, []).append(col)
             else:
-                out[name] = _apply_converted(col, el)
-    return out
+                parts.setdefault(name, []).append(
+                    _apply_converted(col, el))
+    # one chunk per column per row group: concatenate in row-group order
+    return {name: (arrs[0] if len(arrs) == 1 else
+                   pa.concat_arrays([a.cast(arrs[0].type) for a in arrs]))
+            for name, arrs in parts.items()}
 
 
 def _reassemble_list(vals: pa.Array, rep: np.ndarray, deflev: np.ndarray,
@@ -1069,8 +1107,23 @@ def read_page_index(path: str) -> dict[str, dict]:
                                for np_, b in zip(ci[1], ci[3])]
                 ent["boundary_order"] = ci.get(4, BOUNDARY_UNORDERED)
                 ent["null_counts"] = ci.get(5)
-            if ent:
+            if not ent:
+                continue
+            prev = out.get(pathname)
+            if prev is None:
                 out[pathname] = ent
+            else:
+                # one index pair per row group: append in row-group
+                # order (page offsets and first_row are file-absolute);
+                # the combined boundary_order downgrades unless both
+                # sides agree
+                for k in ("pages", "null_pages", "mins", "maxs",
+                          "null_counts"):
+                    if k in prev and k in ent and prev[k] is not None \
+                            and ent[k] is not None:
+                        prev[k] = prev[k] + ent[k]
+                if prev.get("boundary_order") != ent.get("boundary_order"):
+                    prev["boundary_order"] = BOUNDARY_UNORDERED
     return out
 
 
@@ -1086,20 +1139,13 @@ def read_column_pruned(path: str, column: str, lo, hi
     decoded values of the selected pages (nulls preserved), so the
     caller can apply the exact predicate. Unselected pages are
     guaranteed by the index to contain no qualifying value."""
-    idx = read_page_index(path)
-    ent = idx.get(column)
-    if ent is None or "pages" not in ent or "mins" not in ent:
-        raise ValueError(f"no page index for column {column!r}")
+    if isinstance(lo, str):
+        lo = lo.encode()
+    if isinstance(hi, str):
+        hi = hi.encode()
     buf = open(path, "rb").read()
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
-    cm = None
-    for rg in meta[4]:
-        for chunk in rg[1]:
-            if ".".join(s.decode() for s in chunk[3][3]) == column:
-                cm = chunk[3]
-    if cm is None:
-        raise ValueError(f"column {column!r} not found")
     ptype = None
     for el in meta[2][1:]:
         if el[4].decode() == column and el.get(5, 0) == 0:
@@ -1107,29 +1153,50 @@ def read_column_pruned(path: str, column: str, lo, hi
             elm = el
     if ptype is None:
         raise ValueError(f"{column!r} is not a flat column")
-    comp = cm.get(4, 0)
-    dcodec = pa.Codec(_COMP_NAME[comp]) if comp else None
     optional = elm.get(3, 0) == REP_OPTIONAL
-    # dictionary page (if any) always decodes
-    uniq = None
-    if 11 in cm:
-        r = _CR(buf, cm[11])
-        ph = r.struct()
-        payload = buf[r.pos:r.pos + ph[3]]
-        if dcodec is not None:
-            payload = dcodec.decompress(payload, decompressed_size=ph[2],
-                                        asbytes=True)
-        uniq = _decode_plain(payload, ph[7][1], ptype, elm.get(2, 0))
-    pages = ent["pages"]
-    keep = []
-    for i, (off, csize, first_row) in enumerate(pages):
-        if ent["null_pages"][i]:
-            continue
-        if not (ent["maxs"][i] < lo or ent["mins"][i] > hi):
-            keep.append(i)
+    # (page, dict) work list per ROW GROUP: each row group has its own
+    # index pair and its own dictionary page
+    work: list[tuple[int, "pa.Array | None"]] = []
+    n_pages_total = 0
+    found = False
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            cm = chunk[3]
+            if ".".join(s.decode() for s in cm[3]) != column:
+                continue
+            found = True
+            if 4 not in chunk or 6 not in chunk:
+                raise ValueError(f"no page index for column {column!r}")
+            comp = cm.get(4, 0)
+            dcodec = pa.Codec(_COMP_NAME[comp]) if comp else None
+            oi = _CR(buf, chunk[4]).struct()
+            ci = _CR(buf, chunk[6]).struct()
+            pages = [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+            null_pages = ci[1]
+            mins = [None if np_ else _plain_scalar(b, ptype)
+                    for np_, b in zip(null_pages, ci[2])]
+            maxs = [None if np_ else _plain_scalar(b, ptype)
+                    for np_, b in zip(null_pages, ci[3])]
+            n_pages_total += len(pages)
+            uniq = None
+            if 11 in cm:
+                r = _CR(buf, cm[11])
+                ph = r.struct()
+                payload = buf[r.pos:r.pos + ph[3]]
+                if dcodec is not None:
+                    payload = dcodec.decompress(
+                        payload, decompressed_size=ph[2], asbytes=True)
+                uniq = _decode_plain(payload, ph[7][1], ptype,
+                                     elm.get(2, 0))
+            for i, (off, csize, first_row) in enumerate(pages):
+                if null_pages[i]:
+                    continue
+                if not (maxs[i] < lo or mins[i] > hi):
+                    work.append((off, uniq, dcodec))
+    if not found:
+        raise ValueError(f"column {column!r} not found")
     got = []
-    for i in keep:
-        off, csize, first_row = pages[i]
+    for off, uniq, dcodec in work:
         r = _CR(buf, off)
         ph = r.struct()
         payload = buf[r.pos:r.pos + ph[3]]
@@ -1180,4 +1247,4 @@ def read_column_pruned(path: str, column: str, lo, hi
     else:
         col = pa.array([], pa.int64() if ptype in (T_INT32, T_INT64)
                        else pa.large_string())
-    return _apply_converted(col, elm), len(keep), len(pages)
+    return _apply_converted(col, elm), len(work), n_pages_total

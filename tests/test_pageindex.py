@@ -98,3 +98,70 @@ def test_unordered_boundary(tmp_path):
     interop.write_parquet(p, {"v": arr}, page_rows=100, page_index=True)
     assert interop.read_page_index(p)["v"]["boundary_order"] == \
         interop.BOUNDARY_UNORDERED
+
+
+def test_multi_row_group_roundtrip_and_stats(tmp_path):
+    vals, arr, txt = _fixture()
+    p = str(tmp_path / "mrg.parquet")
+    interop.write_parquet(p, {"v": arr, "s": txt}, row_group_rows=5000,
+                          page_rows=1000, page_index=True,
+                          statistics=True, compression="zstd")
+    t = pq.read_table(p)
+    assert t.column("v").combine_chunks().cast(arr.type).equals(arr)
+    assert t.column("s").combine_chunks().cast(txt.type).equals(txt)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 4
+    # pyarrow must surface and agree with OUR Statistics per row group
+    import pyarrow.compute as pc
+    for i in range(4):
+        st = md.row_group(i).column(0).statistics
+        win = arr.slice(i * 5000, 5000)
+        mm = pc.min_max(win.drop_null())
+        assert st.has_min_max
+        assert st.min == mm["min"].as_py() and st.max == mm["max"].as_py()
+        assert st.null_count == win.null_count
+    # our reader concatenates all row groups
+    back = interop.read_parquet_with_our_codecs(p)
+    assert back["v"].cast(arr.type).equals(arr)
+    # page index accumulates across row groups; pruning stays correct
+    idx = interop.read_page_index(p)
+    assert len(idx["v"]["pages"]) == 20
+    got, nk, npg = interop.read_column_pruned(p, "v", 200000, 300000)
+    assert 0 < nk < npg == 20
+    g = np.array([x for x in got.to_pylist() if x is not None])
+    mask = np.ones(len(vals), bool)
+    mask[::171] = False
+    exp = vals[mask & (vals >= 200000) & (vals <= 300000)]
+    assert np.array_equal(np.sort(g[(g >= 200000) & (g <= 300000)]), exp)
+
+
+def test_pyarrow_multi_row_group_files_read_fully(tmp_path):
+    # regression: the reader used to keep only the LAST row group
+    arr = pa.array(np.arange(1000, dtype=np.int64))
+    ls = pa.array([[i, i + 1] if i % 7 else None for i in range(1000)],
+                  pa.list_(pa.int64()))
+    p = str(tmp_path / "pamrg.parquet")
+    pq.write_table(pa.table({"v": arr, "l": ls}), p, compression="zstd",
+                   row_group_size=100)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["v"].cast(arr.type).equals(arr)
+    assert out["l"].cast(ls.type).equals(ls)
+
+
+def test_pruned_read_uses_each_row_groups_own_dictionary(tmp_path):
+    # dict-encoded column split across row groups: every row group has
+    # its OWN dictionary page; pruning must pair pages with the right one
+    n = 10000
+    vals = np.sort(np.random.RandomState(5).randint(0, 10**6, n)) \
+        .astype(np.int64)
+    txt = pa.array([f"w{v:06d}" for v in vals])
+    p = str(tmp_path / "padict.parquet")
+    pq.write_table(pa.table({"s": txt}), p, compression="NONE",
+                   row_group_size=2500, data_page_size=4096,
+                   write_page_index=True)
+    got, nk, npg = interop.read_column_pruned(p, "s", "w200000", "w300000")
+    assert 0 < nk < npg
+    ss = sorted(x for x in got.to_pylist()
+                if x and "w200000" <= x <= "w300000")
+    es = sorted(x for x in txt.to_pylist() if "w200000" <= x <= "w300000")
+    assert ss == es
