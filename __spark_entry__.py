@@ -371,6 +371,35 @@ def q_parquet_interop_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("n_chars").alias("sum_chars")))
 
 
+def q_export_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 distributed standard-parquet sink
+    (cpp_parquet_spark.export.export_parquet): documents is written as
+    a directory of REAL .parquet files — one per partition, emitted
+    INSIDE the executors by OUR page emitters and Thrift writer, with
+    dictionary-coded strings, zstd pages, per-row-group Statistics and
+    the PageIndex sidecar — then read back by SPARK'S OWN JVM
+    parquet-java reader and aggregated; the oracle aggregates the
+    source. A match proves a third, independent reader implementation
+    consumes our files bit-exactly (pyarrow + DuckDB legs are pinned in
+    tests/test_export.py). Scale shape: one mapInArrow pass, no shuffle,
+    no collect — N partitions in, N concurrent file writers out."""
+    import tempfile
+
+    from cpp_parquet_spark.export import export_parquet
+    df = _read(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "docs_sink")
+        export_parquet(df.repartition(4, "doc_id"), dst,
+                       dictionary={"lang", "source"},
+                       page_rows=64, row_group_rows=128).collect()
+        back = spark.read.parquet(dst)
+        return (back.groupBy("lang", "source")
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_id").alias("sum_id"),
+                     F.sum(F.length("text")).alias("text_len"))
+                .orderBy("lang", "source").localCheckpoint())
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1460,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_map_struct": q_roundtrip_map_struct,
         "parquet_interop_lists": q_parquet_interop_lists,
         "parquet_interop_pageindex": q_parquet_interop_pageindex,
+        "export_parquet_sink": q_export_parquet_sink,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
@@ -1669,6 +1699,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_id,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE doc_id BETWEEN 100 AND 299""",
+        "export_parquet_sink": """
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(length(text)) AS BIGINT) AS text_len
+            FROM documents GROUP BY lang, source
+            ORDER BY lang, source""",
         "stats_cardinality": """
             SELECT count(DISTINCT doc_id) AS nd_doc_id,
                    count(DISTINCT text) AS nd_text,

@@ -1,0 +1,92 @@
+"""export_parquet: the distributed standard-parquet sink.
+
+Executor-side files from OUR writer must be consumed bit-exactly by
+three independent readers — Spark's JVM parquet-java, pyarrow's C++
+reader, and DuckDB — and carry our Statistics + PageIndex sidecars."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from cpp_parquet_spark.export import export_parquet
+
+
+def _fingerprint(df):
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("N"))
+            for c in df.columns]
+    h = F.sha2(F.concat_ws("|", *cols).cast("binary"), 256)
+    return (df.select(h.alias("h"))
+            .agg(F.bit_xor(F.conv(F.substring("h", 1, 15), 16, 10)
+                           .cast("long")).alias("x"),
+                 F.count("*").alias("n")).collect()[0])
+
+
+def test_export_three_readers_exact(spark, tmp_path):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dst = str(tmp_path / "docs")
+    man = export_parquet(df.repartition(3), dst,
+                         dictionary={"lang", "source"},
+                         page_rows=20, row_group_rows=40)
+    rows = [r for r in man.collect() if r.file]
+    assert len(rows) == 3
+    assert sum(r.rows for r in rows) == df.count()
+    back = spark.read.parquet(dst)
+    assert tuple(_fingerprint(back)) == tuple(_fingerprint(df))
+    # pyarrow: stats + page index present on every file
+    for f in glob.glob(os.path.join(dst, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        c0 = md.row_group(0).column(0)
+        assert c0.statistics is not None and c0.statistics.has_min_max
+        assert c0.has_column_index
+    # duckdb
+    n, s = duckdb.sql(
+        f"SELECT count(*), sum(doc_id) FROM "
+        f"read_parquet('{dst}/*.parquet')").fetchall()[0]
+    exp = df.agg(F.count("*"), F.sum("doc_id")).collect()[0]
+    assert (n, s) == tuple(exp)
+
+
+def test_export_list_columns(spark, tmp_path):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id",
+                  F.split("text", " ").alias("toks"),
+                  F.expr("CASE WHEN doc_id % 7 = 0 THEN NULL "
+                         "ELSE sequence(1, 1 + CAST(doc_id % 4 AS INT)) "
+                         "END").alias("seq")))
+    dst = str(tmp_path / "lists")
+    export_parquet(df.repartition(2), dst, compression="snappy").collect()
+    back = spark.read.parquet(dst)
+    a = (df.select("doc_id", F.concat_ws(" ", "toks").alias("t"),
+                   F.coalesce(F.expr("aggregate(seq, 0L, (a, x) -> a + x)"),
+                              F.lit(-1)).alias("s")))
+    b = (back.select("doc_id", F.concat_ws(" ", "toks").alias("t"),
+                     F.coalesce(F.expr("aggregate(seq, 0L, (a, x) -> a + x)"),
+                                F.lit(-1)).alias("s")))
+    assert tuple(_fingerprint(a)) == tuple(_fingerprint(b))
+
+
+def test_export_rejects_unsupported_types(spark, tmp_path):
+    df = spark.range(3).select(
+        F.col("id"), F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    with pytest.raises(ValueError, match="unsupported column types"):
+        export_parquet(df, str(tmp_path / "bad"))
+
+
+def test_export_nulls_and_empty_partition(spark, tmp_path):
+    df = (spark.range(100)
+          .select(F.when(F.col("id") % 5 == 0, None)
+                  .otherwise(F.col("id")).alias("v"),
+                  F.when(F.col("id") % 3 == 0, None)
+                  .otherwise(F.concat(F.lit("s"), F.col("id")))
+                  .alias("s")))
+    dst = str(tmp_path / "nulls")
+    # more partitions than rows in some -> empty-partition path
+    export_parquet(df.repartition(8), dst, page_rows=10).collect()
+    back = spark.read.parquet(dst)
+    assert tuple(_fingerprint(back)) == tuple(_fingerprint(df))
