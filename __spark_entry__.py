@@ -400,6 +400,39 @@ def q_export_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("lang", "source").localCheckpoint())
 
 
+def q_scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 distributed standard-parquet IMPORT
+    (cpp_parquet_spark.export.scan_parquet, the sink's twin): documents
+    exported range-partitioned on doc_id by OUR writer, then scanned
+    back through OUR reader — file list driver-side, one decode task
+    per file via mapInArrow, column projection (only doc_id/lang/
+    n_chars chunks decode), and metadata-only FILE pruning from the
+    folded row-group Statistics (the query asserts files were actually
+    dropped), exact predicate applied on top as with any zone pruning.
+    Oracle: the same filtered aggregate in SQL."""
+    import tempfile
+
+    from cpp_parquet_spark.export import export_parquet, scan_parquet
+    df = _read(spark, sf_dir, "documents")
+    lo, hi = 150, 349
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "docs_scan")
+        export_parquet(df.repartitionByRange(4, "doc_id"), dst,
+                       dictionary={"lang"}, page_rows=64,
+                       row_group_rows=128).collect()
+        scanned = scan_parquet(spark, dst,
+                               columns=["doc_id", "lang", "n_chars"],
+                               range_prune=("doc_id", lo, hi))
+        if not scanned.rdd.getNumPartitions() < 4:
+            raise AssertionError("file pruning dropped nothing")
+        return (scanned.filter(F.col("doc_id").between(lo, hi))
+                .groupBy("lang")
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_id").alias("sum_id"),
+                     F.sum("n_chars").alias("chars"))
+                .orderBy("lang").localCheckpoint())
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1490,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_lists": q_parquet_interop_lists,
         "parquet_interop_pageindex": q_parquet_interop_pageindex,
         "export_parquet_sink": q_export_parquet_sink,
+        "scan_parquet_pruned": q_scan_parquet_pruned,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
@@ -1705,6 +1739,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS text_len
             FROM documents GROUP BY lang, source
             ORDER BY lang, source""",
+        "scan_parquet_pruned": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents WHERE doc_id BETWEEN 150 AND 349
+            GROUP BY lang ORDER BY lang""",
         "stats_cardinality": """
             SELECT count(DISTINCT doc_id) AS nd_doc_id,
                    count(DISTINCT text) AS nd_text,

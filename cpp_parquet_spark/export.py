@@ -125,3 +125,114 @@ def _arrow_type(dt) -> pa.DataType:
     if isinstance(dt, ArrayType):
         return pa.list_(_arrow_type(dt.elementType))
     return pa.struct([])          # unsupported: _check_schema rejects
+
+
+def _footer_stats(path: str) -> dict[str, tuple]:
+    """Metadata-only per-FILE (min, max) per flat column, folded over
+    the row-group Statistics structs (None when a column has no stats).
+    Reads only the footer — never a page."""
+    buf = open(path, "rb").read()
+    import numpy as np
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = interop._CR(buf, len(buf) - 8 - flen).struct()
+    ptypes = {el[4].decode(): el[1]
+              for el in meta[2][1:] if el.get(5, 0) == 0}
+    out: dict[str, tuple] = {}
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            cm = chunk[3]
+            if len(cm[3]) != 1:
+                continue
+            name = cm[3][0].decode()
+            st = cm.get(12)
+            if st is None or 5 not in st or 6 not in st:
+                continue
+            mx = interop._plain_scalar(st[5], ptypes[name])
+            mn = interop._plain_scalar(st[6], ptypes[name])
+            prev = out.get(name)
+            if prev is None:
+                out[name] = (mn, mx)
+            else:
+                out[name] = (min(prev[0], mn), max(prev[1], mx))
+    return out
+
+
+def _spark_type_of(arr: pa.Array) -> str:
+    t = arr.type
+    m = {pa.bool_(): "boolean", pa.int8(): "tinyint",
+         pa.int16(): "smallint", pa.int32(): "int", pa.int64(): "bigint",
+         pa.float32(): "float", pa.float64(): "double",
+         pa.date32(): "date"}
+    if t in m:
+        return m[t]
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _spark_type_of(arr.flatten() if hasattr(arr, "flatten")
+                               else pa.array([], t.value_type))
+        return f"array<{inner}>"
+    return "string"
+
+
+def scan_parquet(spark, src: str, columns: list[str] | None = None,
+                 range_prune: tuple | None = None) -> DataFrame:
+    """Distributed scan of a directory of standard .parquet files
+    through OUR reader (`interop.read_parquet_with_our_codecs`): file
+    list on the driver (metadata-sized), one decode task per file via
+    `mapInArrow` — the import twin of `export_parquet`.
+
+    ``columns`` projects: unrequested column chunks are never decoded.
+    ``range_prune=(column, lo, hi)`` prunes whole FILES whose folded
+    row-group Statistics window cannot intersect ``[lo, hi]`` —
+    metadata-only, footer reads on the driver, no page bytes touched
+    (page-granular pruning for a single column lives in
+    `interop.read_column_pruned`). The predicate itself is NOT applied
+    to surviving rows — chain ``.filter`` for exact semantics, as with
+    any min-max zone pruning."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+    if not files:
+        raise ValueError(f"no .parquet files under {src!r}")
+    if range_prune is not None:
+        col, lo, hi = range_prune
+        if isinstance(lo, str):
+            lo, hi = lo.encode(), hi.encode()
+        kept = []
+        for f in files:
+            st = _footer_stats(f).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                kept.append(f)
+        files = kept
+        if not files:
+            files = []
+    sample = interop.read_parquet_with_our_codecs(files[0], columns) \
+        if files else {}
+    if not sample:
+        raise ValueError("nothing to scan (projection empty or all "
+                         "files pruned with no schema source)")
+    schema_str = ", ".join(f"`{n}` {_spark_type_of(a)}"
+                           for n, a in sample.items())
+    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(max(len(files), 1))
+
+    def scan(batches):
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                cols = interop.read_parquet_with_our_codecs(p, columns)
+                tbl = pa.table({n: a.cast(_norm_type(a.type))
+                                for n, a in cols.items()})
+                yield from tbl.to_batches()
+
+    return fdf.mapInArrow(scan, schema_str)
+
+
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """Arrow type -> the small-offset form Spark's mapInArrow schema
+    declares (large_string/large_list don't match array<string> etc.)."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    return t

@@ -799,7 +799,9 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
 
 # --- reader (pyarrow-written file -> our decoders) ------------------------------
 
-def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
+def read_parquet_with_our_codecs(path: str,
+                                 columns: list[str] | None = None
+                                 ) -> dict[str, pa.Array]:
     """Decode every column of an UNCOMPRESSED Parquet file (v1 or v2
     data pages) using OUR rle/plain/dictionary/deltafmt/bss kernels
     (page headers and footer parsed with the minimal compact-protocol
@@ -846,6 +848,8 @@ def read_parquet_with_our_codecs(path: str) -> dict[str, pa.Array]:
             cm = chunk[3]
             pathname = ".".join(seg.decode() for seg in cm[3])
             name = cm[3][0].decode()
+            if columns is not None and name not in columns:
+                continue              # projection: skip the chunk bytes
             ptype, el, max_rep, max_def, def_at_rep = leaves[pathname]
             if max_rep > 1:
                 raise ValueError("only single-level lists supported")

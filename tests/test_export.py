@@ -90,3 +90,40 @@ def test_export_nulls_and_empty_partition(spark, tmp_path):
     export_parquet(df.repartition(8), dst, page_rows=10).collect()
     back = spark.read.parquet(dst)
     assert tuple(_fingerprint(back)) == tuple(_fingerprint(df))
+
+
+def test_scan_parquet_roundtrip_projection_prune(spark, tmp_path):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from cpp_parquet_spark.export import scan_parquet
+    dst = str(tmp_path / "scan")
+    export_parquet(df.repartitionByRange(4, "doc_id"), dst,
+                   dictionary={"lang"}, page_rows=10,
+                   row_group_rows=20).collect()
+    back = scan_parquet(spark, dst)
+    assert tuple(_fingerprint(back.select(*df.columns))) == \
+        tuple(_fingerprint(df))
+    # projection decodes only the requested chunks
+    proj = scan_parquet(spark, dst, columns=["doc_id", "lang"])
+    assert sorted(proj.columns) == ["doc_id", "lang"]
+    assert proj.count() == df.count()
+    # metadata-only file pruning: range-partitioned files have disjoint
+    # doc_id windows, so a narrow range must drop files
+    pruned = scan_parquet(spark, dst, range_prune=("doc_id", 5, 15))
+    assert pruned.rdd.getNumPartitions() < 4
+    got = pruned.filter("doc_id between 5 and 15") \
+        .agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    exp = df.filter("doc_id between 5 and 15") \
+        .agg(F.sum("doc_id"), F.count("*")).collect()[0]
+    assert tuple(got) == tuple(exp)
+
+
+def test_scan_parquet_list_column(spark, tmp_path):
+    from cpp_parquet_spark.export import scan_parquet
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", F.split("text", " ").alias("toks")))
+    dst = str(tmp_path / "scanlist")
+    export_parquet(df.repartition(2), dst).collect()
+    back = scan_parquet(spark, dst)
+    a = df.select("doc_id", F.concat_ws(" ", "toks").alias("t"))
+    b = back.select("doc_id", F.concat_ws(" ", "toks").alias("t"))
+    assert tuple(_fingerprint(b)) == tuple(_fingerprint(a))
