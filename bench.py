@@ -442,6 +442,51 @@ def q_dedup_spans(spark: SparkSession) -> None:
                                                      default_rate=0.1)))
 
 
+_EXPORT: dict | None = None
+
+
+def q_export_scan(spark: SparkSession) -> None:
+    """Distributed STANDARD-parquet sink + import through our own
+    writer/reader (cpp_parquet_spark.export): the 2 GB north-rule table
+    lands as one real .parquet per partition (DLBA strings, zstd pages,
+    Statistics + PageIndex), then scans back through our kernels.
+    Apples-to-apples with the stand-in: BOTH paths produce standard
+    parquet files; the stand-in is pyarrow single-thread, this is our
+    writer on local[32]. Min-of-reps like every kernel wall."""
+    global _EXPORT
+    import shutil
+    import tempfile as _tf
+    import time as _time
+
+    from cpp_parquet_spark.export import export_parquet, scan_parquet
+    df = _repofiles_df(spark).cache()
+    try:
+        content_b = _CONTENT_BYTES or int(
+            df.agg(F.sum(F.octet_length("content"))).collect()[0][0])
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        ew, sw = [], []
+        for _ in range(2):
+            td = _tf.mkdtemp(dir=base)
+            try:
+                t0 = _time.monotonic()
+                export_parquet(df, os.path.join(td, "out")).collect()
+                ew.append(round(_time.monotonic() - t0, 3))
+                t0 = _time.monotonic()
+                n = (scan_parquet(spark, os.path.join(td, "out"),
+                                  columns=["content"])
+                     .agg(F.sum(F.octet_length("content")))
+                     .collect()[0][0])
+                sw.append(round(_time.monotonic() - t0, 3))
+                assert n == content_b, (n, content_b)
+            finally:
+                shutil.rmtree(td, ignore_errors=True)
+        _EXPORT = {"export_gbps": round(content_b / min(ew) / 1e9, 4),
+                   "scan_gbps": round(content_b / min(sw) / 1e9, 4),
+                   "export_walls": ew, "scan_walls": sw}
+    finally:
+        df.unpersist()
+
+
 QUERIES = {
     "encode_repofiles": q_encode_repofiles,
     "encode_repofiles_zstd": q_encode_repofiles_zstd,
@@ -461,6 +506,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "agg_fast": q_agg_fast,
     "dedup_spans": q_dedup_spans,
+    "export_scan": q_export_scan,
 }
 
 
@@ -825,6 +871,8 @@ def main() -> None:
         "text_pipeline": 8.5, "pushdown": 5.5, "ann_topk": 5.0,
         "mix_pipeline": 3.0, "dedup_lines": 7.0,
         "agg_fast": 8.5, "dedup_spans": 8.0,
+        # runs 2 internal reps, min-of-reps inside -> generous bound
+        "export_scan": 30.0,
     }
     flare_factor = 2.0
 
@@ -876,6 +924,11 @@ def main() -> None:
         out["decode_membw"] = _DECODE.get("decode_membw")
     if _AGGFAST is not None:
         out.update(_AGGFAST)
+    if _EXPORT is not None:
+        out["export_gbps"] = _EXPORT["export_gbps"]
+        out["scan_gbps"] = _EXPORT["scan_gbps"]
+        out["export_walls"] = _EXPORT["export_walls"]
+        out["scan_walls"] = _EXPORT["scan_walls"]
     if busy_at:
         out["host_busy_at_query_start"] = busy_at
     if flare_reruns:
@@ -934,7 +987,8 @@ def main() -> None:
         receipts_path = None
     head = {k: out.get(k) for k in
             ("metric", "value", "unit", "queries", "sf", "encode_gbps",
-             "encode_plain_gbps", "decode_gbps", "content_bytes", "cpus",
+             "encode_plain_gbps", "decode_gbps", "export_gbps",
+             "scan_gbps", "content_bytes", "cpus",
              "agg_fast_meta_s", "agg_fast_scan_s")
             if out.get(k) is not None}
     if "size" in out:

@@ -66,7 +66,8 @@ def export_parquet(df: DataFrame, dst: str, *,
                    page_rows: int | None = 20_000,
                    row_group_rows: int | None = 200_000,
                    page_index: bool = True,
-                   statistics: bool = True) -> DataFrame:
+                   statistics: bool = True,
+                   string_encoding: str = "delta_length") -> DataFrame:
     """Write ``df`` as a directory of standard .parquet files (one per
     partition, written executor-side by OUR writer) and return the
     per-file manifest DataFrame ``(file, rows, bytes)``. The manifest
@@ -76,7 +77,7 @@ def export_parquet(df: DataFrame, dst: str, *,
     dict_cols = frozenset(dictionary)
     opts = dict(compression=compression, page_rows=page_rows,
                 row_group_rows=row_group_rows, page_index=page_index,
-                statistics=statistics)
+                statistics=statistics, string_encoding=string_encoding)
 
     def write_part(batches: Iterator[pa.RecordBatch]
                    ) -> Iterator[pa.RecordBatch]:

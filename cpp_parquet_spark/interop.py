@@ -498,6 +498,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                   page_index: bool = False,
                   row_group_rows: int | None = None,
                   statistics: bool = False,
+                  string_encoding: str = "plain",
                   ) -> None:
     """Write a real one-row-group Parquet file whose page payloads come
     verbatim from OUR codec emitters. ``dictionary`` names columns
@@ -522,6 +523,14 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
     sidecar — an OffsetIndex (PageLocation per page) and a ColumnIndex
     (null_pages / PLAIN min-max / boundary_order / null_counts) per
     flat chunk, linked from ColumnChunk fields 4-7.
+
+    ``string_encoding="delta_length"`` writes flat string columns (not
+    named in ``dictionary``/``encodings``) as DELTA_LENGTH_BYTE_ARRAY
+    v1 pages — all lengths front-loaded as one DELTA_BINARY_PACKED
+    block, then the concatenated bytes — the format's recommended
+    string encoding, and the one whose decode is fully vectorizable
+    (format PLAIN BYTE_ARRAY interleaves a u32 before every value, a
+    sequential chain).
 
     ``row_group_rows`` splits the file into multiple row groups of at
     most that many rows (each with its own chunks/pages/indexes);
@@ -681,6 +690,8 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                         "maxs": [], "mins_v": [], "maxs_v": [],
                         "null_counts": []}
             data_off = None
+            use_dlba = string_encoding == "delta_length" and tag == "str"
+            val_enc = ENC_DELTA_LENGTH_BA if use_dlba else ENC_PLAIN
             for lo_r in range(0, max(nw, 1), step):
                 win = arr.slice(lo_r, step)
                 nww = len(win)
@@ -688,11 +699,15 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                     break
                 wwork = win.drop_null() if win.null_count else win
                 wlev = _def_levels(win) if optional else b""
-                payload = wlev + _plain_values(_pq_work(wwork, tag), tag)
+                if use_dlba:
+                    vals_b = deltafmt.dlba_encode(_pq_work(wwork, tag))
+                else:
+                    vals_b = _plain_values(_pq_work(wwork, tag), tag)
+                payload = wlev + vals_b
                 off = len(body)
                 if data_off is None:
                     data_off = off
-                u_total += emit_page(PAGE_DATA, payload, nww, ENC_PLAIN)
+                u_total += emit_page(PAGE_DATA, payload, nww, val_enc)
                 if pidx is not None:
                     pidx["pages"].append((off, len(body) - off,
                                           rg_lo + lo_r))
@@ -715,7 +730,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                         pidx["maxs_v"].append(mx)
                 if nw == 0:
                     break
-            enc_list = [ENC_PLAIN, ENC_RLE]
+            enc_list = [val_enc, ENC_RLE]
         # chunk sizes INCLUDE the page headers (parquet.thrift
         # total_compressed_size semantics — readers slice the chunk
         # region by this)
@@ -1240,6 +1255,8 @@ def read_column_pruned(path: str, column: str, lo, hi
             vals = uniq.take(pa.array(codes.astype(np.int64)))
         elif enc == ENC_PLAIN:
             vals = _decode_plain(payload, k, ptype, elm.get(2, 0))
+        elif enc == ENC_DELTA_LENGTH_BA:
+            vals = deltafmt.dlba_decode(payload, k).cast(pa.large_string())
         else:
             raise ValueError(f"encoding {enc} unsupported in pruned read")
         if k < nv:

@@ -165,3 +165,25 @@ def test_pruned_read_uses_each_row_groups_own_dictionary(tmp_path):
                 if x and "w200000" <= x <= "w300000")
     es = sorted(x for x in txt.to_pylist() if "w200000" <= x <= "w300000")
     assert ss == es
+
+
+def test_delta_length_string_pages_roundtrip(tmp_path):
+    # string_encoding="delta_length": v1 pages whose value section is
+    # DELTA_LENGTH_BYTE_ARRAY — pyarrow reads them, our reader and the
+    # page-pruned read decode them vectorized
+    txt = pa.array([f"value {i:05d} {'x' * (i % 37)}" for i in range(5000)])
+    p = str(tmp_path / "dlba.parquet")
+    interop.write_parquet(p, {"s": txt}, page_rows=500, page_index=True,
+                          statistics=True, string_encoding="delta_length")
+    t = pq.read_table(p)
+    assert t.column("s").combine_chunks().cast(txt.type).equals(txt)
+    back = interop.read_parquet_with_our_codecs(p)
+    assert back["s"].cast(txt.type).equals(txt)
+    got, nk, npg = interop.read_column_pruned(
+        p, "s", "value 01000", "value 01999")
+    assert 0 < nk < npg
+    ss = sorted(x for x in got.to_pylist()
+                if "value 01000" <= x <= "value 01999")
+    es = sorted(x for x in txt.to_pylist()
+                if "value 01000" <= x <= "value 01999")
+    assert ss == es
