@@ -191,30 +191,28 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     to surviving rows — chain ``.filter`` for exact semantics, as with
     any min-max zone pruning."""
     import glob as _glob
-    files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
-    if not files:
+    all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+    if not all_files:
         raise ValueError(f"no .parquet files under {src!r}")
+    files = all_files
     if range_prune is not None:
         col, lo, hi = range_prune
         if isinstance(lo, str):
             lo, hi = lo.encode(), hi.encode()
-        kept = []
-        for f in files:
+        files = []
+        for f in all_files:
             st = _footer_stats(f).get(col)
             if st is None or not (st[1] < lo or st[0] > hi):
-                kept.append(f)
-        files = kept
-        if not files:
-            files = []
-    sample = interop.read_parquet_with_our_codecs(files[0], columns) \
-        if files else {}
+                files.append(f)
+    # schema always derives from an unpruned file, so pruning every
+    # file still yields a correctly-typed EMPTY DataFrame
+    sample = interop.read_parquet_with_our_codecs(all_files[0], columns)
     if not sample:
-        raise ValueError("nothing to scan (projection empty or all "
-                         "files pruned with no schema source)")
+        raise ValueError(f"projection {columns!r} matches no column")
     schema_str = ", ".join(f"`{n}` {_spark_type_of(a)}"
                            for n, a in sample.items())
-    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
-        .repartition(max(len(files), 1))
+    fdf = spark.createDataFrame([(f,) for f in files] or [], "path string")
+    fdf = fdf.repartition(max(len(files), 1))
 
     def scan(batches):
         for batch in batches:

@@ -127,3 +127,13 @@ def test_scan_parquet_list_column(spark, tmp_path):
     a = df.select("doc_id", F.concat_ws(" ", "toks").alias("t"))
     b = back.select("doc_id", F.concat_ws(" ", "toks").alias("t"))
     assert tuple(_fingerprint(b)) == tuple(_fingerprint(a))
+
+
+def test_scan_parquet_all_files_pruned_is_empty(spark, tmp_path):
+    from cpp_parquet_spark.export import scan_parquet
+    df = spark.range(100).select(F.col("id").alias("v"))
+    dst = str(tmp_path / "allpruned")
+    export_parquet(df.repartition(2), dst).collect()
+    out = scan_parquet(spark, dst, range_prune=("v", 10**9, 2 * 10**9))
+    assert out.count() == 0
+    assert out.columns == ["v"]
