@@ -973,10 +973,14 @@ def read_parquet_with_our_codecs(path: str,
                     vals = vals.take(pa.array(idx, mask=~valid))
                 got.append(vals)
                 n_seen += nv
+            if not got:              # zero-row chunk: typed empty
+                got = [_decode_plain(b"", 0, ptype, el.get(2, 0))]
             col = pa.concat_arrays([g.cast(got[0].type) for g in got])
             if max_rep:
                 col = _reassemble_list(
-                    col, np.concatenate(reps), np.concatenate(defs),
+                    col,
+                    np.concatenate(reps) if reps else np.empty(0, np.uint64),
+                    np.concatenate(defs) if defs else np.empty(0, np.uint64),
                     max_def, def_at_rep, el)
                 parts.setdefault(name, []).append(col)
             else:
