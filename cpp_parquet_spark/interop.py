@@ -1261,6 +1261,17 @@ def read_column_pruned(path: str, column: str, lo, hi
             vals = _decode_plain(payload, k, ptype, elm.get(2, 0))
         elif enc == ENC_DELTA_LENGTH_BA:
             vals = deltafmt.dlba_decode(payload, k).cast(pa.large_string())
+        elif enc == ENC_DELTA_BINARY_PACKED:
+            v, _ = deltafmt.dbp_decode(
+                payload, 0, bits=32 if ptype == T_INT32 else 64)
+            if v.size != k:
+                raise ValueError(f"DBP count {v.size} != {k}")
+            vals = pa.array(v)
+        elif enc == ENC_DELTA_BA:
+            vals = deltafmt.dba_decode(payload, k).cast(pa.large_string())
+        elif enc == ENC_BYTE_STREAM_SPLIT:
+            dt = {T_FLOAT: np.float32, T_DOUBLE: np.float64}[ptype]
+            vals = pa.array(bss.unsplit_bytes(payload, k, dt))
         else:
             raise ValueError(f"encoding {enc} unsupported in pruned read")
         if k < nv:

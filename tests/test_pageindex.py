@@ -187,3 +187,33 @@ def test_delta_length_string_pages_roundtrip(tmp_path):
     es = sorted(x for x in txt.to_pylist()
                 if "value 01000" <= x <= "value 01999")
     assert ss == es
+
+
+def test_pruned_read_delta_and_float_pages(tmp_path):
+    # pyarrow v2 DELTA_BINARY_PACKED ints + BYTE_STREAM_SPLIT floats
+    # with a page index: the pruned read must decode those encodings too
+    n = 8000
+    # sorted with random gaps: DBP deltas stay ~7 bits, so the encoded
+    # stream is big enough to split into multiple pages at 2 KiB
+    vals = np.cumsum(np.random.RandomState(9).randint(1, 100, n)) \
+        .astype(np.int64)
+    fl = (np.arange(n, dtype=np.float64) / 7.0)
+    p = str(tmp_path / "v2enc.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals), "f": pa.array(fl)}), p,
+        compression="NONE", use_dictionary=False,
+        data_page_version="2.0", data_page_size=2048,
+        column_encoding={"v": "DELTA_BINARY_PACKED",
+                         "f": "BYTE_STREAM_SPLIT"},
+        write_page_index=True)
+    lo, hi = int(vals[2000]), int(vals[3000])
+    got, nk, npg = interop.read_column_pruned(p, "v", lo, hi)
+    assert 0 < nk < npg
+    g = np.array(got.to_pylist())
+    exp = vals[(vals >= lo) & (vals <= hi)]
+    assert np.array_equal(np.sort(g[(g >= lo) & (g <= hi)]), exp)
+    gotf, nkf, npf = interop.read_column_pruned(p, "f", 100.0, 200.0)
+    assert 0 < nkf < npf
+    gf = np.array(gotf.to_pylist())
+    expf = fl[(fl >= 100.0) & (fl <= 200.0)]
+    assert np.array_equal(np.sort(gf[(gf >= 100.0) & (gf <= 200.0)]), expf)
