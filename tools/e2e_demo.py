@@ -19,6 +19,8 @@ only the byte count differs):
   8. projection        decode_dataset(columns=[...]) — blob scan touches
                        only the projected columns
   9. SQL front door    register_sql + a plain spark.sql aggregate
+ 10. export            standard-parquet interchange via our writer,
+                       read back by Spark's JVM parquet reader
 
 Prints one JSON line with per-stage walls + pruning/size receipts.
 Usage: python tools/e2e_demo.py [--rows 800000] [--cpus 32] [--dst DIR]
@@ -197,6 +199,21 @@ def main(argv: list[str] | None = None) -> None:
     # snapshot -> purge rewrite -> vacuum retention cleanup — the
     # GDPR-removal runbook a training-data lake needs, on the same
     # durable dataset the earlier stages built
+    with stage("export_interchange"):
+        # hand the table to the outside world: standard .parquet files
+        # from OUR writer (one per partition, Statistics + PageIndex),
+        # read straight back by Spark's JVM parquet reader
+        from cpp_parquet_spark.export import export_parquet
+        exp_dir = dst.rstrip("/") + "_export"     # sibling: never in
+        # the dataset root, so vacuum/purge cannot mistake it for a run
+        man = export_parquet(df, exp_dir).collect()
+        n_exp = int(spark.read.parquet(exp_dir).count())
+        out["export"] = {
+            "files": sum(1 for r in man if r.file),
+            "bytes": int(sum(r.bytes or 0 for r in man)),
+            "rows_via_spark_jvm_reader": n_exp}
+        assert n_exp == df.count()
+
     with stage("lifecycle"):
         import datetime
 
@@ -228,6 +245,7 @@ def main(argv: list[str] | None = None) -> None:
     spark.stop()
     if args.dst is None:
         shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(dst.rstrip("/") + "_export", ignore_errors=True)
     print(json.dumps(out))
 
 
