@@ -128,18 +128,19 @@ def _arrow_type(dt) -> pa.DataType:
     return pa.struct([])          # unsupported: _check_schema rejects
 
 
-def _footer_stats(path: str) -> dict[str, tuple]:
-    """Metadata-only per-FILE (min, max) per flat column, folded over
-    the row-group Statistics structs (None when a column has no stats).
-    Reads only the footer — never a page."""
+def _rg_stats(path: str) -> list[dict]:
+    """Metadata-only per-ROW-GROUP {column: (min, max)} from the
+    Statistics structs (columns without stats absent). Reads only the
+    footer — never a page."""
     buf = open(path, "rb").read()
     import numpy as np
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = interop._CR(buf, len(buf) - 8 - flen).struct()
     ptypes = {el[4].decode(): el[1]
               for el in meta[2][1:] if el.get(5, 0) == 0}
-    out: dict[str, tuple] = {}
+    out: list[dict] = []
     for rg in meta[4]:
+        ent: dict = {}
         for chunk in rg[1]:
             cm = chunk[3]
             if len(cm[3]) != 1:
@@ -148,13 +149,20 @@ def _footer_stats(path: str) -> dict[str, tuple]:
             st = cm.get(12)
             if st is None or 5 not in st or 6 not in st:
                 continue
-            mx = interop._plain_scalar(st[5], ptypes[name])
-            mn = interop._plain_scalar(st[6], ptypes[name])
+            ent[name] = (interop._plain_scalar(st[6], ptypes[name]),
+                         interop._plain_scalar(st[5], ptypes[name]))
+        out.append(ent)
+    return out
+
+
+def _footer_stats(path: str) -> dict[str, tuple]:
+    """Per-FILE (min, max) per flat column: `_rg_stats` folded."""
+    out: dict[str, tuple] = {}
+    for ent in _rg_stats(path):
+        for name, (mn, mx) in ent.items():
             prev = out.get(name)
-            if prev is None:
-                out[name] = (mn, mx)
-            else:
-                out[name] = (min(prev[0], mn), max(prev[1], mx))
+            out[name] = (mn, mx) if prev is None else \
+                (min(prev[0], mn), max(prev[1], mx))
     return out
 
 
@@ -194,30 +202,45 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
     if not all_files:
         raise ValueError(f"no .parquet files under {src!r}")
-    files = all_files
+    # work list: (file, row-group subset or None=all). Pruning is
+    # ROW-GROUP granular — each file's footer Statistics are read
+    # driver-side (metadata only) and only intersecting row groups
+    # survive; files with none drop entirely.
+    work: list[tuple[str, list[int] | None]] = [(f, None)
+                                                for f in all_files]
     if range_prune is not None:
         col, lo, hi = range_prune
         if isinstance(lo, str):
             lo, hi = lo.encode(), hi.encode()
-        files = []
+        work = []
         for f in all_files:
-            st = _footer_stats(f).get(col)
-            if st is None or not (st[1] < lo or st[0] > hi):
-                files.append(f)
+            keep: list[int] = []
+            stats = _rg_stats(f)
+            for rgi, ent in enumerate(stats):
+                st = ent.get(col)
+                if st is None or not (st[1] < lo or st[0] > hi):
+                    keep.append(rgi)
+            if keep:
+                work.append((f, keep if len(keep) < len(stats) else None))
     # schema always derives from an unpruned file, so pruning every
-    # file still yields a correctly-typed EMPTY DataFrame
+    # row group still yields a correctly-typed EMPTY DataFrame
     sample = interop.read_parquet_with_our_codecs(all_files[0], columns)
     if not sample:
         raise ValueError(f"projection {columns!r} matches no column")
     schema_str = ", ".join(f"`{n}` {_spark_type_of(a)}"
                            for n, a in sample.items())
-    fdf = spark.createDataFrame([(f,) for f in files] or [], "path string")
-    fdf = fdf.repartition(max(len(files), 1))
+    items = [(f, "" if rgs is None else ",".join(map(str, rgs)))
+             for f, rgs in work]
+    fdf = spark.createDataFrame(items or [], "path string, rgs string")
+    fdf = fdf.repartition(max(len(items), 1))
 
     def scan(batches):
         for batch in batches:
-            for p in batch.column("path").to_pylist():
-                cols = interop.read_parquet_with_our_codecs(p, columns)
+            for p, rgs in zip(batch.column("path").to_pylist(),
+                              batch.column("rgs").to_pylist()):
+                rg_list = [int(x) for x in rgs.split(",")] if rgs else None
+                cols = interop.read_parquet_with_our_codecs(
+                    p, columns, row_groups=rg_list)
                 tbl = pa.table({n: a.cast(_norm_type(a.type))
                                 for n, a in cols.items()})
                 yield from tbl.to_batches()

@@ -815,7 +815,8 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
 # --- reader (pyarrow-written file -> our decoders) ------------------------------
 
 def read_parquet_with_our_codecs(path: str,
-                                 columns: list[str] | None = None
+                                 columns: list[str] | None = None,
+                                 row_groups: "list[int] | None" = None
                                  ) -> dict[str, pa.Array]:
     """Decode every column of an UNCOMPRESSED Parquet file (v1 or v2
     data pages) using OUR rle/plain/dictionary/deltafmt/bss kernels
@@ -858,7 +859,9 @@ def read_parquet_with_our_codecs(path: str,
     for _ in range(n_top):
         _consume((), 0, 0, None)
     parts: dict[str, list[pa.Array]] = {}
-    for rg in meta[4]:
+    for rgi, rg in enumerate(meta[4]):
+        if row_groups is not None and rgi not in row_groups:
+            continue                 # row-group pruning: skip the chunks
         for chunk in rg[1]:
             cm = chunk[3]
             pathname = ".".join(seg.decode() for seg in cm[3])

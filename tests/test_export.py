@@ -137,3 +137,25 @@ def test_scan_parquet_all_files_pruned_is_empty(spark, tmp_path):
     out = scan_parquet(spark, dst, range_prune=("v", 10**9, 2 * 10**9))
     assert out.count() == 0
     assert out.columns == ["v"]
+
+
+def test_scan_parquet_row_group_granular_pruning(spark, tmp_path):
+    # one file, many row groups sorted on v: a narrow range must decode
+    # only the matching ROW GROUPS, not the whole file
+    from cpp_parquet_spark.export import scan_parquet, _rg_stats
+    import glob
+    df = (spark.range(10000).select(F.col("id").alias("v"))
+          .coalesce(1).sortWithinPartitions("v"))
+    dst = str(tmp_path / "rgprune")
+    export_parquet(df, dst, row_group_rows=1000, page_rows=250).collect()
+    f = glob.glob(dst + "/*.parquet")[0]
+    assert len(_rg_stats(f)) == 10
+    out = scan_parquet(spark, dst, range_prune=("v", 2500, 3500))
+    n_all = out.count()
+    # rgs 2-3 only: 2000 rows survive the rg prune
+    assert n_all == 2000
+    got = out.filter("v between 2500 and 3500").agg(
+        F.count("*"), F.sum("v")).collect()[0]
+    exp = df.filter("v between 2500 and 3500").agg(
+        F.count("*"), F.sum("v")).collect()[0]
+    assert tuple(got) == tuple(exp)
