@@ -1496,7 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_quantized": q_roundtrip_quantized,
         "roundtrip_doc_lines": q_roundtrip_doc_lines,
         # multimodal plumbing + real WAV/BMP decoders
-        "multimodal_meta": q_multimodal_meta,
+        "dedup_exact_survivors": q_dedup_exact_survivors,
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
         "roundtrip_media_payload": q_roundtrip_media_payload,
@@ -1528,7 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
         "roundtrip_documents_text": _roundtrip_hist("documents", DOCS_CFG, "text"),
-        "roundtrip_documents_docid": _roundtrip_hist("documents", DOCS_CFG, "doc_id"),
+        "dedup_minhash_exact": q_dedup_minhash_lsh,
         "roundtrip_events_props": _roundtrip_hist("events", EVENTS_CFG, "props"),
         "roundtrip_events_ts": _roundtrip_hist("events", EVENTS_CFG, "ts"),
         "roundtrip_lineitem_qty": _roundtrip_hist("lineitem", LINEITEM_CFG,
@@ -1546,10 +1546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline relational ops (§2.3) representatives
         "join_orders_customer": q_join_orders_customer,
         # dedup family representatives
-        "dedup_exact_survivors": q_dedup_exact_survivors,
+        "multimodal_meta": q_multimodal_meta,
         # LSH pairs are exact-Jaccard verified, so the oracle's exact n=4
         # Jaccard pair set must match row for row (recall 100% on fixtures)
-        "dedup_minhash_exact": q_dedup_minhash_lsh,
+        "roundtrip_documents_docid": _roundtrip_hist("documents", DOCS_CFG, "doc_id"),
         "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
         "dup_spans_documents": q_dup_spans_documents,
         # similarity baseline

@@ -583,6 +583,15 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         return len(hdr) + usize
     rg_step = max(row_group_rows or max(n, 1), 1)
     rg_starts = list(range(0, n, rg_step)) or [0]
+    # repetition (REQUIRED vs OPTIONAL) is a SCHEMA property: decide it
+    # from the whole column, not the row-group slice — a null-free
+    # first row group must not mark a column REQUIRED when a later one
+    # carries nulls (the schema is emitted once, from the first group)
+    col_has_nulls = {}
+    for _nm, _a in columns.items():
+        if isinstance(_a, pa.ChunkedArray):
+            _a = _a.combine_chunks()
+        col_has_nulls[_nm] = _a.null_count > 0
     for rg_lo in rg_starts:
       chunks = []
       for name, arr in columns.items():
@@ -647,7 +656,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             continue
         tag, ptype, extras = _colspec(arr.type)
         work = arr.drop_null() if arr.null_count else arr
-        optional = arr.null_count > 0
+        optional = col_has_nulls[name]
         levels = _def_levels(arr) if optional else b""
         dict_off = None
         chunk_start = len(body)

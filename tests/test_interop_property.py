@@ -92,3 +92,20 @@ def test_zero_row_files_both_directions(tmp_path):
     pq.write_table(pa.table(empty), p2, compression="NONE")
     out2 = interop.read_parquet_with_our_codecs(p2)
     assert all(len(v) == 0 for v in out2.values())
+
+
+def test_required_vs_optional_is_a_whole_column_property(tmp_path):
+    # regression (found by the fuzz): a null-free FIRST row group must
+    # not mark the column REQUIRED when a later row group has nulls —
+    # the schema is emitted once, from the first group
+    f = pa.array([0.0, 0.0, 0.0] + [None] * 50, pa.float64())
+    i = pa.array([None] * 53, pa.int64())
+    p = str(tmp_path / "sched.parquet")
+    interop.write_parquet(p, {"f": f, "i": i}, row_group_rows=50,
+                          page_index=True, statistics=True)
+    t = pq.read_table(p)
+    assert t.column("f").combine_chunks().cast(f.type).equals(f)
+    assert t.column("i").combine_chunks().cast(i.type).equals(i)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["f"].cast(f.type).equals(f)
+    assert out["i"].cast(i.type).equals(i)
