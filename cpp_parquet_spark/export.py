@@ -184,7 +184,8 @@ def _spark_type_of(arr: pa.Array) -> str:
 
 
 def scan_parquet(spark, src: str, columns: list[str] | None = None,
-                 range_prune: tuple | None = None) -> DataFrame:
+                 range_prune: tuple | None = None,
+                 apply_range: bool = False) -> DataFrame:
     """Distributed scan of a directory of standard .parquet files
     through OUR reader (`interop.read_parquet_with_our_codecs`): file
     list on the driver (metadata-sized), one decode task per file via
@@ -195,9 +196,13 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     row-group Statistics window cannot intersect ``[lo, hi]`` —
     metadata-only, footer reads on the driver, no page bytes touched
     (page-granular pruning for a single column lives in
-    `interop.read_column_pruned`). The predicate itself is NOT applied
-    to surviving rows — chain ``.filter`` for exact semantics, as with
-    any min-max zone pruning."""
+    `interop.read_column_pruned`). By default the predicate itself is
+    NOT applied to surviving rows — chain ``.filter`` for exact
+    semantics, as with any min-max zone pruning; ``apply_range=True``
+    additionally applies the exact ``[lo, hi]`` filter INSIDE the scan
+    task (one Arrow compute pass) so non-matching rows never cross the
+    Python->JVM boundary — the right shape for selective scans at
+    scale. Requires the pruned column in the projection."""
     import glob as _glob
     all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
     if not all_files:
@@ -234,7 +239,15 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     fdf = spark.createDataFrame(items or [], "path string, rgs string")
     fdf = fdf.repartition(max(len(items), 1))
 
+    if apply_range:
+        if range_prune is None:
+            raise ValueError("apply_range needs range_prune")
+        if columns is not None and range_prune[0] not in columns:
+            raise ValueError("apply_range needs the pruned column in "
+                             "the projection")
+
     def scan(batches):
+        import pyarrow.compute as pc
         for batch in batches:
             for p, rgs in zip(batch.column("path").to_pylist(),
                               batch.column("rgs").to_pylist()):
@@ -243,6 +256,16 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
                     p, columns, row_groups=rg_list)
                 tbl = pa.table({n: a.cast(_norm_type(a.type))
                                 for n, a in cols.items()})
+                if apply_range:
+                    cl = tbl.column(range_prune[0])
+                    lo_v, hi_v = range_prune[1], range_prune[2]
+                    if pa.types.is_string(cl.type):
+                        lo_v = lo_v.decode() if isinstance(lo_v, bytes) \
+                            else lo_v
+                        hi_v = hi_v.decode() if isinstance(hi_v, bytes) \
+                            else hi_v
+                    tbl = tbl.filter(pc.and_(pc.greater_equal(cl, lo_v),
+                                             pc.less_equal(cl, hi_v)))
                 yield from tbl.to_batches()
 
     return fdf.mapInArrow(scan, schema_str)

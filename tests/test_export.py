@@ -159,3 +159,24 @@ def test_scan_parquet_row_group_granular_pruning(spark, tmp_path):
     exp = df.filter("v between 2500 and 3500").agg(
         F.count("*"), F.sum("v")).collect()[0]
     assert tuple(got) == tuple(exp)
+
+
+def test_scan_parquet_apply_range_in_worker(spark, tmp_path):
+    from cpp_parquet_spark.export import scan_parquet
+    df = (spark.range(10000).select(F.col("id").alias("v"),
+                                    F.concat(F.lit("s"), F.col("id"))
+                                    .alias("s"))
+          .coalesce(1).sortWithinPartitions("v"))
+    dst = str(tmp_path / "applyrange")
+    export_parquet(df, dst, row_group_rows=1000).collect()
+    out = scan_parquet(spark, dst, range_prune=("v", 2500, 3500),
+                       apply_range=True)
+    # the exact predicate applied in-worker: every surviving row matches
+    assert out.count() == 1001
+    got = out.agg(F.sum("v"), F.count("*")).collect()[0]
+    exp = df.filter("v between 2500 and 3500") \
+        .agg(F.sum("v"), F.count("*")).collect()[0]
+    assert tuple(got) == tuple(exp)
+    with pytest.raises(ValueError, match="apply_range"):
+        scan_parquet(spark, dst, columns=["s"],
+                     range_prune=("v", 1, 2), apply_range=True)
