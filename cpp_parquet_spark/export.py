@@ -132,7 +132,7 @@ def _rg_stats(path: str) -> list[dict]:
     """Metadata-only per-ROW-GROUP {column: (min, max)} from the
     Statistics structs (columns without stats absent). Reads only the
     footer — never a page."""
-    buf = open(path, "rb").read()
+    buf = interop._map_file(path)
     import numpy as np
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = interop._CR(buf, len(buf) - 8 - flen).struct()
@@ -207,26 +207,29 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
     if not all_files:
         raise ValueError(f"no .parquet files under {src!r}")
-    # work list: (file, row-group subset or None=all). Pruning is
-    # ROW-GROUP granular — each file's footer Statistics are read
-    # driver-side (metadata only) and only intersecting row groups
-    # survive; files with none drop entirely.
-    work: list[tuple[str, list[int] | None]] = [(f, None)
-                                                for f in all_files]
+    # work list: one item per ROW GROUP (the scan's parallelism unit —
+    # a single huge externally-written file still fans out across
+    # executors); files whose footer carries no row groups fall back to
+    # one whole-file item. Pruning is row-group granular: each file's
+    # footer Statistics are read driver-side (metadata only) and only
+    # intersecting row groups survive; files with none drop entirely.
+    work: list[tuple[str, list[int] | None]] = []
+    prune_col = None
     if range_prune is not None:
-        col, lo, hi = range_prune
+        prune_col, lo, hi = range_prune
         if isinstance(lo, str):
             lo, hi = lo.encode(), hi.encode()
-        work = []
-        for f in all_files:
-            keep: list[int] = []
-            stats = _rg_stats(f)
-            for rgi, ent in enumerate(stats):
-                st = ent.get(col)
-                if st is None or not (st[1] < lo or st[0] > hi):
-                    keep.append(rgi)
-            if keep:
-                work.append((f, keep if len(keep) < len(stats) else None))
+    for f in all_files:
+        stats = _rg_stats(f)
+        if not stats:
+            work.append((f, None))
+            continue
+        for rgi, ent in enumerate(stats):
+            if prune_col is not None:
+                st = ent.get(prune_col)
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    continue
+            work.append((f, [rgi]))
     # schema always derives from an unpruned file, so pruning every
     # row group still yields a correctly-typed EMPTY DataFrame
     sample = interop.read_parquet_with_our_codecs(all_files[0], columns)

@@ -59,6 +59,21 @@ CONV_INT_8, CONV_INT_16 = 15, 16
 
 _MAGIC = b"PAR1"
 
+
+def _map_file(path: str):
+    """Read-only mmap of a .parquet file: slicing materializes only the
+    byte ranges actually touched, so a row-group-scoped read (scan
+    tasks, pruned reads) faults in its own pages + the footer instead
+    of streaming the whole file — the local-FS analogue of object-store
+    range GETs. Falls back to a full read for empty files (mmap forbids
+    length 0)."""
+    import mmap
+    f = open(path, "rb")
+    try:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:
+        return f.read()
+
 # --- Thrift compact protocol: minimal writer -----------------------------------
 # wire types (compact): 1=BOOL_TRUE 2=BOOL_FALSE 3=BYTE 4=I16 5=I32 6=I64
 # 7=DOUBLE 8=BINARY 9=LIST 12=STRUCT
@@ -835,7 +850,7 @@ def read_parquet_with_our_codecs(path: str,
     PLAIN / dictionary / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
     DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT encoded, optional or required,
     any number of data pages per chunk."""
-    buf = open(path, "rb").read()
+    buf = _map_file(path)
     assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
@@ -1119,7 +1134,7 @@ def read_page_index(path: str) -> dict[str, dict]:
     first_row), ...], "null_pages": [...], "mins": [...], "maxs": [...],
     "boundary_order": int, "null_counts": [...] | None}} with min/max
     decoded into python values per the physical type."""
-    buf = open(path, "rb").read()
+    buf = _map_file(path)
     assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
@@ -1178,7 +1193,7 @@ def read_column_pruned(path: str, column: str, lo, hi
         lo = lo.encode()
     if isinstance(hi, str):
         hi = hi.encode()
-    buf = open(path, "rb").read()
+    buf = _map_file(path)
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
     ptype = None
