@@ -109,3 +109,32 @@ def test_required_vs_optional_is_a_whole_column_property(tmp_path):
     out = interop.read_parquet_with_our_codecs(p)
     assert out["f"].cast(f.type).equals(f)
     assert out["i"].cast(i.type).equals(i)
+
+
+def test_corrupt_inputs_fail_cleanly(tmp_path):
+    import pytest
+    p = str(tmp_path / "x.parquet")
+    good = {"i": pa.array([1, 2, 3], pa.int64())}
+    interop.write_parquet(p, good)
+    raw = open(p, "rb").read()
+    # not a parquet file
+    bad1 = str(tmp_path / "bad1.parquet")
+    open(bad1, "wb").write(b"NOPE" + raw[4:])
+    with pytest.raises(AssertionError):
+        interop.read_parquet_with_our_codecs(bad1)
+    # truncated footer
+    bad2 = str(tmp_path / "bad2.parquet")
+    open(bad2, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        interop.read_parquet_with_our_codecs(bad2)
+    # flipped byte inside the data page region: either a decode error
+    # or wrong values, never a hang/silent partial
+    bad3 = str(tmp_path / "bad3.parquet")
+    b = bytearray(raw)
+    b[10] ^= 0xFF
+    open(bad3, "wb").write(bytes(b))
+    try:
+        out = interop.read_parquet_with_our_codecs(bad3)
+        assert not out["i"].cast(pa.int64()).equals(good["i"])
+    except Exception:
+        pass
