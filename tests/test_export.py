@@ -180,3 +180,18 @@ def test_scan_parquet_apply_range_in_worker(spark, tmp_path):
     with pytest.raises(ValueError, match="apply_range"):
         scan_parquet(spark, dst, columns=["s"],
                      range_prune=("v", 1, 2), apply_range=True)
+
+
+def test_spark_pushes_filters_into_our_files(spark, tmp_path):
+    # parquet-mr consumes OUR row-group Statistics: the physical plan
+    # shows PushedFilters against the exported files and the filtered
+    # result is exact
+    df = (spark.range(50000).select(F.col("id").alias("v"))
+          .coalesce(1).sortWithinPartitions("v"))
+    dst = str(tmp_path / "push")
+    export_parquet(df, dst, row_group_rows=5000).collect()
+    back = spark.read.parquet(dst).filter("v between 5000 and 6000")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,5000)" \
+        in plan
+    assert back.count() == 1001
