@@ -733,8 +733,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                     data_off = off
                 u_total += emit_page(PAGE_DATA, payload, nww, val_enc)
                 if pidx is not None:
-                    pidx["pages"].append((off, len(body) - off,
-                                          rg_lo + lo_r))
+                    # PageLocation.first_row_index is ROW-GROUP-relative
+                    # (parquet.thrift) — parquet-mr's column-index
+                    # filtering computes row ranges from it
+                    pidx["pages"].append((off, len(body) - off, lo_r))
                     nulls = win.null_count
                     pidx["null_counts"].append(int(nulls))
                     if len(wwork) == 0:
@@ -1139,6 +1141,7 @@ def read_page_index(path: str) -> dict[str, dict]:
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
     out: dict[str, dict] = {}
+    rg_row_base = 0
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
@@ -1146,7 +1149,10 @@ def read_page_index(path: str) -> dict[str, dict]:
             ent: dict = {}
             if 4 in chunk:                    # offset_index_offset
                 oi = _CR(buf, chunk[4]).struct()
-                ent["pages"] = [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+                # first_row_index is rg-relative in the file; surface
+                # it file-absolute so multi-row-group entries chain
+                ent["pages"] = [(pl[1], pl[2], rg_row_base + pl[3])
+                                for pl in oi[1]]
             if 6 in chunk:                    # column_index_offset
                 ci = _CR(buf, chunk[6]).struct()
                 ptype = cm[1]
@@ -1174,6 +1180,7 @@ def read_page_index(path: str) -> dict[str, dict]:
                         prev[k] = prev[k] + ent[k]
                 if prev.get("boundary_order") != ent.get("boundary_order"):
                     prev["boundary_order"] = BOUNDARY_UNORDERED
+        rg_row_base += rg[3]
     return out
 
 
