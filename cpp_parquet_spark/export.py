@@ -47,6 +47,12 @@ def _check_schema(schema: pa.Schema) -> None:
             if pa.types.is_nested(t) or t == pa.bool_():
                 bad.append(f"{f.name}: {f.type}")
             continue
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                ft = t.field(i).type
+                if pa.types.is_nested(ft) or ft == pa.bool_():
+                    bad.append(f"{f.name}.{t.field(i).name}: {ft}")
+            continue
         try:
             interop._colspec(t)
         except Exception:
@@ -120,12 +126,15 @@ def _arrow_type(dt) -> pa.DataType:
     for k, v in m.items():
         if isinstance(dt, k):
             return v
-    from pyspark.sql.types import ArrayType, DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, StructType
     if isinstance(dt, DecimalType):
         return pa.decimal128(dt.precision, dt.scale)
     if isinstance(dt, ArrayType):
         return pa.list_(_arrow_type(dt.elementType))
-    return pa.struct([])          # unsupported: _check_schema rejects
+    if isinstance(dt, StructType):
+        return pa.struct([pa.field(f.name, _arrow_type(f.dataType))
+                          for f in dt.fields])
+    return pa.map_(pa.string(), pa.string())  # _check_schema rejects
 
 
 def _rg_stats(path: str) -> list[dict]:
@@ -180,6 +189,13 @@ def _spark_type_of(arr: pa.Array) -> str:
         inner = _spark_type_of(arr.flatten() if hasattr(arr, "flatten")
                                else pa.array([], t.value_type))
         return f"array<{inner}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(
+            f"`{t.field(i).name}`: "
+            + _spark_type_of(arr.field(i) if hasattr(arr, "field")
+                             else pa.array([], t.field(i).type))
+            for i in range(t.num_fields))
+        return f"struct<{inner}>"
     return "string"
 
 
@@ -283,4 +299,8 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
         return pa.binary()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(t.field(i).name,
+                                   _norm_type(t.field(i).type))
+                          for i in range(t.num_fields)])
     return t

@@ -451,6 +451,22 @@ def _list_levels(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, pa.Array, bool]
     return rep, deflev, flat.drop_null(), True
 
 
+def _struct_levels(arr: pa.Array, field: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Definition levels for one field of an optional struct column:
+    0 = struct null, 1 = struct present / field null, 2 = field present
+    (`optional group { optional leaf }`). Returns (levels, leaf values
+    without nulls)."""
+    n = len(arr)
+    sv = arr.is_valid().to_numpy(zero_copy_only=False) \
+        if arr.null_count else np.ones(n, bool)
+    fv = field.is_valid().to_numpy(zero_copy_only=False) \
+        if field.null_count else np.ones(n, bool)
+    lev = sv.astype(np.uint64) + (sv & fv)
+    import pyarrow.compute as _pc
+    present = field.filter(pa.array(sv & fv))
+    return lev, present
+
+
 def _prefixed_rle(levels: np.ndarray, bw: int) -> bytes:
     stream, _ = rle.encode(levels, bit_width=bw)
     return np.uint32(len(stream)).tobytes() + stream
@@ -669,6 +685,48 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             chunks.append((name, [group, mid, leaf_el.done()],
                            meta.done(), data_off, total, None))
             continue
+        if pa.types.is_struct(arr.type):
+            # one-level struct: `optional group { optional leaf ... }` —
+            # one chunk per field, def levels 0/1/2 (null struct /
+            # present struct + null field / present field), no rep
+            st_t = arr.type
+            first = True
+            for fi in range(st_t.num_fields):
+                fname = st_t.field(fi).name
+                fld = arr.field(fi)
+                tag, ptype, extras = _colspec(fld.type)
+                if tag == "bool" or pa.types.is_nested(fld.type):
+                    raise ValueError(
+                        f"interop writer: struct field {name}.{fname} "
+                        f"type {fld.type} unsupported")
+                lev, present = _struct_levels(arr, fld)
+                chunk_start = len(body)
+                payload = _prefixed_rle(lev, 2) + _plain_values(
+                    _pq_work(present, tag), tag)
+                data_off = len(body)
+                u_total = emit_page(PAGE_DATA, payload, nw, ENC_PLAIN)
+                total = len(body) - chunk_start
+                meta = (_CW().i32(1, ptype)
+                        .list_i32(2, [ENC_PLAIN, ENC_RLE])
+                        .list_binary(3, [name.encode(), fname.encode()])
+                        .i32(4, comp_id)
+                        .i64(5, nw).i64(6, u_total).i64(7, total)
+                        .i64(9, data_off))
+                elems_here = []
+                if first:
+                    elems_here.append(
+                        (_CW().i32(3, REP_OPTIONAL)
+                         .binary(4, name.encode())
+                         .i32(5, st_t.num_fields)).done())
+                    first = False
+                leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
+                    .binary(4, fname.encode())
+                for fid, v in extras:
+                    leaf_el.i32(fid, v)
+                elems_here.append(leaf_el.done())
+                chunks.append((f"{name}.{fname}", elems_here,
+                               meta.done(), data_off, total, None))
+            continue
         tag, ptype, extras = _colspec(arr.type)
         work = arr.drop_null() if arr.null_count else arr
         optional = col_has_nulls[name]
@@ -885,6 +943,9 @@ def read_parquet_with_our_codecs(path: str,
     for _ in range(n_top):
         _consume((), 0, 0, None)
     parts: dict[str, list[pa.Array]] = {}
+    # one-level struct leaves (path [struct, field]) collect values +
+    # def levels per row group; assembled into StructArrays at the end
+    struct_parts: dict[str, dict[str, list]] = {}
     for rgi, rg in enumerate(meta[4]):
         if row_groups is not None and rgi not in row_groups:
             continue                 # row-group pruning: skip the chunks
@@ -1012,13 +1073,34 @@ def read_parquet_with_our_codecs(path: str,
                     np.concatenate(defs) if defs else np.empty(0, np.uint64),
                     max_def, def_at_rep, el)
                 parts.setdefault(name, []).append(col)
+            elif len(cm[3]) == 2:
+                dl = np.concatenate(defs) if defs \
+                    else np.empty(0, np.uint64)
+                fields = struct_parts.setdefault(name, {})
+                fields.setdefault(cm[3][1].decode(), []).append(
+                    (_apply_converted(col, el), dl))
             else:
                 parts.setdefault(name, []).append(
                     _apply_converted(col, el))
     # one chunk per column per row group: concatenate in row-group order
-    return {name: (arrs[0] if len(arrs) == 1 else
-                   pa.concat_arrays([a.cast(arrs[0].type) for a in arrs]))
-            for name, arrs in parts.items()}
+    out = {name: (arrs[0] if len(arrs) == 1 else
+                  pa.concat_arrays([a.cast(arrs[0].type) for a in arrs]))
+           for name, arrs in parts.items()}
+    for sname, fields in struct_parts.items():
+        cols, names = [], []
+        struct_valid = None
+        for fname, pieces in fields.items():
+            arr = pa.concat_arrays(
+                [c.cast(pieces[0][0].type) for c, _ in pieces])
+            cols.append(arr)
+            names.append(fname)
+            if struct_valid is None:
+                dl = np.concatenate([d for _, d in pieces]) \
+                    if pieces else np.empty(0, np.uint64)
+                struct_valid = dl >= 1        # def 0 = struct null
+        out[sname] = pa.StructArray.from_arrays(
+            cols, names, mask=pa.array(~struct_valid))
+    return out
 
 
 def _reassemble_list(vals: pa.Array, rep: np.ndarray, deflev: np.ndarray,

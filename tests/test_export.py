@@ -195,3 +195,23 @@ def test_spark_pushes_filters_into_our_files(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,5000)" \
         in plan
     assert back.count() == 1001
+
+
+def test_export_scan_struct_column(spark, tmp_path):
+    from cpp_parquet_spark.export import scan_parquet
+    df = (spark.range(500).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.struct(F.col("id").alias("u"),
+                     F.when(F.col("id") % 3 == 0, None)
+                     .otherwise(F.concat(F.lit("s"), F.col("id")))
+                     .alias("w"))).alias("st")))
+    dst = str(tmp_path / "structs")
+    export_parquet(df.repartition(3), dst).collect()
+    proj = ["v", F.col("st.u"), F.col("st.w"),
+            F.col("st").isNull().alias("n")]
+    a = df.select(*proj)
+    for back in (spark.read.parquet(dst), scan_parquet(spark, dst)):
+        b = back.select("v", F.col("st.u"), F.col("st.w"),
+                        F.col("st").isNull().alias("n"))
+        assert tuple(_fingerprint(b)) == tuple(_fingerprint(a))

@@ -142,3 +142,31 @@ def test_unknown_compression_rejected(tmp_path):
     with pytest.raises(ValueError, match="unsupported parquet compression"):
         interop.write_parquet(str(tmp_path / "x.parquet"),
                               {"flat": FLAT}, compression="brotli7")
+
+
+STRUCT = pa.array([{"u": 1, "v": "a"}, None, {"u": None, "v": "b"},
+                   {"u": 4, "v": None}, {"u": 5, "v": "e"},
+                   {"u": None, "v": None}, {"u": 7, "v": "g"}],
+                  pa.struct([("u", pa.int64()), ("v", pa.string())]))
+
+
+def test_struct_both_directions(tmp_path):
+    p = str(tmp_path / "st.parquet")
+    interop.write_parquet(p, {"st": STRUCT, "flat": FLAT},
+                          row_group_rows=3, compression="zstd")
+    t = pq.read_table(p)
+    assert t.column("st").combine_chunks().cast(STRUCT.type).equals(STRUCT)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["st"].cast(STRUCT.type).equals(STRUCT)
+    p2 = str(tmp_path / "st2.parquet")
+    pq.write_table(pa.table({"st": STRUCT}), p2, compression="zstd",
+                   row_group_size=3, data_page_version="2.0")
+    out2 = interop.read_parquet_with_our_codecs(p2)
+    assert out2["st"].cast(STRUCT.type).equals(STRUCT)
+
+
+def test_struct_nested_field_rejected(tmp_path):
+    bad = pa.array([{"a": [1]}],
+                   pa.struct([("a", pa.list_(pa.int64()))]))
+    with pytest.raises(ValueError, match="unsupported"):
+        interop.write_parquet(str(tmp_path / "b.parquet"), {"s": bad})
