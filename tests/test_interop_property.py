@@ -38,6 +38,14 @@ def _columns(draw):
                                                    st.integers(-1000, 1000)),
                                          max_size=5)),
                       min_size=n, max_size=n)), pa.list_(pa.int64()))
+    cols["st"] = pa.array(
+        draw(st.lists(st.one_of(
+            st.none(),
+            st.fixed_dictionaries({"u": st.one_of(st.none(),
+                                                  st.integers(-99, 99)),
+                                   "w": st.one_of(st.none(), _text)})),
+            min_size=n, max_size=n)),
+        pa.struct([("u", pa.int64()), ("w", pa.string())]))
     return cols
 
 
