@@ -53,6 +53,12 @@ def _check_schema(schema: pa.Schema) -> None:
                 if pa.types.is_nested(ft) or ft == pa.bool_():
                     bad.append(f"{f.name}.{t.field(i).name}: {ft}")
             continue
+        if pa.types.is_map(t):
+            for ft in (t.key_type, t.item_type):
+                if pa.types.is_nested(ft) or ft == pa.bool_():
+                    bad.append(f"{f.name}: {t}")
+                    break
+            continue
         try:
             interop._colspec(t)
         except Exception:
@@ -134,7 +140,10 @@ def _arrow_type(dt) -> pa.DataType:
     if isinstance(dt, StructType):
         return pa.struct([pa.field(f.name, _arrow_type(f.dataType))
                           for f in dt.fields])
-    return pa.map_(pa.string(), pa.string())  # _check_schema rejects
+    from pyspark.sql.types import MapType
+    if isinstance(dt, MapType):
+        return pa.map_(_arrow_type(dt.keyType), _arrow_type(dt.valueType))
+    return pa.dictionary(pa.int8(), pa.int8())  # _check_schema rejects
 
 
 def _rg_stats(path: str) -> list[dict]:
@@ -196,6 +205,10 @@ def _spark_type_of(arr: pa.Array) -> str:
                              else pa.array([], t.field(i).type))
             for i in range(t.num_fields))
         return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        k = _spark_type_of(pa.array([], t.key_type))
+        v = _spark_type_of(pa.array([], t.item_type))
+        return f"map<{k}, {v}>"
     return "string"
 
 
@@ -303,4 +316,6 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
         return pa.struct([pa.field(t.field(i).name,
                                    _norm_type(t.field(i).type))
                           for i in range(t.num_fields)])
+    if pa.types.is_map(t):
+        return pa.map_(_norm_type(t.key_type), _norm_type(t.item_type))
     return t

@@ -55,6 +55,7 @@ _COMP_BY_NAME = {v: k for k, v in _COMP_NAME.items()}
 # ConvertedType (parquet.thrift): annotations over the physical types
 CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
 CONV_LIST = 3
+CONV_MAP = 1
 CONV_INT_8, CONV_INT_16 = 15, 16
 
 _MAGIC = b"PAR1"
@@ -685,6 +686,94 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             chunks.append((name, [group, mid, leaf_el.done()],
                            meta.done(), data_off, total, None))
             continue
+        if pa.types.is_map(arr.type):
+            # MAP structure: `optional group (MAP) { repeated group
+            # key_value { required key; optional value } }` — the key
+            # and value chunks share the repetition stream; key def
+            # tops at 2 (required), value at 3
+            moff = np.frombuffer(arr.buffers()[1], np.int32,
+                                 len(arr) + 1, offset=arr.offset * 4) \
+                .astype(np.int64)
+            mlens = np.diff(moff)
+            mvalid = arr.is_valid().to_numpy(zero_copy_only=False) \
+                if arr.null_count else np.ones(nw, bool)
+            mlens = np.where(mvalid, mlens, 0)
+            slots = np.maximum(mlens, 1)
+            total_slots = int(slots.sum())
+            starts = np.zeros(nw, np.int64)
+            np.cumsum(slots[:-1], out=starts[1:])
+            rep = np.ones(total_slots, np.uint64)
+            rep[starts] = 0
+            ne = int(mlens.sum())
+            intra = np.arange(ne, dtype=np.int64) - \
+                np.repeat(np.cumsum(mlens) - mlens, mlens)
+            entry_slot = np.repeat(starts, mlens) + intra
+            base_def = np.zeros(total_slots, np.uint64)
+            base_def[starts[(mlens == 0) & mvalid]] = 1
+            base_def[entry_slot] = 2
+            # entries of non-null maps, flattened in order
+            # .keys/.items of a SLICED MapArray are the parent's full
+            # children: entry indices need the slice's base offset
+            sel = pa.array(np.flatnonzero(
+                np.repeat(mvalid, np.diff(moff))) + int(moff[0]))
+            keys_all = arr.keys.take(sel)
+            items_all = arr.items.take(sel)
+            first = True
+            for leaf_name, leaf_arr, extra_def in (
+                    ("key", keys_all, None), ("value", items_all, 2)):
+                tag, ptype, extras = _colspec(leaf_arr.type)
+                if tag == "bool" or pa.types.is_nested(leaf_arr.type):
+                    raise ValueError(
+                        f"interop writer: map {leaf_name} type "
+                        f"{leaf_arr.type} unsupported")
+                deflev = base_def.copy()
+                if extra_def is None:         # required key: max_def 2
+                    work_leaf = leaf_arr
+                    def_bw = 2
+                else:                         # optional value: max_def 3
+                    lv = leaf_arr.is_valid().to_numpy(
+                        zero_copy_only=False) if leaf_arr.null_count \
+                        else np.ones(len(leaf_arr), bool)
+                    deflev[entry_slot[lv]] = 3
+                    work_leaf = leaf_arr.drop_null()
+                    def_bw = 2
+                lvl = _prefixed_rle(rep, 1) + _prefixed_rle(deflev,
+                                                            def_bw)
+                chunk_start = len(body)
+                payload = lvl + _plain_values(
+                    _pq_work(work_leaf, tag), tag)
+                data_off = len(body)
+                u_total = emit_page(PAGE_DATA, payload, total_slots,
+                                    ENC_PLAIN)
+                total = len(body) - chunk_start
+                meta = (_CW().i32(1, ptype)
+                        .list_i32(2, [ENC_PLAIN, ENC_RLE])
+                        .list_binary(3, [name.encode(), b"key_value",
+                                         leaf_name.encode()])
+                        .i32(4, comp_id)
+                        .i64(5, total_slots).i64(6, u_total)
+                        .i64(7, total).i64(9, data_off))
+                elems_here = []
+                if first:
+                    elems_here.append(
+                        (_CW().i32(3, REP_OPTIONAL)
+                         .binary(4, name.encode())
+                         .i32(5, 1).i32(6, CONV_MAP)).done())
+                    elems_here.append(
+                        (_CW().i32(3, REP_REPEATED)
+                         .binary(4, b"key_value").i32(5, 2)).done())
+                    first = False
+                leaf_el = _CW().i32(1, ptype) \
+                    .i32(3, REP_REQUIRED if leaf_name == "key"
+                         else REP_OPTIONAL) \
+                    .binary(4, leaf_name.encode())
+                for fid, v in extras:
+                    leaf_el.i32(fid, v)
+                elems_here.append(leaf_el.done())
+                chunks.append((f"{name}.key_value.{leaf_name}",
+                               elems_here, meta.done(), data_off,
+                               total, None))
+            continue
         if pa.types.is_struct(arr.type):
             # one-level struct: `optional group { optional leaf ... }` —
             # one chunk per field, def levels 0/1/2 (null struct /
@@ -1072,7 +1161,13 @@ def read_parquet_with_our_codecs(path: str,
                     np.concatenate(reps) if reps else np.empty(0, np.uint64),
                     np.concatenate(defs) if defs else np.empty(0, np.uint64),
                     max_def, def_at_rep, el)
-                parts.setdefault(name, []).append(col)
+                if len(cm[3]) == 3 and cm[3][1] == b"key_value":
+                    fields = struct_parts.setdefault(
+                        "\x00map:" + name, {})
+                    fields.setdefault(cm[3][2].decode(), []).append(
+                        (col, None))
+                else:
+                    parts.setdefault(name, []).append(col)
             elif len(cm[3]) == 2:
                 dl = np.concatenate(defs) if defs \
                     else np.empty(0, np.uint64)
@@ -1087,6 +1182,29 @@ def read_parquet_with_our_codecs(path: str,
                   pa.concat_arrays([a.cast(arrs[0].type) for a in arrs]))
            for name, arrs in parts.items()}
     for sname, fields in struct_parts.items():
+        if sname.startswith("\x00map:"):
+            # map assembly: the key/value LIST reassemblies share
+            # offsets and validity; flatten both onto one offset run
+            mname = sname[len("\x00map:"):]
+            klist = pa.concat_arrays(
+                [c.cast(fields["key"][0][0].type)
+                 for c, _ in fields["key"]])
+            vlist = pa.concat_arrays(
+                [c.cast(fields["value"][0][0].type)
+                 for c, _ in fields["value"]])
+            noffs = np.frombuffer(klist.buffers()[1], np.int64,
+                                  len(klist) + 1,
+                                  offset=klist.offset * 8) \
+                .astype(np.int32)
+            valid = klist.is_valid().to_numpy(zero_copy_only=False) \
+                if klist.null_count else np.ones(len(klist), bool)
+            offs0 = pa.array(
+                [None if not v else int(o)
+                 for v, o in zip(valid, noffs[:-1])]
+                + [int(noffs[-1])], pa.int32())
+            out[mname] = pa.MapArray.from_arrays(
+                offs0, klist.flatten(), vlist.flatten())
+            continue
         cols, names = [], []
         struct_valid = None
         for fname, pieces in fields.items():

@@ -170,3 +170,34 @@ def test_struct_nested_field_rejected(tmp_path):
                    pa.struct([("a", pa.list_(pa.int64()))]))
     with pytest.raises(ValueError, match="unsupported"):
         interop.write_parquet(str(tmp_path / "b.parquet"), {"s": bad})
+
+
+MAPS = pa.array([{"a": "1", "b": "2"}, None, {}, {"c": None},
+                 {"d": "4", "e": "5"}, {"f": "6"}, None],
+                pa.map_(pa.string(), pa.string()))
+MAPI = pa.array([{1: 10}, {}, None, {2: None, 3: 30}, {7: 70},
+                 None, {8: 80}], pa.map_(pa.int64(), pa.int64()))
+
+
+def test_map_both_directions(tmp_path):
+    p = str(tmp_path / "m.parquet")
+    interop.write_parquet(p, {"m": MAPS, "mi": MAPI},
+                          row_group_rows=3, compression="zstd")
+    t = pq.read_table(p)
+    assert t.column("m").combine_chunks().cast(MAPS.type).equals(MAPS)
+    assert t.column("mi").combine_chunks().cast(MAPI.type).equals(MAPI)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["m"].cast(MAPS.type).equals(MAPS)
+    assert out["mi"].cast(MAPI.type).equals(MAPI)
+
+
+@pytest.mark.parametrize("ver", ["1.0", "2.0"])
+@pytest.mark.parametrize("comp", ["NONE", "zstd"])
+def test_pyarrow_map_files_our_kernels(tmp_path, ver, comp):
+    p = str(tmp_path / f"pm_{ver}_{comp}.parquet")
+    pq.write_table(pa.table({"m": MAPS, "mi": MAPI}), p,
+                   compression=comp, data_page_version=ver,
+                   row_group_size=3)
+    out = interop.read_parquet_with_our_codecs(p)
+    assert out["m"].cast(MAPS.type).equals(MAPS)
+    assert out["mi"].cast(MAPI.type).equals(MAPI)
