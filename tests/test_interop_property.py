@@ -46,6 +46,14 @@ def _columns(draw):
                                    "w": st.one_of(st.none(), _text)})),
             min_size=n, max_size=n)),
         pa.struct([("u", pa.int64()), ("w", pa.string())]))
+    cols["m"] = pa.array(
+        draw(st.lists(st.one_of(
+            st.none(),
+            st.dictionaries(_text.filter(bool),
+                            st.one_of(st.none(), st.integers(-99, 99)),
+                            max_size=4)),
+            min_size=n, max_size=n)),
+        pa.map_(pa.string(), pa.int64()))
     return cols
 
 
