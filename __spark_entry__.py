@@ -280,6 +280,56 @@ def q_roundtrip_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("m_type", "m_null", "st_null"))
 
 
+def q_roundtrip_nested_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct<...>> round trip (round 5, nested.py liststruct
+    composition): a list-of-struct column with every null shape — NULL
+    list, EMPTY list, NULL struct ELEMENT, NULL struct field — derived
+    deterministically from documents, encoded through the standard
+    pipeline (aligned per-field list columns + array<tinyint>
+    element-null marker), decoded, reassembled, then flattened to
+    per-element row strings and histogrammed; the oracle rebuilds the
+    identical strings straight from the source expression, so a match
+    proves the deep-nested round trip value-exact including all four
+    null distinctions."""
+    from cpp_parquet_spark import nested
+    df = (_read(spark, sf_dir, "documents")
+          .select(F.col("doc_id").alias("id"), F.col("lang"))
+          .select(
+              "id",
+              F.expr("""CASE WHEN id % 11 = 0 THEN NULL
+                        WHEN id % 9 = 0 THEN array()
+                        ELSE transform(sequence(0, CAST(id % 4 AS INT)),
+                             i -> CASE WHEN (id + CAST(i AS BIGINT)) % 6 = 0
+                                  THEN NULL
+                                  ELSE named_struct(
+                                       'u', id * 10 + i,
+                                       'v', CASE WHEN (id + CAST(i AS BIGINT))
+                                                      % 5 = 0 THEN NULL
+                                            ELSE concat(lang, '_',
+                                                        CAST(i AS STRING))
+                                            END)
+                                  END)
+                        END""").alias("evs")))
+    cfg = EncodeConfig(keys=("id",), salt_from=(), num_parts=8,
+                       order_keys=("id",), table_name="docs_nested_deep")
+    pages, spec = nested.encode_nested(df, cfg)
+    back = nested.decode_nested(pages, spec)
+    rows = back.select(F.explode(F.expr("""
+        CASE WHEN evs IS NULL THEN array(concat_ws('|', 'L',
+                                         CAST(id AS STRING)))
+        WHEN size(evs) = 0 THEN array(concat_ws('|', 'E',
+                                      CAST(id AS STRING)))
+        ELSE zip_with(evs, sequence(0, size(evs) - 1), (s, i) ->
+             CASE WHEN s IS NULL THEN concat_ws('|', 'N',
+                  CAST(id AS STRING), CAST(i AS STRING))
+             ELSE concat_ws('|', 'P', CAST(id AS STRING),
+                  CAST(i AS STRING), CAST(s.u AS STRING),
+                  coalesce(s.v, 'NULL')) END)
+        END""")).alias("r"))
+    return (rows.select(F.sha2(F.col("r").cast("binary"), 256).alias("h"))
+            .groupBy("h").agg(F.count("*").alias("cnt")))
+
+
 def q_parquet_interop_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 LIST cross-reader conformance (Dremel repetition levels):
     documents.text is split into a token list (plus a null list for
@@ -1540,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop": q_parquet_interop,
         "parquet_interop_delta": q_parquet_interop_delta,
         "roundtrip_map_struct": q_roundtrip_map_struct,
+        # round-5: array<struct> deep-nesting roundtrip (displaces the
+        # long-stable roundtrip_documents_docid below the window)
+        "roundtrip_nested_deep": q_roundtrip_nested_deep,
         "parquet_interop_lists": q_parquet_interop_lists,
         "parquet_interop_pageindex": q_parquet_interop_pageindex,
         "export_parquet_sink": q_export_parquet_sink,
@@ -1569,13 +1622,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # LSH pairs are exact-Jaccard verified, so the oracle's exact n=4
         # Jaccard pair set must match row for row (recall 100% on fixtures)
-        "roundtrip_documents_docid": _roundtrip_hist("documents", DOCS_CFG, "doc_id"),
         "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
         "dup_spans_documents": q_dup_spans_documents,
         # similarity baseline
         "ann_brute_topk": q_ann_brute_topk,
         # ---- below the driver's 50-row window: rotated-out rows, still --
         # ---- oracle-checked per commit by tools/check_contract.py -------
+        "roundtrip_documents_docid": _roundtrip_hist("documents", DOCS_CFG,
+                                                     "doc_id"),
         "pages_conservation_lineitem":
             _pages_conservation("lineitem", LINEITEM_CFG),
         "stats_cardinality": q_stats_cardinality,
@@ -1738,6 +1792,30 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(text, 'NULL'))) AS h,
                    count(*) AS cnt
             FROM documents GROUP BY 1""",
+        "roundtrip_nested_deep": """
+            WITH src AS (SELECT doc_id AS id, lang FROM documents),
+            r AS (
+              SELECT CASE
+                WHEN id % 11 = 0 THEN [concat_ws('|', 'L',
+                                       CAST(id AS VARCHAR))]
+                WHEN id % 9 = 0 THEN [concat_ws('|', 'E',
+                                      CAST(id AS VARCHAR))]
+                ELSE list_transform(range(0, id % 4 + 1), i ->
+                     CASE WHEN (id + i) % 6 = 0
+                     THEN concat_ws('|', 'N', CAST(id AS VARCHAR),
+                                    CAST(i AS VARCHAR))
+                     ELSE concat_ws('|', 'P', CAST(id AS VARCHAR),
+                          CAST(i AS VARCHAR),
+                          CAST(id * 10 + i AS VARCHAR),
+                          CASE WHEN (id + i) % 5 = 0 THEN 'NULL'
+                               ELSE concat(lang, '_', CAST(i AS VARCHAR))
+                          END)
+                     END)
+                END AS rows_
+              FROM src)
+            SELECT sha256(u) AS h, count(*) AS cnt
+            FROM (SELECT unnest(rows_) AS u FROM r)
+            GROUP BY h""",
         "parquet_interop_lists": """
             SELECT sha256(concat(
                      CAST(doc_id AS VARCHAR), '|',

@@ -311,11 +311,26 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
         lens = np.diff(offs).astype(np.int64)
         ldata, lp = _encode_values(lens, "i64", "rle")
         child = arr.flatten()
+        # child validity stream for null ELEMENTS (def level 2 of the
+        # repeated-optional group) — a NULL float element is NOT NaN;
+        # without this stream drop-to-NaN silently corrupts it. Only
+        # pages that actually hold null elements pay for (and signal,
+        # via params "cnul") the extra framing — null-free pages keep
+        # the original layout, so previously-written pages decode as-is.
+        cnul = child.null_count
+        if cnul:
+            cvalid = child.is_valid().to_numpy(zero_copy_only=False)
+            cdef = levels.encode_validity(cvalid)
+            child = child.drop_null()
         dt = np.float32 if tag == "arrf32" else np.float64
         cvals = np.ascontiguousarray(
             child.to_numpy(zero_copy_only=False), dtype=dt)
         vbytes = bss.split_bytes(cvals) if codec == "listb" \
             else cvals.tobytes()
+        if cnul:
+            body = (np.array([len(ldata), len(cdef)], np.uint32).tobytes()
+                    + ldata + cdef + vbytes)
+            return body, {"lens": lp, "cnul": int(cnul)}
         body = np.uint32(len(ldata)).tobytes() + ldata + vbytes
         return body, {"lens": lp}
     if codec == "lists":
@@ -371,9 +386,22 @@ def _encode_values(vals, tag: str, codec: str, fsst_table=None) -> tuple[bytes, 
                              count=len(arr) + 1, offset=arr.offset * 4)
         lens = np.diff(offs).astype(np.int64)
         ldata, lp = _encode_values(lens, "i64", "rle")
+        carr = arr.flatten()
+        # null-element validity stream, same contract as listf/lists:
+        # params "cnul" signals the two-length header; null-free pages
+        # keep the original framing (old pages decode unchanged)
+        cnul = carr.null_count
+        if cnul:
+            cvalid = carr.is_valid().to_numpy(zero_copy_only=False)
+            cdef = levels.encode_validity(cvalid)
+            carr = carr.drop_null()
         child = np.ascontiguousarray(
-            arr.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+            carr.to_numpy(zero_copy_only=False), dtype=np.int64)
         cdata, cp = forc.encode(child)
+        if cnul:
+            body = (np.array([len(ldata), len(cdef)], np.uint32).tobytes()
+                    + ldata + cdef + cdata)
+            return body, {"lens": lp, "child": cp, "cnul": int(cnul)}
         body = np.uint32(len(ldata)).tobytes() + ldata + cdata
         return body, {"lens": lp, "child": cp}
     if codec == "bss":
@@ -428,21 +456,31 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
     if codec == "bss":
         return bss.decode(data, params, k, tag)
     if codec in ("listf", "listb"):
-        llen = int(np.frombuffer(data[:4], np.uint32)[0])
-        lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
-                                         "rle", "i64", k))
+        cnul = int(params.get("cnul", 0))
+        hlen = 8 if cnul else 4
+        head = np.frombuffer(data[:hlen], np.uint32)
+        llen = int(head[0])
+        dlen = int(head[1]) if cnul else 0
+        lens = np.asarray(_decode_values(data[hlen: hlen + llen],
+                                         params["lens"], "rle", "i64", k))
         offs = np.zeros(k + 1, dtype=np.int32)
         offs[1:] = np.cumsum(lens).astype(np.int32)
         dt = pa.float32() if tag == "arrf32" else pa.float64()
         npdt = np.float32 if tag == "arrf32" else np.float64
         nchild = int(offs[-1])
+        vbytes = data[hlen + llen + dlen:]
         if codec == "listb":
-            child = bss.unsplit_bytes(data[4 + llen:], nchild, npdt)
+            child = bss.unsplit_bytes(vbytes, nchild - cnul, npdt)
         else:
-            child = np.frombuffer(data[4 + llen:], dtype=npdt,
-                                  count=nchild)
-        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
-                                        pa.array(child, dt))
+            child = np.frombuffer(vbytes, dtype=npdt,
+                                  count=nchild - cnul)
+        carr = pa.array(child, dt)
+        if cnul:
+            cvalid = levels.decode_validity(
+                data[hlen + llen: hlen + llen + dlen], nchild)
+            idx = np.cumsum(cvalid, dtype=np.int64) - 1
+            carr = carr.take(pa.array(idx, mask=~cvalid))
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), carr)
     if codec == "lists":
         head = np.frombuffer(data[:8], np.uint32)
         llen, dlen = int(head[0]), int(head[1])
@@ -468,17 +506,27 @@ def _decode_values(data: bytes, params: dict, codec: str, tag: str, k: int):
             child = child.take(pa.array(idx, mask=~cvalid))
         return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), child)
     if codec == "listi":
-        llen = int(np.frombuffer(data[:4], np.uint32)[0])
-        lens = np.asarray(_decode_values(data[4: 4 + llen], params["lens"],
-                                         "rle", "i64", k))
+        cnul = int(params.get("cnul", 0))
+        hlen = 8 if cnul else 4
+        head = np.frombuffer(data[:hlen], np.uint32)
+        llen = int(head[0])
+        dlen = int(head[1]) if cnul else 0
+        lens = np.asarray(_decode_values(data[hlen: hlen + llen],
+                                         params["lens"], "rle", "i64", k))
         offs = np.zeros(k + 1, dtype=np.int32)
         offs[1:] = np.cumsum(lens).astype(np.int32)
-        child = np.asarray(forc.decode(data[4 + llen:], params["child"],
-                                       int(offs[-1])), dtype=np.int64)
+        nchild = int(offs[-1])
+        child = np.asarray(forc.decode(data[hlen + llen + dlen:],
+                                       params["child"], nchild - cnul),
+                           dtype=np.int64)
         elem = ARROW_TYPE[tag].value_type
-        return pa.ListArray.from_arrays(
-            pa.array(offs, pa.int32()),
-            pa.array(child, pa.int64()).cast(elem))
+        carr = pa.array(child, pa.int64()).cast(elem)
+        if cnul:
+            cvalid = levels.decode_validity(
+                data[hlen + llen: hlen + llen + dlen], nchild)
+            idx = np.cumsum(cvalid, dtype=np.int64) - 1
+            carr = carr.take(pa.array(idx, mask=~cvalid))
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), carr)
     if codec == "plain":
         return plain.decode(data, params, k, tag)
     if codec == "dict":

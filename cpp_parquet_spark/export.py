@@ -21,8 +21,10 @@ task writes a new file, and the returned manifest names the winners).
 
 Supported column types: everything `interop.write_parquet` takes —
 flat bool/int8/16/32/64/date/float/double/decimal(p<=18)/string plus
-single-level `array<T>` (Dremel rep/def levels). Unsupported types
-fail loudly up front with the column names.
+single-level `array<T>`, `struct<leaves>`, `map<k,v>` and
+`array<struct<leaves>>` (Dremel rep/def levels, def domain 0-4 for the
+list-of-group shape). Unsupported types fail loudly up front with the
+column names.
 """
 
 from __future__ import annotations
@@ -38,26 +40,43 @@ from pyspark.sql import DataFrame
 from . import interop
 
 
+def _leaf_ok(t: pa.DataType) -> bool:
+    """Can `interop.write_parquet` store this type as a NESTED leaf?
+    Runs the real `_colspec` so the driver-side pre-check rejects
+    exactly what an executor would reject (e.g. struct<ts:timestamp>
+    must fail HERE, not mid-job)."""
+    if pa.types.is_nested(t) or t == pa.bool_():
+        return False
+    try:
+        interop._colspec(t)
+    except Exception:
+        return False
+    return True
+
+
 def _check_schema(schema: pa.Schema) -> None:
     bad: list[str] = []
     for f in schema:
         t = f.type
         if pa.types.is_list(t) or pa.types.is_large_list(t):
-            t = t.value_type
-            if pa.types.is_nested(t) or t == pa.bool_():
+            et = t.value_type
+            if pa.types.is_struct(et):       # list<struct<leaves>>
+                for i in range(et.num_fields):
+                    if not _leaf_ok(et.field(i).type):
+                        bad.append(f"{f.name}[].{et.field(i).name}: "
+                                   f"{et.field(i).type}")
+            elif not _leaf_ok(et):
                 bad.append(f"{f.name}: {f.type}")
             continue
         if pa.types.is_struct(t):
             for i in range(t.num_fields):
-                ft = t.field(i).type
-                if pa.types.is_nested(ft) or ft == pa.bool_():
-                    bad.append(f"{f.name}.{t.field(i).name}: {ft}")
+                if not _leaf_ok(t.field(i).type):
+                    bad.append(f"{f.name}.{t.field(i).name}: "
+                               f"{t.field(i).type}")
             continue
         if pa.types.is_map(t):
-            for ft in (t.key_type, t.item_type):
-                if pa.types.is_nested(ft) or ft == pa.bool_():
-                    bad.append(f"{f.name}: {t}")
-                    break
+            if not (_leaf_ok(t.key_type) and _leaf_ok(t.item_type)):
+                bad.append(f"{f.name}: {t}")
             continue
         try:
             interop._colspec(t)
@@ -79,17 +98,26 @@ def export_parquet(df: DataFrame, dst: str, *,
                    row_group_rows: int | None = 200_000,
                    page_index: bool = True,
                    statistics: bool = True,
-                   string_encoding: str = "delta_length") -> DataFrame:
+                   string_encoding: str = "delta_length",
+                   bloom: set[str] | frozenset[str] = frozenset(),
+                   bloom_fpp: float = 0.01) -> DataFrame:
     """Write ``df`` as a directory of standard .parquet files (one per
     partition, written executor-side by OUR writer) and return the
     per-file manifest DataFrame ``(file, rows, bytes)``. The manifest
-    is lazy — force it (collect/count) to run the export."""
+    is lazy — force it (collect/count) to run the export.
+
+    ``bloom`` names flat columns that get the format's SBBF BloomFilter
+    sidecar per row group (parquet.thrift BloomFilterHeader, XXHASH /
+    BLOCK, ColumnMetaData fields 14/15) — point predicates on high-
+    cardinality columns then skip row groups min/max stats cannot
+    (`scan_parquet(eq_prune=...)`; parquet-java consumes them too)."""
     spark_schema = df.schema
     os.makedirs(dst, exist_ok=True)
     dict_cols = frozenset(dictionary)
     opts = dict(compression=compression, page_rows=page_rows,
                 row_group_rows=row_group_rows, page_index=page_index,
-                statistics=statistics, string_encoding=string_encoding)
+                statistics=statistics, string_encoding=string_encoding,
+                bloom=frozenset(bloom), bloom_fpp=bloom_fpp)
 
     def write_part(batches: Iterator[pa.RecordBatch]
                    ) -> Iterator[pa.RecordBatch]:
@@ -117,6 +145,14 @@ def export_parquet(df: DataFrame, dst: str, *,
     # fail loudly on the driver before launching tasks (cheap: schema only)
     _check_schema(pa.schema([
         pa.field(f.name, _arrow_type(f.dataType)) for f in spark_schema]))
+    names = {f.name: f for f in spark_schema.fields}
+    for b in bloom:
+        if b not in names:
+            raise ValueError(f"bloom column {b!r} not in the DataFrame")
+        at = _arrow_type(names[b].dataType)
+        if pa.types.is_nested(at) or at == pa.bool_():
+            raise ValueError(f"bloom filters are flat-leaf only: "
+                             f"{b}: {names[b].dataType.simpleString()}")
     return df.mapInArrow(write_part, "file string, rows long, bytes long")
 
 
@@ -154,8 +190,9 @@ def _rg_stats(path: str) -> list[dict]:
     import numpy as np
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = interop._CR(buf, len(buf) - 8 - flen).struct()
-    ptypes = {el[4].decode(): el[1]
-              for el in meta[2][1:] if el.get(5, 0) == 0}
+    # dotted-path keyed: a nested leaf sharing a flat column's bare
+    # name must not shadow the flat column's physical type
+    ptypes = {p: el[1] for p, el in interop._walk_leaves(meta[2]).items()}
     out: list[dict] = []
     for rg in meta[4]:
         ent: dict = {}
@@ -173,19 +210,8 @@ def _rg_stats(path: str) -> list[dict]:
     return out
 
 
-def _footer_stats(path: str) -> dict[str, tuple]:
-    """Per-FILE (min, max) per flat column: `_rg_stats` folded."""
-    out: dict[str, tuple] = {}
-    for ent in _rg_stats(path):
-        for name, (mn, mx) in ent.items():
-            prev = out.get(name)
-            out[name] = (mn, mx) if prev is None else \
-                (min(prev[0], mn), max(prev[1], mx))
-    return out
-
-
-def _spark_type_of(arr: pa.Array) -> str:
-    t = arr.type
+def _spark_type_of(t: pa.DataType) -> str:
+    """Arrow type -> Spark DDL type string (for mapInArrow schemas)."""
     m = {pa.bool_(): "boolean", pa.int8(): "tinyint",
          pa.int16(): "smallint", pa.int32(): "int", pa.int64(): "bigint",
          pa.float32(): "float", pa.float64(): "double",
@@ -195,79 +221,121 @@ def _spark_type_of(arr: pa.Array) -> str:
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        inner = _spark_type_of(arr.flatten() if hasattr(arr, "flatten")
-                               else pa.array([], t.value_type))
-        return f"array<{inner}>"
+        return f"array<{_spark_type_of(t.value_type)}>"
     if pa.types.is_struct(t):
         inner = ", ".join(
-            f"`{t.field(i).name}`: "
-            + _spark_type_of(arr.field(i) if hasattr(arr, "field")
-                             else pa.array([], t.field(i).type))
+            f"`{t.field(i).name}`: {_spark_type_of(t.field(i).type)}"
             for i in range(t.num_fields))
         return f"struct<{inner}>"
     if pa.types.is_map(t):
-        k = _spark_type_of(pa.array([], t.key_type))
-        v = _spark_type_of(pa.array([], t.item_type))
-        return f"map<{k}, {v}>"
+        return (f"map<{_spark_type_of(t.key_type)}, "
+                f"{_spark_type_of(t.item_type)}>")
     return "string"
 
 
 def scan_parquet(spark, src: str, columns: list[str] | None = None,
                  range_prune: tuple | None = None,
-                 apply_range: bool = False) -> DataFrame:
+                 apply_range: bool = False,
+                 eq_prune: tuple | None = None) -> DataFrame:
     """Distributed scan of a directory of standard .parquet files
     through OUR reader (`interop.read_parquet_with_our_codecs`): file
     list on the driver (metadata-sized), one decode task per file via
     `mapInArrow` — the import twin of `export_parquet`.
 
     ``columns`` projects: unrequested column chunks are never decoded.
-    ``range_prune=(column, lo, hi)`` prunes whole FILES whose folded
-    row-group Statistics window cannot intersect ``[lo, hi]`` —
-    metadata-only, footer reads on the driver, no page bytes touched
-    (page-granular pruning for a single column lives in
-    `interop.read_column_pruned`). By default the predicate itself is
-    NOT applied to surviving rows — chain ``.filter`` for exact
-    semantics, as with any min-max zone pruning; ``apply_range=True``
-    additionally applies the exact ``[lo, hi]`` filter INSIDE the scan
-    task (one Arrow compute pass) so non-matching rows never cross the
-    Python->JVM boundary — the right shape for selective scans at
-    scale. Requires the pruned column in the projection."""
+    ``range_prune=(column, lo, hi)`` drops ROW GROUPS whose footer
+    Statistics window cannot intersect ``[lo, hi]`` — metadata-only, no
+    page bytes touched (page-granular pruning for a single column lives
+    in `interop.read_column_pruned`). Scan planning is DISTRIBUTED: a
+    first metadata job reads each file's footer inside the executors
+    and ships back only the surviving (file, row-group) pairs, so a
+    10^5-file directory plans in parallel instead of a driver-side
+    footer loop; the driver itself reads exactly ONE footer (schema
+    derivation via `interop.footer_schema` — SchemaElements only, no
+    page decode). By default the predicate itself is NOT applied to
+    surviving rows — chain ``.filter`` for exact semantics, as with any
+    min-max zone pruning; ``apply_range=True`` additionally applies the
+    exact ``[lo, hi]`` filter INSIDE the scan task (one Arrow compute
+    pass) so non-matching rows never cross the Python->JVM boundary —
+    the right shape for selective scans at scale. Requires the pruned
+    column in the projection.
+
+    ``eq_prune=(column, value)`` point-prunes: a row group is dropped
+    when its Statistics window excludes the value OR its BloomFilter
+    sidecar proves the value absent — the bloom catches what min/max
+    can't (high-cardinality scattered keys), turning a needle lookup
+    over many files into a handful of decode tasks. Row groups without
+    a bloom fall back to stats-only. Exact semantics still need a
+    chained ``.filter`` (bloom false positives scan but never lie)."""
     import glob as _glob
     all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
     if not all_files:
         raise ValueError(f"no .parquet files under {src!r}")
-    # work list: one item per ROW GROUP (the scan's parallelism unit —
-    # a single huge externally-written file still fans out across
-    # executors); files whose footer carries no row groups fall back to
-    # one whole-file item. Pruning is row-group granular: each file's
-    # footer Statistics are read driver-side (metadata only) and only
-    # intersecting row groups survive; files with none drop entirely.
-    work: list[tuple[str, list[int] | None]] = []
-    prune_col = None
+    prune_col = lo = hi = None
     if range_prune is not None:
         prune_col, lo, hi = range_prune
         if isinstance(lo, str):
             lo, hi = lo.encode(), hi.encode()
-    for f in all_files:
-        stats = _rg_stats(f)
-        if not stats:
-            work.append((f, None))
-            continue
-        for rgi, ent in enumerate(stats):
+    eq_col = eq_val = eq_stat = None
+    if eq_prune is not None:
+        eq_col, eq_val = eq_prune
+        eq_stat = eq_val.encode() if isinstance(eq_val, str) else eq_val
+    # schema from ONE footer (SchemaElements only) — pruning every row
+    # group still yields a correctly-typed EMPTY DataFrame
+    ftypes = interop.footer_schema(all_files[0])
+    if columns is not None:
+        ftypes = {n: t for n, t in ftypes.items() if n in columns}
+    if not ftypes:
+        raise ValueError(f"projection {columns!r} matches no column")
+    schema_str = ", ".join(f"`{n}` {_spark_type_of(t)}"
+                           for n, t in ftypes.items())
+
+    # distributed planning: one metadata task per file-batch reads the
+    # footers executor-side and emits surviving (path, rgi) pairs; rgi
+    # -1 marks a file with no per-row-group stats (scanned whole). The
+    # collect is metadata-sized — one (string, int) row per SURVIVING
+    # row group.
+    def footer_pass(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+        meta_schema = pa.schema([("path", pa.string()),
+                                 ("rgi", pa.int32())])
+
+        def rg_survives(p, rgi, ent, blooms) -> bool:
             if prune_col is not None:
                 st = ent.get(prune_col)
                 if st is not None and (st[1] < lo or st[0] > hi):
-                    continue
-            work.append((f, [rgi]))
-    # schema always derives from an unpruned file, so pruning every
-    # row group still yields a correctly-typed EMPTY DataFrame
-    sample = interop.read_parquet_with_our_codecs(all_files[0], columns)
-    if not sample:
-        raise ValueError(f"projection {columns!r} matches no column")
-    schema_str = ", ".join(f"`{n}` {_spark_type_of(a)}"
-                           for n, a in sample.items())
-    items = [(f, "" if rgs is None else ",".join(map(str, rgs)))
-             for f, rgs in work]
+                    return False
+            if eq_col is not None:
+                st = ent.get(eq_col)
+                if st is not None and not (st[0] <= eq_stat <= st[1]):
+                    return False
+                if blooms is not None and not blooms.get(rgi, True):
+                    return False               # bloom: provably absent
+            return True
+
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                stats = _rg_stats(p)
+                blooms = interop.bloom_rg_survivors(p, eq_col, eq_val) \
+                    if eq_col is not None else None
+                keep = [{"path": p, "rgi": -1}] if not stats else [
+                    {"path": p, "rgi": rgi}
+                    for rgi, ent in enumerate(stats)
+                    if rg_survives(p, rgi, ent, blooms)]
+                if keep:
+                    yield pa.RecordBatch.from_pylist(keep,
+                                                     schema=meta_schema)
+
+    fdf0 = spark.createDataFrame([(f,) for f in all_files],
+                                 "path string")
+    fdf0 = fdf0.repartition(min(len(all_files), 64))
+    surv = sorted((r["path"], r["rgi"]) for r in
+                  fdf0.mapInArrow(footer_pass,
+                                  "path string, rgi int").collect())
+    # work list: one item per surviving ROW GROUP (the scan's
+    # parallelism unit — a single huge externally-written file still
+    # fans out across executors)
+    items = [(p, "" if rgi < 0 else str(rgi)) for p, rgi in surv]
     fdf = spark.createDataFrame(items or [], "path string, rgs string")
     fdf = fdf.repartition(max(len(items), 1))
 

@@ -337,7 +337,12 @@ def _colspec(t: pa.DataType) -> tuple[str, int, list[tuple[int, int]]]:
             raise ValueError("interop writer: decimal precision > 18")
         return "i64", T_INT64, [(6, CONV_DECIMAL),
                                 (7, t.scale), (8, t.precision)]
-    return "str", T_BYTE_ARRAY, [(6, CONV_UTF8)]
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "str", T_BYTE_ARRAY, [(6, CONV_UTF8)]
+    # fail loudly: anything else (timestamps, nested, unknown) must be
+    # rejected at schema-check time, never coerced to strings mid-job
+    raise ValueError(f"interop writer: unsupported Arrow type {t}")
 
 
 def _pq_work(work: pa.Array, tag: str) -> pa.Array:
@@ -452,6 +457,44 @@ def _list_levels(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, pa.Array, bool]
     return rep, deflev, flat.drop_null(), True
 
 
+def _liststruct_levels(arr: pa.Array):
+    """Dremel shredding scaffold for ``list<struct<...>>`` (the format's
+    LIST whose element is a GROUP): ``optional group (LIST) { repeated
+    group list { optional group element { optional leaves } } }``.
+
+    Per-field def levels extend the list domain by one: 0 = null list,
+    1 = empty list, 2 = null element, 3 = element present / field null,
+    4 = field value present. Returns ``(rep, base_def, elem_slot, flat,
+    elem_valid)`` — the per-FIELD writer copies ``base_def`` and lifts
+    slots with a present field value to 4."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = (arr.value_lengths().fill_null(0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    n = len(arr)
+    list_valid = arr.is_valid().to_numpy(zero_copy_only=False) \
+        if arr.null_count else np.ones(n, bool)
+    lens = np.where(list_valid, lens, 0)
+    slots = np.maximum(lens, 1)
+    total = int(slots.sum())
+    starts = np.zeros(n, np.int64)
+    np.cumsum(slots[:-1], out=starts[1:])
+    rep = np.ones(total, np.uint64)
+    rep[starts] = 0
+    flat = arr.flatten()
+    elem_valid = flat.is_valid().to_numpy(zero_copy_only=False) \
+        if flat.null_count else np.ones(len(flat), bool)
+    ne = int(lens.sum())
+    intra = np.arange(ne, dtype=np.int64) - \
+        np.repeat(np.cumsum(lens) - lens, lens)
+    elem_slot = np.repeat(starts, lens) + intra
+    base = np.full(total, 3, np.uint64)      # element present baseline
+    base[elem_slot[~elem_valid]] = 2         # null elements
+    base[starts[(lens == 0) & list_valid]] = 1
+    base[starts[~list_valid]] = 0
+    return rep, base, elem_slot, flat, elem_valid
+
+
 def _struct_levels(arr: pa.Array, field: pa.Array) -> tuple[np.ndarray, pa.Array]:
     """Definition levels for one field of an optional struct column:
     0 = struct null, 1 = struct present / field null, 2 = field present
@@ -531,6 +574,8 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                   row_group_rows: int | None = None,
                   statistics: bool = False,
                   string_encoding: str = "plain",
+                  bloom: set[str] | frozenset[str] = frozenset(),
+                  bloom_fpp: float = 0.01,
                   ) -> None:
     """Write a real one-row-group Parquet file whose page payloads come
     verbatim from OUR codec emitters. ``dictionary`` names columns
@@ -583,6 +628,13 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                              f"{sorted(_COMP_BY_NAME)})")
         comp_id = _COMP_BY_NAME[compression]
         codec = pa.Codec(compression)
+    for bname in bloom:
+        if bname not in columns:
+            raise ValueError(f"bloom column {bname!r} not in columns")
+        bt = columns[bname].type
+        if pa.types.is_nested(bt) or bt == pa.bool_():
+            raise ValueError(
+                f"bloom filters are flat-leaf only, not {bt}")
     n_rows = {len(a) for a in columns.values()}
     assert len(n_rows) == 1, "columns must be equal length"
     n = n_rows.pop()
@@ -631,6 +683,68 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             arr = arr.combine_chunks()
         arr = arr.slice(rg_lo, rg_step)
         nw = len(arr)
+        if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) \
+                and pa.types.is_struct(arr.type.value_type):
+            # LIST whose element is a GROUP (list<struct<leaves>>): one
+            # chunk per struct field sharing the repetition stream, def
+            # domain 0-4 (null list / empty / null element / field null
+            # / value) — the recursive Dremel shape event-props and
+            # tool-call schemas need
+            rep, base_def, elem_slot, flat, elem_valid = \
+                _liststruct_levels(arr)
+            st_t = arr.type.value_type
+            n_slots = rep.shape[0]
+            first = True
+            for fi in range(st_t.num_fields):
+                fname = st_t.field(fi).name
+                fld = flat.field(fi)
+                tag, ptype, extras = _colspec(fld.type)
+                if tag == "bool" or pa.types.is_nested(fld.type):
+                    raise ValueError(
+                        f"interop writer: list<struct> field "
+                        f"{name}.{fname} type {fld.type} unsupported")
+                fvalid = (fld.is_valid().to_numpy(zero_copy_only=False)
+                          if fld.null_count else np.ones(len(fld), bool))
+                fvalid &= elem_valid
+                deflev = base_def.copy()
+                deflev[elem_slot[fvalid]] = 4
+                work = _pq_work(fld.filter(pa.array(fvalid)), tag)
+                lvl = _prefixed_rle(rep, 1) + _prefixed_rle(deflev, 3)
+                chunk_start = len(body)
+                payload = lvl + _plain_values(work, tag)
+                data_off = len(body)
+                u_total = emit_page(PAGE_DATA, payload, n_slots,
+                                    ENC_PLAIN)
+                total = len(body) - chunk_start
+                meta = (_CW().i32(1, ptype)
+                        .list_i32(2, [ENC_PLAIN, ENC_RLE])
+                        .list_binary(3, [name.encode(), b"list",
+                                         b"element", fname.encode()])
+                        .i32(4, comp_id)
+                        .i64(5, n_slots).i64(6, u_total)
+                        .i64(7, total).i64(9, data_off))
+                elems_here = []
+                if first:
+                    elems_here.append(
+                        (_CW().i32(3, REP_OPTIONAL)
+                         .binary(4, name.encode())
+                         .i32(5, 1).i32(6, CONV_LIST)).done())
+                    elems_here.append(
+                        (_CW().i32(3, REP_REPEATED).binary(4, b"list")
+                         .i32(5, 1)).done())
+                    elems_here.append(
+                        (_CW().i32(3, REP_OPTIONAL).binary(4, b"element")
+                         .i32(5, st_t.num_fields)).done())
+                    first = False
+                leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
+                    .binary(4, fname.encode())
+                for fid, v in extras:
+                    leaf_el.i32(fid, v)
+                elems_here.append(leaf_el.done())
+                chunks.append((f"{name}.list.element.{fname}",
+                               elems_here, meta.done(), data_off,
+                               total, None))
+            continue
         if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
             # 3-level LIST structure: one v1 data page with repetition +
             # definition level streams ahead of the element values
@@ -821,6 +935,16 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
         optional = col_has_nulls[name]
         levels = _def_levels(arr) if optional else b""
         dict_off = None
+        boff = blen = None
+        if name in bloom:
+            # SBBF sidecar for this row group's chunk, placed right
+            # before its pages so ColumnMetaData fields 14/15 are known
+            # when the chunk metadata serializes (the format only
+            # requires the offset to resolve; placement is free)
+            sidecar = _bloom_sidecar(
+                _pq_work(work.unique(), tag), ptype, bloom_fpp)
+            boff, blen = len(body), len(sidecar)
+            body.extend(sidecar)
         chunk_start = len(body)
         u_total = 0
         pidx = None
@@ -923,6 +1047,8 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 st.binary(5, _plain_scalar_bytes(mm["max"].as_py(), ptype))
                 st.binary(6, _plain_scalar_bytes(mm["min"].as_py(), ptype))
             meta.struct(12, st.done())
+        if boff is not None:
+            meta.i64(14, boff).i32(15, blen)
         e = _CW().i32(1, ptype) \
             .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
             .binary(4, name.encode())
@@ -991,12 +1117,14 @@ def read_parquet_with_our_codecs(path: str,
                                  columns: list[str] | None = None,
                                  row_groups: "list[int] | None" = None
                                  ) -> dict[str, pa.Array]:
-    """Decode every column of an UNCOMPRESSED Parquet file (v1 or v2
-    data pages) using OUR rle/plain/dictionary/deltafmt/bss kernels
-    (page headers and footer parsed with the minimal compact-protocol
-    reader). Supports the subset the conformance tests write via
-    pyarrow: flat INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY(UTF8) columns,
-    PLAIN / dictionary / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+    """Decode every column of a Parquet file (v1 or v2 data pages,
+    UNCOMPRESSED or SNAPPY/GZIP/ZSTD/LZ4_RAW page compression — v1
+    whole-payload, v2 value-section) using OUR
+    rle/plain/dictionary/deltafmt/bss kernels (page headers and footer
+    parsed with the minimal compact-protocol reader). Supports the
+    subset the conformance tests write via pyarrow: flat
+    INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY(UTF8) columns, PLAIN /
+    dictionary / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
     DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT encoded, optional or required,
     any number of data pages per chunk."""
     buf = _map_file(path)
@@ -1156,16 +1284,25 @@ def read_parquet_with_our_codecs(path: str,
                 got = [_decode_plain(b"", 0, ptype, el.get(2, 0))]
             col = pa.concat_arrays([g.cast(got[0].type) for g in got])
             if max_rep:
+                dl_full = np.concatenate(defs) if defs \
+                    else np.empty(0, np.uint64)
                 col = _reassemble_list(
                     col,
                     np.concatenate(reps) if reps else np.empty(0, np.uint64),
-                    np.concatenate(defs) if defs else np.empty(0, np.uint64),
-                    max_def, def_at_rep, el)
+                    dl_full, max_def, def_at_rep, el)
                 if len(cm[3]) == 3 and cm[3][1] == b"key_value":
                     fields = struct_parts.setdefault(
                         "\x00map:" + name, {})
                     fields.setdefault(cm[3][2].decode(), []).append(
                         (col, None))
+                elif len(cm[3]) == 4 and cm[3][1] == b"list":
+                    # list<struct> leaf: keep the def stream — it is
+                    # the only place the null-ELEMENT (def 2) vs
+                    # field-null (def 3) distinction lives
+                    fields = struct_parts.setdefault(
+                        "\x00liststruct:" + name, {})
+                    fields.setdefault(cm[3][3].decode(), []).append(
+                        (col, dl_full))
                 else:
                     parts.setdefault(name, []).append(col)
             elif len(cm[3]) == 2:
@@ -1204,6 +1341,31 @@ def read_parquet_with_our_codecs(path: str,
                 + [int(noffs[-1])], pa.int32())
             out[mname] = pa.MapArray.from_arrays(
                 offs0, klist.flatten(), vlist.flatten())
+            continue
+        if sname.startswith("\x00liststruct:"):
+            # list<struct> assembly: every field's leaf reassembles to
+            # an aligned list (same offsets/validity — they share the
+            # rep stream); zip the flattened children into a
+            # StructArray, element validity from the shared def stream
+            # (def >= 3 = element present), then rewrap with the
+            # reference field's list offsets + validity
+            lname = sname[len("\x00liststruct:"):]
+            names, children, ref, dl = [], [], None, None
+            for fname, pieces in fields.items():
+                la = pa.concat_arrays(
+                    [c.cast(pieces[0][0].type) for c, _ in pieces])
+                names.append(fname)
+                children.append(la.flatten())
+                if ref is None:
+                    ref = la
+                    dl = np.concatenate([d for _, d in pieces]) \
+                        if pieces else np.empty(0, np.uint64)
+            edef = dl[dl >= 2]               # one entry per element slot
+            st = pa.StructArray.from_arrays(
+                children, names, mask=pa.array(~(edef >= 3)))
+            out[lname] = pa.Array.from_buffers(
+                pa.large_list(st.type), len(ref),
+                [ref.buffers()[0], ref.buffers()[1]], children=[st])
             continue
         cols, names = [], []
         struct_valid = None
@@ -1329,6 +1491,229 @@ def _plain_scalar(b: bytes, ptype: int):
     return bytes(b)                           # BYTE_ARRAY / FLBA: raw
 
 
+def _walk_leaves(schema: list) -> dict[str, dict]:
+    """Depth-first SchemaElement walk -> {dotted leaf path:
+    SchemaElement}. The FULL dotted path is the key, so a nested leaf
+    sharing a flat column's bare name (``struct.doc_id`` vs ``doc_id``)
+    can never shadow it — every consumer that resolves a chunk's
+    ColumnMetaData.path_in_schema to its physical type must go through
+    this walk, not a bare-name scan."""
+    leaves: dict[str, dict] = {}
+    pos = [1]
+
+    def _consume(prefix: tuple) -> None:
+        el = schema[pos[0]]
+        pos[0] += 1
+        path = prefix + (el[4].decode(),)
+        nch = el.get(5, 0)
+        if nch == 0:
+            leaves[".".join(path)] = el
+        else:
+            for _ in range(nch):
+                _consume(path)
+
+    for _ in range(schema[0].get(5, len(schema) - 1)):
+        _consume(())
+    return leaves
+
+
+def _leaf_arrow_type(el: dict) -> pa.DataType:
+    """SchemaElement (leaf) -> the Arrow type our reader materializes:
+    physical type + ConvertedType lift (UTF8/date/narrow-int/decimal).
+    Non-UTF8 BYTE_ARRAY maps to string too — `_deinterleave` always
+    rebuilds strings."""
+    conv = el.get(6)
+    if conv == CONV_DATE:
+        return pa.date32()
+    if conv == CONV_INT_8:
+        return pa.int8()
+    if conv == CONV_INT_16:
+        return pa.int16()
+    if conv == CONV_DECIMAL:
+        return pa.decimal128(el.get(8, 38), el.get(7, 0))
+    return {T_BOOLEAN: pa.bool_(), T_INT32: pa.int32(),
+            T_INT64: pa.int64(), T_FLOAT: pa.float32(),
+            T_DOUBLE: pa.float64(), T_BYTE_ARRAY: pa.string(),
+            T_FLBA: pa.string()}[el[1]]
+
+
+def footer_schema(path: str) -> "dict[str, pa.DataType]":
+    """Top-level column name -> Arrow type, derived ONLY from the footer
+    SchemaElements (ptype + ConvertedType + group shape) — no page is
+    decoded, so schema discovery over a directory costs one footer read
+    instead of a full first-file decode. Reconstructs the group shapes
+    the writer emits: 3-level LIST (element leaf or struct), MAP
+    key_value, plain struct; a legacy 2-level repeated leaf also maps
+    to list<leaf>."""
+    buf = _map_file(path)
+    assert buf[:4] == _MAGIC and buf[-4:] == _MAGIC, "not a parquet file"
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    schema = meta[2]
+    pos = [1]
+
+    def node() -> tuple[str, pa.DataType]:
+        el = schema[pos[0]]
+        pos[0] += 1
+        name = el[4].decode()
+        nch = el.get(5, 0)
+        if nch == 0:
+            leaf = _leaf_arrow_type(el)
+            if el.get(3, 0) == REP_REPEATED:   # legacy 2-level list
+                return name, pa.list_(leaf)
+            return name, leaf
+        conv = el.get(6)
+        if conv == CONV_LIST:
+            mid = schema[pos[0]]               # repeated 'list' group
+            pos[0] += 1
+            mch = mid.get(5, 0)
+            if mch == 0:                       # repeated leaf (2-level)
+                return name, pa.list_(_leaf_arrow_type(mid))
+            fields = [node() for _ in range(mch)]
+            if mch == 1:
+                return name, pa.list_(fields[0][1])
+            return name, pa.list_(pa.struct(
+                [pa.field(n, t) for n, t in fields]))
+        if conv == CONV_MAP:
+            kv = schema[pos[0]]                # repeated key_value group
+            pos[0] += 1
+            fields = [node() for _ in range(kv.get(5, 0))]
+            return name, pa.map_(fields[0][1], fields[1][1])
+        fields = [node() for _ in range(nch)]
+        return name, pa.struct([pa.field(n, t) for n, t in fields])
+
+    out: dict[str, pa.DataType] = {}
+    for _ in range(schema[0].get(5, len(schema) - 1)):
+        n, t = node()
+        out[n] = t
+    return out
+
+
+def _bloom_hashes(values, ptype: int) -> "np.ndarray":
+    """XXH64 seed-0 hashes of PLAIN-encoded ``values`` per the format's
+    BloomFilterHash XXHASH convention: INT32/INT64 little-endian fixed
+    width, FLOAT/DOUBLE IEEE bytes, BYTE_ARRAY raw bytes (no length
+    prefix)."""
+    from .codecs import xxh
+    if ptype in (T_INT32, T_INT64, T_FLOAT, T_DOUBLE):
+        dt = {T_INT32: np.int32, T_INT64: np.int64,
+              T_FLOAT: np.float32, T_DOUBLE: np.float64}[ptype]
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = np.asarray(values)
+        return xxh.xxh64(np.ascontiguousarray(values, dtype=dt))
+    if ptype == T_BYTE_ARRAY:
+        if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = pa.array(
+                [v.encode() if isinstance(v, str) else v
+                 for v in values], pa.large_binary())
+        return xxh.xxh64(values)
+    raise ValueError(f"bloom filter unsupported for physical {ptype}")
+
+
+def _bloom_sidecar(values, ptype: int, fpp: float = 0.01) -> bytes:
+    """BloomFilterHeader (thrift compact) + SBBF bitset for one chunk's
+    values — the blob written at ColumnMetaData.bloom_filter_offset.
+    Sized from the chunk's distinct count at ``fpp``."""
+    from .codecs import xxh
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.drop_null().unique()
+        ndv = len(values)
+    else:
+        values = list(dict.fromkeys(values))
+        ndv = len(values)
+    nbytes = xxh.sbbf_size(max(ndv, 1), fpp)
+    words = xxh.sbbf_build(_bloom_hashes(values, ptype), nbytes) \
+        if ndv else np.zeros(nbytes // 4, np.uint32)
+    empty = _CW().done()                   # unions: empty-struct member
+    header = (_CW().i32(1, nbytes)
+              .struct(2, _CW().struct(1, empty).done())   # BLOCK
+              .struct(3, _CW().struct(1, empty).done())   # XXHASH
+              .struct(4, _CW().struct(1, empty).done())   # UNCOMPRESSED
+              ).done()
+    return header + words.astype("<u4").tobytes()
+
+
+def read_bloom_filter(path: str, column: str) -> "list[np.ndarray]":
+    """Parse every row group's BloomFilterHeader + SBBF bitset for
+    ``column`` (ColumnMetaData fields 14/15). Returns one uint32 word
+    array per row group that carries a filter (empty list: none
+    written). Conformant with parquet-java's writer — pinned by
+    tests/test_bloom.py against Spark-written files."""
+    buf = _map_file(path)
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    out: list[np.ndarray] = []
+    for rg in meta[4]:
+        for chunk in rg[1]:
+            cm = chunk[3]
+            if ".".join(s.decode() for s in cm[3]) != column:
+                continue
+            off = cm.get(14)
+            if off is None:
+                continue
+            r = _CR(buf, off)
+            hdr = r.struct()
+            nbytes = hdr[1]
+            words = np.frombuffer(buf, "<u4", nbytes // 4,
+                                  offset=r.pos).copy()
+            out.append(words)
+    return out
+
+
+def bloom_rg_survivors(path: str, column: str, value
+                       ) -> "dict[int, bool] | None":
+    """Per-ROW-GROUP point-membership for one value: {rgi: might
+    contain} over the row groups that carry a bloom for ``column``
+    (row groups without one are absent — the caller must scan those).
+    Returns None when NO row group has a filter. Metadata + sidecar
+    bytes only."""
+    from .codecs import xxh
+    buf = _map_file(path)
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    elm = _walk_leaves(meta[2]).get(column)
+    if elm is None:
+        raise ValueError(f"{column!r} is not a column")
+    h = _bloom_hashes([value], elm[1])
+    out: dict[int, bool] = {}
+    for rgi, rg in enumerate(meta[4]):
+        for chunk in rg[1]:
+            cm = chunk[3]
+            if ".".join(s.decode() for s in cm[3]) != column:
+                continue
+            off = cm.get(14)
+            if off is None:
+                continue
+            r = _CR(buf, off)
+            hdr = r.struct()
+            words = np.frombuffer(buf, "<u4", hdr[1] // 4, offset=r.pos)
+            out[rgi] = bool(xxh.sbbf_check(words, h)[0])
+    return out or None
+
+
+def bloom_might_contain(path: str, column: str, values) -> "np.ndarray":
+    """Per-value membership across the file: True when ANY row group's
+    bloom might contain the value (False = provably absent from the
+    whole file). Metadata + sidecar read only — no page decode."""
+    from .codecs import xxh
+    buf = _map_file(path)
+    flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
+    meta = _CR(buf, len(buf) - 8 - flen).struct()
+    elm = _walk_leaves(meta[2]).get(column)
+    if elm is None:
+        raise ValueError(f"{column!r} is not a column")
+    hashes = _bloom_hashes(values, elm[1])
+    blooms = read_bloom_filter(path, column)
+    if not blooms:
+        raise ValueError(f"no bloom filter for {column!r}")
+    got = np.zeros(len(hashes), bool)
+    for words in blooms:
+        got |= xxh.sbbf_check(words, hashes)
+    return got
+
+
 def read_page_index(path: str) -> dict[str, dict]:
     """Parse every chunk's OffsetIndex + ColumnIndex (when present).
 
@@ -1403,13 +1788,12 @@ def read_column_pruned(path: str, column: str, lo, hi
     buf = _map_file(path)
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
     meta = _CR(buf, len(buf) - 8 - flen).struct()
-    ptype = None
-    for el in meta[2][1:]:
-        if el[4].decode() == column and el.get(5, 0) == 0:
-            ptype = el[1]
-            elm = el
-    if ptype is None:
+    # full-dotted-path resolution (not bare leaf name): a nested leaf
+    # sharing a flat column's name must not shadow the flat column
+    elm = _walk_leaves(meta[2]).get(column)
+    if elm is None:
         raise ValueError(f"{column!r} is not a flat column")
+    ptype = elm[1]
     optional = elm.get(3, 0) == REP_OPTIONAL
     # (page, dict) work list per ROW GROUP: each row group has its own
     # index pair and its own dictionary page

@@ -16,6 +16,12 @@ decode:
   stored order, so index i of both refers to the same entry). NULL map
   vs empty map survives because the list codecs' definition levels
   already distinguish null from empty rows.
+- ``array<struct<...>>``  ->  one ALIGNED list column per struct field
+  (``transform(col, x -> x.f)``) plus an ``array<tinyint>`` element
+  null marker ``col#enull`` (Dremel's def-level distinction between a
+  NULL struct ELEMENT and an element whose fields are all NULL). This
+  is exactly Parquet's own columnar layout for repeated groups — each
+  leaf stream gets its own best codec; the marker RLEs to nothing.
 
 This is the same information Dremel levels carry, laid out
 column-major: at 100 TB the struct-null column RLEs to near nothing and
@@ -29,9 +35,9 @@ Python) and the spec is a JSON-serializable list, so callers can stash
 it in their own lineage (RUN.json rides ``EncodeConfig`` untouched).
 
 Round-trip contract: ``unflatten(flatten(df)) == df`` for any df whose
-leaves are engine-encodable types; deeper nesting (struct-in-map-value,
-array<struct>, map<_, map>) raises the same loud ValueError the encode
-front door uses.
+leaves are engine-encodable types; deeper nesting with no aligned-list
+form here (struct-in-map-value, array<struct<struct>>, map<_, map>)
+raises the same loud ValueError the encode front door uses.
 """
 
 from __future__ import annotations
@@ -53,11 +59,12 @@ def _leaf_ok(dt) -> bool:
 
 
 def flatten(df: DataFrame) -> tuple[DataFrame, list[dict]]:
-    """-> (flat df, spec). Repeatedly rewrites the outermost struct/map
-    columns until every column is engine-encodable; raises on shapes
-    with no flat form here (struct/map inside map values, array of
-    struct, ...). The spec is ordered: ``unflatten`` replays it in
-    REVERSE, so nested structs reassemble inside-out."""
+    """-> (flat df, spec). Repeatedly rewrites the outermost
+    struct/map/array<struct> columns until every column is
+    engine-encodable; raises on shapes with no flat form here
+    (struct/map inside map values, array<struct<struct>>, ...). The
+    spec is ordered: ``unflatten`` replays it in REVERSE, so nested
+    structs reassemble inside-out."""
     spec: list[dict] = [{"kind": "order", "cols": list(df.columns)}]
     changed = True
     while changed:
@@ -79,6 +86,43 @@ def flatten(df: DataFrame) -> tuple[DataFrame, list[dict]]:
                         .drop(name))
                 spec.append({"kind": "struct", "col": name,
                              "fields": kids, "nullcol": nullcol})
+                changed = True
+                break
+            if isinstance(dt, T.ArrayType) and \
+                    isinstance(dt.elementType, T.StructType):
+                est = dt.elementType
+                bad_f = [sf.name for sf in est.fields
+                         if not _leaf_ok(T.ArrayType(sf.dataType))]
+                if bad_f:
+                    raise ValueError(
+                        f"flatten: array<struct> column {name!r} has "
+                        f"fields with no aligned-list form: "
+                        f"{bad_f} ({dt.simpleString()}) — restructure "
+                        "them first")
+                kids = []
+                for sf in est.fields:
+                    kid = f"{name}{SEP}{sf.name}"
+                    if kid in df.columns:
+                        raise ValueError(
+                            f"flatten: synthesized column {kid!r} "
+                            "collides with an existing column")
+                    # single-arg lambda via factory: a default-arg
+                    # lambda would have arity 2 and F.transform would
+                    # feed the element INDEX into the second slot
+                    def _getter(fname):
+                        return lambda x: x[fname]
+                    df = df.withColumn(
+                        kid, F.transform(F.col(name), _getter(sf.name)))
+                    kids.append((kid, sf.name))
+                enull = f"{name}{SEP}enull"
+                df = (df.withColumn(
+                          enull,
+                          F.transform(F.col(name),
+                                      lambda x: x.isNull()
+                                      .cast("tinyint")))
+                        .drop(name))
+                spec.append({"kind": "liststruct", "col": name,
+                             "fields": kids, "enull": enull})
                 changed = True
                 break
             if isinstance(dt, T.MapType):
@@ -114,6 +158,19 @@ def unflatten(df: DataFrame, spec: list[dict]) -> DataFrame:
     for step in reversed(spec):
         if step["kind"] == "order":
             order = step["cols"]
+        elif step["kind"] == "liststruct":
+            kids = [kid for kid, _ in step["fields"]]
+            zipped = F.arrays_zip(*[F.col(k) for k in kids])
+            st = F.transform(
+                zipped,
+                lambda s: F.struct(*[s[kid].alias(fname)
+                                     for kid, fname in step["fields"]]))
+            rebuilt = F.zip_with(
+                st, F.col(step["enull"]),
+                lambda s, e: F.when(e == F.lit(1), F.lit(None))
+                              .otherwise(s))
+            df = (df.withColumn(step["col"], rebuilt)
+                    .drop(step["enull"], *kids))
         elif step["kind"] == "map":
             df = (df.withColumn(
                       step["col"],

@@ -138,3 +138,43 @@ def test_engine_roundtrip_doc_lines(spark, sf_dir):
     back = dec.select("doc_id", F.array_join("lines", "\n", "<N>").alias("j"))
     assert orig.exceptAll(back).count() == 0
     assert back.exceptAll(orig).count() == 0
+
+
+def test_list_codecs_preserve_child_element_nulls():
+    # a NULL list ELEMENT is not NaN/garbage: every list codec carries
+    # a child validity stream when (and only when) the page holds null
+    # elements; null-free pages keep the original framing
+    import json
+    import warnings
+
+    import pyarrow as pa
+
+    from cpp_parquet_spark.codecs import pagecodec
+
+    cases = [
+        ([[1, None, 3], None, [], [None], [5, 6]], "arri64", "listi"),
+        ([[1, None], [0], None], "arri8", "listi"),
+        ([[1.5, None, 3.25], None, [], [None], [5.0]], "arrf64", "listf"),
+        ([[1.5, None], [2.5, None]], "arrf32", "listb"),
+        ([["a", None, "bb"], None, [], [None]], "arrs", "lists"),
+    ]
+    for pylist, tag, codec in cases:
+        vals = pa.array(pylist, pagecodec.ARROW_TYPE[tag])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # NaN-cast warning = a miss
+            row = pagecodec.encode_page(vals, tag, codec)
+        pj = row["params"] if isinstance(row["params"], str) \
+            else json.dumps(row["params"])
+        assert '"cnul"' in pj
+        back = pagecodec.decode_page(row["data"], pj, row["codec"], tag,
+                                     row["num_values"], row["null_count"])
+        assert back.to_pylist() == vals.to_pylist(), (tag, codec)
+    # null-free children stay on the original framing
+    vals = pa.array([[1, 2], None, [3]], pa.list_(pa.int64()))
+    row = pagecodec.encode_page(vals, "arri64", "listi")
+    pj = row["params"] if isinstance(row["params"], str) \
+        else json.dumps(row["params"])
+    assert '"cnul"' not in pj
+    back = pagecodec.decode_page(row["data"], pj, row["codec"], "arri64",
+                                 row["num_values"], row["null_count"])
+    assert back.to_pylist() == vals.to_pylist()

@@ -236,3 +236,112 @@ def test_export_scan_map_column(spark, tmp_path):
         b = back.select("v", F.map_keys("m").alias("k"),
                         F.map_values("m").alias("w"))
         assert tuple(_fingerprint(b)) == tuple(_fingerprint(a))
+
+
+def test_footer_schema_matches_decoded_types(spark, tmp_path):
+    # schema discovery must come from the footer SchemaElements alone
+    # and agree exactly with what a full decode materializes
+    from cpp_parquet_spark import interop
+    df = spark.range(50).select(
+        F.col("id").alias("i64"),
+        F.col("id").cast("int").alias("i32"),
+        F.col("id").cast("tinyint").alias("i8"),
+        F.col("id").cast("smallint").alias("i16"),
+        (F.col("id") * 1.5).cast("double").alias("f64"),
+        F.col("id").cast("float").alias("f32"),
+        F.col("id").cast("decimal(12,2)").alias("dec"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.struct(F.col("id").alias("u"),
+                 (F.col("id") * 2.0).alias("v")).alias("st"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    dst = str(tmp_path / "ftypes")
+    export_parquet(df.coalesce(1), dst).collect()
+    f = glob.glob(dst + "/*.parquet")[0]
+    ft = interop.footer_schema(f)
+    decoded = interop.read_parquet_with_our_codecs(f)
+    assert list(ft) == list(decoded)
+    for name, arr in decoded.items():
+        want = ft[name]
+        got = arr.type
+        # reader may materialize large_* offsets; compare the
+        # normalized (small-offset) form the scan declares
+        from cpp_parquet_spark.export import _norm_type
+        assert _norm_type(got) == want, (name, got, want)
+
+
+def test_scan_pruning_decisions_match_driver_recompute(spark, tmp_path):
+    # the distributed footer pass must reach the IDENTICAL surviving
+    # (file, row group) set a driver-side loop over _rg_stats computes
+    from cpp_parquet_spark.export import scan_parquet, _rg_stats
+    df = (spark.range(8000).select(F.col("id").alias("v"),
+                                   (F.col("id") % 7).alias("w"))
+          .repartitionByRange(4, "v").sortWithinPartitions("v"))
+    dst = str(tmp_path / "planparity")
+    export_parquet(df, dst, row_group_rows=500, page_rows=100).collect()
+    lo, hi = 3000, 4200
+    expected = []
+    for f in sorted(glob.glob(dst + "/*.parquet")):
+        for rgi, ent in enumerate(_rg_stats(f)):
+            st = ent.get("v")
+            if st is None or (st[1] >= lo and st[0] <= hi):
+                expected.append((f, rgi))
+    out = scan_parquet(spark, dst, range_prune=("v", lo, hi))
+    assert 0 < len(expected) < 16          # pruning actually happened
+    assert out.rdd.getNumPartitions() == len(expected)
+    got = out.filter(f"v between {lo} and {hi}") \
+        .agg(F.count("*"), F.sum("v")).collect()[0]
+    exp = df.filter(f"v between {lo} and {hi}") \
+        .agg(F.count("*"), F.sum("v")).collect()[0]
+    assert tuple(got) == tuple(exp)
+
+
+def test_check_schema_rejects_nested_unsupported_leaf(spark, tmp_path):
+    # struct<ts:timestamp> must fail on the DRIVER pre-check, not
+    # inside an executor mid-job
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(F.current_timestamp().alias("ts")).alias("st"))
+    with pytest.raises(ValueError, match="unsupported column types"):
+        export_parquet(df, str(tmp_path / "badnest"))
+    dfm = spark.range(3).select(
+        F.col("id"),
+        F.create_map(F.lit("k"), F.current_timestamp()).alias("m"))
+    with pytest.raises(ValueError, match="unsupported column types"):
+        export_parquet(dfm, str(tmp_path / "badmap"))
+
+
+def test_export_scan_list_of_struct(spark, tmp_path):
+    # array<struct<scalars>> through the distributed sink and back via
+    # three readers: Spark's JVM parquet reader, DuckDB, and our own
+    # scan_parquet — all five null shapes
+    from cpp_parquet_spark.export import scan_parquet
+    df = spark.range(200).select(
+        F.col("id"),
+        F.expr("""CASE WHEN id % 11 = 0 THEN NULL
+                  WHEN id % 9 = 0 THEN array()
+                  ELSE transform(sequence(0, CAST(id % 3 AS INT)),
+                       i -> CASE WHEN (id + i) % 6 = 0 THEN NULL
+                            ELSE named_struct('u', id * 10 + i,
+                                 'v', CASE WHEN (id + i) % 5 = 0
+                                      THEN NULL
+                                      ELSE concat('s', id, '_', i) END)
+                            END)
+                  END""").alias("evs"))
+    dst = str(tmp_path / "ls")
+    export_parquet(df.repartition(3), dst).collect()
+
+    def canon(frame):
+        return frame.selectExpr(
+            "id", "to_json(struct(evs)) AS js").orderBy("id").collect()
+
+    assert canon(spark.read.parquet(dst)) == canon(df)
+    back = scan_parquet(spark, dst)
+    assert canon(back) == canon(df)
+    n_el = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT unnest(evs) FROM "
+        f"read_parquet('{dst}/*.parquet'))").fetchone()[0]
+    exp = df.select(F.explode("evs")).count()
+    assert n_el == exp

@@ -201,3 +201,58 @@ def test_pyarrow_map_files_our_kernels(tmp_path, ver, comp):
     out = interop.read_parquet_with_our_codecs(p)
     assert out["m"].cast(MAPS.type).equals(MAPS)
     assert out["mi"].cast(MAPI.type).equals(MAPI)
+
+
+def _ls_data():
+    return [
+        [{"u": 1, "v": "a"}, None, {"u": 3, "v": None}],
+        None, [], [None],
+        [{"u": None, "v": "z"}],
+        [{"u": 7, "v": "q"}, {"u": 8, "v": "r"}] * 40,
+    ] * 50
+
+
+def _ls_arr():
+    t = pa.list_(pa.struct([("u", pa.int64()), ("v", pa.string())]))
+    return pa.array(_ls_data(), t)
+
+
+def test_liststruct_ours_to_pyarrow(tmp_path):
+    # LIST whose element is a GROUP, from OUR emitters, read by
+    # pyarrow's C++ reader — all five null shapes (null list, empty
+    # list, null element, null field, value)
+    p = str(tmp_path / "ls_ours.parquet")
+    arr = _ls_arr()
+    interop.write_parquet(
+        p, {"id": pa.array(range(len(arr)), pa.int64()), "evs": arr})
+    back = pq.read_table(p)
+    assert back.column("evs").to_pylist() == _ls_data()
+    assert back.column("id").to_pylist() == list(range(len(arr)))
+
+
+def test_liststruct_ours_to_our_reader(tmp_path):
+    p = str(tmp_path / "ls_rt.parquet")
+    arr = _ls_arr()
+    interop.write_parquet(
+        p, {"id": pa.array(range(len(arr)), pa.int64()), "evs": arr})
+    ours = interop.read_parquet_with_our_codecs(p)
+    assert ours["evs"].to_pylist() == _ls_data()
+    ft = interop.footer_schema(p)
+    assert ft["evs"] == pa.list_(
+        pa.struct([("u", pa.int64()), ("v", pa.string())]))
+
+
+def test_liststruct_pyarrow_to_our_reader(tmp_path):
+    # reverse direction across pyarrow writer configurations:
+    # multi-page, dictionary, compressed pages, multi-row-group
+    tbl = pa.table({"id": pa.array(range(len(_ls_data())), pa.int64()),
+                    "evs": _ls_arr()})
+    for i, kwargs in enumerate([
+            dict(use_dictionary=False, data_page_size=1024),
+            dict(use_dictionary=True),
+            dict(use_dictionary=False, compression="zstd"),
+            dict(use_dictionary=False, row_group_size=77)]):
+        p = str(tmp_path / f"pa_ls_{i}.parquet")
+        pq.write_table(tbl, p, **kwargs)
+        ours = interop.read_parquet_with_our_codecs(p)
+        assert ours["evs"].to_pylist() == _ls_data(), kwargs

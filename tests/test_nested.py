@@ -132,3 +132,47 @@ def test_flatten_is_pure_codegen(spark):
     flat, _ = nested.flatten(df)
     plan = flat._jdf.queryExecution().executedPlan().toString()
     assert "Eval" not in plan and "Python" not in plan, plan
+
+
+def test_array_of_struct_roundtrip(spark):
+    # array<struct<scalars>> -> aligned per-field list columns + an
+    # array<tinyint> element-null marker; the common real-world schema
+    # (event props, tool calls). NULL list / empty list / NULL element /
+    # NULL field must all survive bit-exactly.
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        F.expr("""CASE WHEN id % 11 = 0 THEN NULL
+                  WHEN id % 9 = 0 THEN array()
+                  ELSE transform(sequence(0, CAST(id % 4 AS INT)),
+                       i -> CASE WHEN (id + i) % 6 = 0 THEN NULL
+                            ELSE named_struct(
+                                 'u', id * 10 + i,
+                                 'v', CASE WHEN (id + i) % 5 = 0 THEN NULL
+                                      ELSE concat('s', id, '_', i) END,
+                                 'w', CAST(id AS DOUBLE) / (i + 1))
+                            END)
+                  END""").alias("evs"))
+    flat, spec = nested.flatten(df)
+    assert sorted(c for c in flat.columns if c != "id") == \
+        ["evs#enull", "evs#u", "evs#v", "evs#w"]
+    _rt(spark, df, "arrstruct")
+
+
+def test_array_of_struct_rejects_deeper(spark):
+    # struct-in-struct inside a list still has no aligned-list form
+    df = spark.range(0, 5).select(
+        F.col("id"),
+        F.array(F.struct(F.struct(F.col("id").alias("x")).alias("in_"))
+                ).alias("a"))
+    with pytest.raises(ValueError, match="aligned-list"):
+        nested.flatten(df)
+
+
+def test_array_of_struct_flatten_is_pure_codegen(spark):
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.array(F.struct(F.col("id").alias("u"),
+                         (F.col("id") * 2.0).alias("v"))).alias("a"))
+    flat, _ = nested.flatten(df)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Eval" not in plan and "Python" not in plan, plan

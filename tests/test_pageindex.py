@@ -217,3 +217,23 @@ def test_pruned_read_delta_and_float_pages(tmp_path):
     gf = np.array(gotf.to_pylist())
     expf = fl[(fl >= 100.0) & (fl <= 200.0)]
     assert np.array_equal(np.sort(gf[(gf >= 100.0) & (gf <= 200.0)]), expf)
+
+
+def test_read_column_pruned_not_shadowed_by_nested_leaf(tmp_path):
+    # a struct FIELD named like a flat column must not hijack the flat
+    # column's SchemaElement (physical-type resolution walks the full
+    # dotted path, not bare leaf names)
+    import pyarrow as pa
+    from cpp_parquet_spark import interop
+    n = 200
+    v = pa.array(list(range(n)), pa.int64())
+    st = pa.StructArray.from_arrays(
+        [pa.array([f"x{i}" for i in range(n)], pa.string())], names=["v"])
+    p = str(tmp_path / "shadow.parquet")
+    interop.write_parquet(p, {"v": v, "s": st},
+                          page_rows=25, page_index=True)
+    vals, pages_read, pages_total = interop.read_column_pruned(
+        p, "v", 50, 99)
+    assert pages_total == 8 and pages_read < pages_total
+    got = [x for x in vals.to_pylist() if x is not None and 50 <= x <= 99]
+    assert got == list(range(50, 100))
