@@ -489,6 +489,44 @@ def q_scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("lang").localCheckpoint())
 
 
+def q_scan_parquet_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 BloomFilter point lookup (export.scan_parquet eq_prune
+    over the format's SBBF sidecar, interop._bloom_sidecar): documents
+    get a scattered key k = doc_id * 104729 mod 999983, so every row
+    group's min/max window spans the whole domain and Statistics CANNOT
+    prune — only the per-row-group bloom (parquet.thrift
+    BloomFilterHeader, XXHASH/BLOCK; cross-verified against
+    parquet-java both directions in tests/test_bloom.py) can drop row
+    groups for an equality needle. The query asserts the bloom actually
+    pruned, then returns the exact matching rows; the oracle computes
+    the same needle lookup from the source table."""
+    import tempfile
+
+    from cpp_parquet_spark.export import export_parquet, scan_parquet
+    df = (_read(spark, sf_dir, "documents")
+          .select("doc_id", "n_chars",
+                  ((F.col("doc_id") * 104729) % 999983).alias("k")))
+    needle = (123 * 104729) % 999983
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "docs_needle")
+        export_parquet(df.repartition(4), dst, page_rows=64,
+                       row_group_rows=128, bloom={"k"}).collect()
+        n_rgs = 0
+        import glob as _glob
+
+        from cpp_parquet_spark.export import _rg_stats
+        for f in _glob.glob(os.path.join(dst, "*.parquet")):
+            n_rgs += len(_rg_stats(f))
+        scanned = scan_parquet(spark, dst, eq_prune=("k", needle))
+        if not scanned.rdd.getNumPartitions() < n_rgs // 2:
+            raise AssertionError("bloom point-prune dropped nothing")
+        return (scanned.filter(F.col("k") == needle)
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_id").alias("sum_id"),
+                     F.sum("n_chars").alias("chars"))
+                .localCheckpoint())
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1559,7 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_full_probe": q_ann_pq_full_probe,
         # embedding quantization
         "emb_quantize_stats": q_emb_quantize_stats,
-        "emb_quantize_error": q_emb_quantize_error,
+        # (emb_quantize_error rotated below the window in round 5 —
+        # quantize stats + roundtrip_quantized stay in-window)
         # array codec roundtrips (listf / BSS / listi / lists)
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_embeddings_bss": q_roundtrip_embeddings_bss,
@@ -1575,7 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata-only aggregates + zone-map/zorder pushdown decode
         "fast_stats_lineitem": q_fast_stats_lineitem,
         "decode_pushdown_lineitem": q_decode_pushdown_lineitem,
-        "decode_pushdown_eq": q_decode_pushdown_eq,
+        # (decode_pushdown_eq rotated below the window in round 5 —
+        # range/lineitem/decimal pushdown rows stay in-window)
         "decode_pushdown_range": q_decode_pushdown_range,
         "decode_pushdown_decimal": q_decode_pushdown_decimal,
         "zorder_prune_documents": q_zorder_prune_documents,
@@ -1597,6 +1637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_interop_pageindex": q_parquet_interop_pageindex,
         "export_parquet_sink": q_export_parquet_sink,
         "scan_parquet_pruned": q_scan_parquet_pruned,
+        # round-5: SBBF bloom point lookup (displaces the long-stable
+        # multimodal_meta below the window — 3 other multimodal rows
+        # stay in-window)
+        "scan_parquet_needle": q_scan_parquet_needle,
         # ---- driver window rows 34-50: core regression set --------------
         # roundtrip correctness, one per codec family (oracle = histogram
         # over SOURCE => proves decoded bytes identical)
@@ -1618,8 +1662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_decision_sql": q_codec_decision_sql,
         # pipeline relational ops (§2.3) representatives
         "join_orders_customer": q_join_orders_customer,
-        # dedup family representatives
-        "multimodal_meta": q_multimodal_meta,
         # LSH pairs are exact-Jaccard verified, so the oracle's exact n=4
         # Jaccard pair set must match row for row (recall 100% on fixtures)
         "dedup_simhash_md5": q_dedup_simhash_md5,       # full oracle (md5)
@@ -1630,6 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-checked per commit by tools/check_contract.py -------
         "roundtrip_documents_docid": _roundtrip_hist("documents", DOCS_CFG,
                                                      "doc_id"),
+        "multimodal_meta": q_multimodal_meta,
+        "emb_quantize_error": q_emb_quantize_error,
+        "decode_pushdown_eq": q_decode_pushdown_eq,
         "pages_conservation_lineitem":
             _pages_conservation("lineitem", LINEITEM_CFG),
         "stats_cardinality": q_stats_cardinality,
@@ -1837,6 +1882,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS text_len
             FROM documents GROUP BY lang, source
             ORDER BY lang, source""",
+        "scan_parquet_needle": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents
+            WHERE (doc_id * 104729) % 999983 = (123 * 104729) % 999983""",
         "scan_parquet_pruned": """
             SELECT lang, count(*) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_id,
