@@ -527,6 +527,36 @@ def q_scan_parquet_needle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())
 
 
+def q_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 Spark Python DataSource front door
+    (cpp_parquet_spark.datasource, pyspark.sql.datasource API):
+    documents round-trip through `df.write.format("cpp_parquet")` /
+    `spark.read.format("cpp_parquet")` — real executor-side files from
+    OUR emitters, Catalyst's pushed filters turned into row-group
+    pruning (CppParquetReader.pushFilters -> export.plan_row_groups)
+    before any data task runs, exact filtering re-applied by Spark.
+    The oracle computes the same filtered aggregate from the source."""
+    import tempfile
+
+    from cpp_parquet_spark.datasource import CppParquetDataSource
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CppParquetDataSource)
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "docs_ds")
+        (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.format("cpp_parquet").mode("append")
+         .option("row_group_rows", "256").save(dst))
+        back = spark.read.format("cpp_parquet").load(dst)
+        return (back.filter("doc_id between 200 and 449")
+                .groupBy("lang")
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_id").alias("sum_id"),
+                     F.sum("n_chars").alias("chars"))
+                .orderBy("lang").localCheckpoint())
+
+
 def q_decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pruned decode (projection pushdown, engine.decode_table on
     a column-filtered pages frame — the decode_dataset(columns=...)
@@ -1675,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "emb_quantize_error": q_emb_quantize_error,
         "decode_pushdown_eq": q_decode_pushdown_eq,
+        # round-5 Spark DataSource front door (format("cpp_parquet"))
+        "datasource_roundtrip": q_datasource_roundtrip,
         "pages_conservation_lineitem":
             _pages_conservation("lineitem", LINEITEM_CFG),
         "stats_cardinality": q_stats_cardinality,
@@ -1882,6 +1914,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS text_len
             FROM documents GROUP BY lang, source
             ORDER BY lang, source""",
+        "datasource_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents
+            WHERE doc_id BETWEEN 200 AND 449
+            GROUP BY lang ORDER BY lang""",
         "scan_parquet_needle": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_id,

@@ -1,0 +1,249 @@
+"""Spark Python DataSource front door (Spark 4 `pyspark.sql.datasource`).
+
+Registers the engine's standard-parquet surface as a first-class Spark
+format, so the idiomatic read/write API works end to end over files
+produced by OUR emitters and decoded by OUR kernels::
+
+    from cpp_parquet_spark.datasource import CppParquetDataSource
+    spark.dataSource.register(CppParquetDataSource)
+
+    df.write.format("cpp_parquet").option("bloom", "k").save(dst)
+    spark.read.format("cpp_parquet").load(dst).filter("k = 7").show()
+
+Read side: schema discovery is one footer (`interop.footer_schema`, no
+page decode); `pushFilters` captures =, <, <=, >, >= and IN predicates
+on top-level columns and feeds them to the shared metadata planner
+(`export.plan_row_groups` — Statistics windows + SBBF bloom point
+checks), so Catalyst's pushed filters become ROW-GROUP pruning before a
+single data task launches. Every filter is also returned to Spark, which
+re-applies the exact predicate — pruning is conservative, results are
+exact. One `InputPartition` per surviving row group; `read` yields Arrow
+RecordBatches straight from `interop.read_parquet_with_our_codecs` with
+column projection (only requested chunks decode).
+
+Write side: `DataSourceArrowWriter` — each task streams its Arrow
+batches into one `part-<uuid>.parquet` via `interop.write_parquet`
+(dictionary / compression / page_rows / row_group_rows / bloom options
+pass through), names collide-free under speculative retries, and
+`commit` keeps only the files named by successful tasks' commit
+messages (an aborted attempt's file is removed on the driver).
+
+Options (all strings, as Spark options are): ``path`` (or pass to
+load/save), ``columns`` (comma list, read-side projection),
+``compression`` (default zstd), ``page_rows``, ``row_group_rows``,
+``dictionary`` (comma list), ``bloom`` (comma list), ``bloom_fpp``,
+``string_encoding``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+FORMAT_NAME = "cpp_parquet"
+
+#: literal types the metadata planner can compare against Statistics
+#: min/max (and hash into blooms) — anything else is left to Spark
+_PRUNABLE = (int, float, str)
+
+
+def _files_of(options) -> list[str]:
+    src = options.get("path")
+    if not src:
+        raise ValueError(f"{FORMAT_NAME}: a path is required "
+                         "(load(path) or option('path', ...))")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    if not files:
+        raise ValueError(f"{FORMAT_NAME}: no .parquet files under "
+                         f"{src!r}")
+    return files
+
+
+@dataclass(frozen=True)
+class RowGroupPartition(InputPartition):
+    path: str
+    rgi: int                       # -1 = whole file (no per-rg stats)
+
+
+class CppParquetReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self._options = options
+        self._files = _files_of(options)
+        self._columns = [f.name for f in schema.fields]
+        self._ranges: dict[str, list] = {}
+        self._eqs: list[tuple[str, object]] = []
+
+    def pushFilters(self, filters):
+        """Capture prunable predicates for row-group planning; EVERY
+        filter is yielded back so Spark applies exact semantics on the
+        decoded rows (stats/bloom pruning never lies, only over-keeps).
+        """
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 \
+                    and isinstance(f.value, _PRUNABLE) \
+                    and not isinstance(f.value, bool):
+                self._eqs.append((f.attribute[0], f.value))
+            elif isinstance(f, In) and len(f.attribute) == 1 \
+                    and f.value \
+                    and all(isinstance(v, _PRUNABLE)
+                            and not isinstance(v, bool)
+                            for v in f.value):
+                # IN prunes as [min, max] window; bloom pruning would
+                # need per-value OR across row groups — stats-only here
+                col = f.attribute[0]
+                w = self._ranges.setdefault(col, [None, None])
+                lo, hi = min(f.value), max(f.value)
+                w[0] = lo if w[0] is None else max(w[0], lo)
+                w[1] = hi if w[1] is None else min(w[1], hi)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
+                    and len(f.attribute) == 1 \
+                    and isinstance(f.value, _PRUNABLE) \
+                    and not isinstance(f.value, bool):
+                w = self._ranges.setdefault(f.attribute[0],
+                                            [None, None])
+                w[0] = f.value if w[0] is None else max(w[0], f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) \
+                    and len(f.attribute) == 1 \
+                    and isinstance(f.value, _PRUNABLE) \
+                    and not isinstance(f.value, bool):
+                w = self._ranges.setdefault(f.attribute[0],
+                                            [None, None])
+                w[1] = f.value if w[1] is None else min(w[1], f.value)
+            yield f                # Spark re-applies the exact filter
+
+    def partitions(self):
+        from .export import plan_row_groups
+        ranges = [(col, w[0], w[1]) for col, w in self._ranges.items()]
+        surv = plan_row_groups(self._files, ranges, self._eqs)
+        return [RowGroupPartition(p, rgi) for p, rgi in surv]
+
+    def read(self, part: "RowGroupPartition | None"
+             ) -> Iterator[pa.RecordBatch]:
+        from . import interop
+        from .export import _norm_type
+        if part is None:       # every row group pruned: one empty task
+            return
+        cols = interop.read_parquet_with_our_codecs(
+            part.path, self._columns,
+            row_groups=[part.rgi] if part.rgi >= 0 else None)
+        tbl = pa.table({n: cols[n].cast(_norm_type(cols[n].type))
+                        for n in self._columns})
+        yield from tbl.to_batches()
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class CppParquetWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self._options = options
+        self._dst = options.get("path")
+        if not self._dst:
+            raise ValueError(f"{FORMAT_NAME}: a path is required")
+        if overwrite:
+            for f in glob.glob(os.path.join(self._dst, "*.parquet")):
+                os.remove(f)
+        os.makedirs(self._dst, exist_ok=True)
+        # per-JOB token: commit/abort may only reclaim THIS job's
+        # orphaned attempt files — append jobs must never touch files
+        # from earlier jobs
+        self._job = uuid.uuid4().hex[:8]
+
+    def write(self, iterator: Iterator[pa.RecordBatch]
+              ) -> _FileCommit:
+        from . import interop
+        from .export import _check_schema
+        got = list(iterator)
+        if not got:
+            return _FileCommit("", 0)
+        tbl = pa.Table.from_batches(got)
+        _check_schema(tbl.schema)
+        o = self._options
+        csv_set = (lambda k: frozenset(
+            x for x in o.get(k, "").split(",") if x))
+        fname = f"part-{self._job}-{uuid.uuid4().hex[:12]}.parquet"
+        interop.write_parquet(
+            os.path.join(self._dst, fname),
+            {n: tbl.column(n).combine_chunks()
+             for n in tbl.column_names},
+            dictionary=csv_set("dictionary"),
+            compression=o.get("compression", "zstd"),
+            page_rows=int(o.get("page_rows", 20_000)),
+            row_group_rows=int(o.get("row_group_rows", 200_000)),
+            page_index=True, statistics=True,
+            string_encoding=o.get("string_encoding", "delta_length"),
+            bloom=csv_set("bloom"),
+            bloom_fpp=float(o.get("bloom_fpp", 0.01)))
+        return _FileCommit(fname, len(tbl))
+
+    def commit(self, messages):
+        # keep only the winners: speculative/retried attempts may have
+        # left THIS job's part files that no commit message names —
+        # other jobs' files (no job token match) are untouched
+        keep = {m.file for m in messages if m is not None and m.file}
+        mine = glob.glob(
+            os.path.join(self._dst, f"part-{self._job}-*.parquet"))
+        for f in mine:
+            if os.path.basename(f) not in keep:
+                os.remove(f)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self._dst, m.file))
+                except OSError:
+                    pass
+
+
+class CppParquetDataSource(DataSource):
+    """`spark.dataSource.register(CppParquetDataSource)` enables
+    ``format("cpp_parquet")`` for both read and write."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        from . import interop
+        from .export import _spark_type_of
+        files = _files_of(self.options)
+        ftypes = interop.footer_schema(files[0])
+        want = self.options.get("columns")
+        if want:
+            sel = [c for c in want.split(",") if c]
+            missing = [c for c in sel if c not in ftypes]
+            if missing:
+                raise ValueError(f"{FORMAT_NAME}: projection names "
+                                 f"unknown columns {missing}")
+            ftypes = {c: ftypes[c] for c in sel}
+        return ", ".join(f"`{n}` {_spark_type_of(t)}"
+                         for n, t in ftypes.items())
+
+    def reader(self, schema) -> CppParquetReader:
+        return CppParquetReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> CppParquetWriter:
+        return CppParquetWriter(self.options, schema, overwrite)

@@ -164,7 +164,9 @@ def _arrow_type(dt) -> pa.DataType:
          T.ShortType: pa.int16(), T.IntegerType: pa.int32(),
          T.LongType: pa.int64(), T.FloatType: pa.float32(),
          T.DoubleType: pa.float64(), T.StringType: pa.string(),
-         T.DateType: pa.date32()}
+         T.DateType: pa.date32(),
+         T.TimestampType: pa.timestamp("us", tz="UTC"),
+         T.TimestampNTZType: pa.timestamp("us")}
     for k, v in m.items():
         if isinstance(dt, k):
             return v
@@ -218,6 +220,8 @@ def _spark_type_of(t: pa.DataType) -> str:
          pa.date32(): "date"}
     if t in m:
         return m[t]
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz is not None else "timestamp_ntz"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -233,6 +237,88 @@ def _spark_type_of(t: pa.DataType) -> str:
     return "string"
 
 
+#: file count above which scan planning fans out to the executors
+#: (Spark's parallelPartitionDiscovery.threshold analogue). A driver
+#: footer read is one mmap + compact-thrift parse (~0.3 ms), so 1024
+#:  files plan in ~0.3 s driver-side — well under the ~1 s a
+#: Python-worker metadata job costs on this box; a 10^5-file directory
+#: crosses over decisively and fans out
+PARALLEL_PLAN_THRESHOLD = 1024
+
+
+def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None
+                    ) -> list[tuple[str, int]]:
+    """Metadata-only scan planning shared by `scan_parquet` and the
+    Python DataSource front door: -> sorted surviving ``(path, rgi)``
+    pairs (rgi -1 = a file without per-row-group stats, scanned whole).
+
+    ``ranges``: (column, lo, hi) windows (lo/hi None = open side) pruned
+    via footer Statistics; ``eqs``: (column, value) point predicates
+    pruned via Statistics AND the SBBF bloom sidecar when present. All
+    predicates AND together; pruning is conservative (a surviving row
+    group may still hold no matching row — the caller applies the exact
+    predicate). At or below `PARALLEL_PLAN_THRESHOLD` files (or with no
+    ``spark`` session) footers are read on the driver; above it one
+    metadata task per file-batch reads them executor-side and ships
+    back only survivors — one (string, int) row each."""
+    ranges_n = []
+    for col, lo, hi in ranges:
+        ranges_n.append((col,
+                         lo.encode() if isinstance(lo, str) else lo,
+                         hi.encode() if isinstance(hi, str) else hi))
+    eqs_n = [(col, v.encode() if isinstance(v, str) else v, v)
+             for col, v in eqs]
+
+    def plan_file(p: str) -> list[tuple[str, int]]:
+        stats = _rg_stats(p)
+        blooms = {col: interop.bloom_rg_survivors(p, col, raw)
+                  for col, _sv, raw in eqs_n} if eqs_n else {}
+
+        def rg_survives(rgi, ent) -> bool:
+            for col, lo, hi in ranges_n:
+                st = ent.get(col)
+                if st is None:
+                    continue
+                if lo is not None and st[1] < lo:
+                    return False
+                if hi is not None and st[0] > hi:
+                    return False
+            for col, sv, _raw in eqs_n:
+                st = ent.get(col)
+                if st is not None and not (st[0] <= sv <= st[1]):
+                    return False
+                bl = blooms.get(col)
+                if bl is not None and not bl.get(rgi, True):
+                    return False               # bloom: provably absent
+            return True
+
+        if not stats:
+            return [(p, -1)]
+        return [(p, rgi) for rgi, ent in enumerate(stats)
+                if rg_survives(rgi, ent)]
+
+    if spark is None or len(files) <= PARALLEL_PLAN_THRESHOLD:
+        return sorted(pair for f in files for pair in plan_file(f))
+
+    def footer_pass(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+        meta_schema = pa.schema([("path", pa.string()),
+                                 ("rgi", pa.int32())])
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                keep = [{"path": pp, "rgi": rgi}
+                        for pp, rgi in plan_file(p)]
+                if keep:
+                    yield pa.RecordBatch.from_pylist(keep,
+                                                     schema=meta_schema)
+
+    fdf0 = spark.createDataFrame([(f,) for f in files], "path string")
+    fdf0 = fdf0.repartition(min(len(files), 64))
+    return sorted((r["path"], r["rgi"]) for r in
+                  fdf0.mapInArrow(footer_pass,
+                                  "path string, rgi int").collect())
+
+
 def scan_parquet(spark, src: str, columns: list[str] | None = None,
                  range_prune: tuple | None = None,
                  apply_range: bool = False,
@@ -246,13 +332,14 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     ``range_prune=(column, lo, hi)`` drops ROW GROUPS whose footer
     Statistics window cannot intersect ``[lo, hi]`` — metadata-only, no
     page bytes touched (page-granular pruning for a single column lives
-    in `interop.read_column_pruned`). Scan planning is DISTRIBUTED: a
-    first metadata job reads each file's footer inside the executors
-    and ships back only the surviving (file, row-group) pairs, so a
-    10^5-file directory plans in parallel instead of a driver-side
-    footer loop; the driver itself reads exactly ONE footer (schema
-    derivation via `interop.footer_schema` — SchemaElements only, no
-    page decode). By default the predicate itself is NOT applied to
+    in `interop.read_column_pruned`). Scan planning is distributed
+    above `PARALLEL_PLAN_THRESHOLD` files: a first metadata job reads
+    each file's footer inside the executors and ships back only the
+    surviving (file, row-group) pairs, so a 10^5-file directory plans
+    in parallel instead of a driver-side footer loop (small
+    directories plan on the driver — a few mmaps beat a Spark job);
+    schema derivation always reads exactly ONE footer
+    (`interop.footer_schema` — SchemaElements only, no page decode). By default the predicate itself is NOT applied to
     surviving rows — chain ``.filter`` for exact semantics, as with any
     min-max zone pruning; ``apply_range=True`` additionally applies the
     exact ``[lo, hi]`` filter INSIDE the scan task (one Arrow compute
@@ -271,15 +358,12 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
     all_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
     if not all_files:
         raise ValueError(f"no .parquet files under {src!r}")
-    prune_col = lo = hi = None
+    ranges = []
     if range_prune is not None:
-        prune_col, lo, hi = range_prune
-        if isinstance(lo, str):
-            lo, hi = lo.encode(), hi.encode()
-    eq_col = eq_val = eq_stat = None
+        ranges.append(range_prune)
+    eqs = []
     if eq_prune is not None:
-        eq_col, eq_val = eq_prune
-        eq_stat = eq_val.encode() if isinstance(eq_val, str) else eq_val
+        eqs.append(eq_prune)
     # schema from ONE footer (SchemaElements only) — pruning every row
     # group still yields a correctly-typed EMPTY DataFrame
     ftypes = interop.footer_schema(all_files[0])
@@ -289,49 +373,7 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
         raise ValueError(f"projection {columns!r} matches no column")
     schema_str = ", ".join(f"`{n}` {_spark_type_of(t)}"
                            for n, t in ftypes.items())
-
-    # distributed planning: one metadata task per file-batch reads the
-    # footers executor-side and emits surviving (path, rgi) pairs; rgi
-    # -1 marks a file with no per-row-group stats (scanned whole). The
-    # collect is metadata-sized — one (string, int) row per SURVIVING
-    # row group.
-    def footer_pass(batches: Iterator[pa.RecordBatch]
-                    ) -> Iterator[pa.RecordBatch]:
-        meta_schema = pa.schema([("path", pa.string()),
-                                 ("rgi", pa.int32())])
-
-        def rg_survives(p, rgi, ent, blooms) -> bool:
-            if prune_col is not None:
-                st = ent.get(prune_col)
-                if st is not None and (st[1] < lo or st[0] > hi):
-                    return False
-            if eq_col is not None:
-                st = ent.get(eq_col)
-                if st is not None and not (st[0] <= eq_stat <= st[1]):
-                    return False
-                if blooms is not None and not blooms.get(rgi, True):
-                    return False               # bloom: provably absent
-            return True
-
-        for batch in batches:
-            for p in batch.column("path").to_pylist():
-                stats = _rg_stats(p)
-                blooms = interop.bloom_rg_survivors(p, eq_col, eq_val) \
-                    if eq_col is not None else None
-                keep = [{"path": p, "rgi": -1}] if not stats else [
-                    {"path": p, "rgi": rgi}
-                    for rgi, ent in enumerate(stats)
-                    if rg_survives(p, rgi, ent, blooms)]
-                if keep:
-                    yield pa.RecordBatch.from_pylist(keep,
-                                                     schema=meta_schema)
-
-    fdf0 = spark.createDataFrame([(f,) for f in all_files],
-                                 "path string")
-    fdf0 = fdf0.repartition(min(len(all_files), 64))
-    surv = sorted((r["path"], r["rgi"]) for r in
-                  fdf0.mapInArrow(footer_pass,
-                                  "path string, rgi int").collect())
+    surv = plan_row_groups(all_files, ranges, eqs, spark=spark)
     # work list: one item per surviving ROW GROUP (the scan's
     # parallelism unit — a single huge externally-written file still
     # fans out across executors)

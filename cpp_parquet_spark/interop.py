@@ -57,6 +57,7 @@ CONV_UTF8, CONV_DECIMAL, CONV_DATE = 0, 5, 6
 CONV_LIST = 3
 CONV_MAP = 1
 CONV_INT_8, CONV_INT_16 = 15, 16
+CONV_TS_MICROS = 10
 
 _MAGIC = b"PAR1"
 
@@ -337,11 +338,31 @@ def _colspec(t: pa.DataType) -> tuple[str, int, list[tuple[int, int]]]:
             raise ValueError("interop writer: decimal precision > 18")
         return "i64", T_INT64, [(6, CONV_DECIMAL),
                                 (7, t.scale), (8, t.precision)]
+    if pa.types.is_timestamp(t):
+        # INT64 epoch micros + the modern LogicalType TIMESTAMP struct
+        # (parquet.thrift fid 10; union member 8, {isAdjustedToUTC,
+        # unit MICROS}); UTC-adjusted values (any Arrow tz — the int64
+        # is an instant regardless of the tz label) also carry the
+        # legacy ConvertedType TIMESTAMP_MICROS, matching pyarrow's
+        # dual annotation. An extras value of BYTES means "struct
+        # field", emitted via _CW.struct at every leaf site.
+        if t.unit != "us":
+            raise ValueError(
+                f"interop writer: timestamp unit {t.unit!r} unsupported "
+                "(cast to microseconds)")
+        utc = t.tz is not None
+        unit = _CW().struct(2, _CW().done()).done()     # TimeUnit MICROS
+        ts = _CW().bool_(1, utc).struct(2, unit).done()
+        logical = _CW().struct(8, ts).done()
+        extras: list = [(10, logical)]
+        if utc:
+            extras.insert(0, (6, CONV_TS_MICROS))
+        return "i64", T_INT64, extras
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "str", T_BYTE_ARRAY, [(6, CONV_UTF8)]
-    # fail loudly: anything else (timestamps, nested, unknown) must be
-    # rejected at schema-check time, never coerced to strings mid-job
+    # fail loudly: anything else (nested, unknown) must be rejected at
+    # schema-check time, never coerced to strings mid-job
     raise ValueError(f"interop writer: unsupported Arrow type {t}")
 
 
@@ -355,6 +376,8 @@ def _pq_work(work: pa.Array, tag: str) -> pa.Array:
         return work.cast(pa.int32())
     if t == pa.date32():
         return work.view(pa.int32())
+    if pa.types.is_timestamp(t):
+        return work.view(pa.int64())     # epoch micros, tz label dropped
     if pa.types.is_decimal(t):
         return pa.array(pagecodec.dec_unscaled(work.combine_chunks()
                         if isinstance(work, pa.ChunkedArray) else work))
@@ -739,7 +762,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
                     .binary(4, fname.encode())
                 for fid, v in extras:
-                    leaf_el.i32(fid, v)
+                    if isinstance(v, bytes):
+                        leaf_el.struct(fid, v)
+                    else:
+                        leaf_el.i32(fid, v)
                 elems_here.append(leaf_el.done())
                 chunks.append((f"{name}.list.element.{fname}",
                                elems_here, meta.done(), data_off,
@@ -796,7 +822,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
                 .binary(4, b"element")
             for fid, v in extras:
-                leaf_el.i32(fid, v)
+                if isinstance(v, bytes):
+                    leaf_el.struct(fid, v)
+                else:
+                    leaf_el.i32(fid, v)
             chunks.append((name, [group, mid, leaf_el.done()],
                            meta.done(), data_off, total, None))
             continue
@@ -882,7 +911,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                          else REP_OPTIONAL) \
                     .binary(4, leaf_name.encode())
                 for fid, v in extras:
-                    leaf_el.i32(fid, v)
+                    if isinstance(v, bytes):
+                        leaf_el.struct(fid, v)
+                    else:
+                        leaf_el.i32(fid, v)
                 elems_here.append(leaf_el.done())
                 chunks.append((f"{name}.key_value.{leaf_name}",
                                elems_here, meta.done(), data_off,
@@ -925,7 +957,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 leaf_el = _CW().i32(1, ptype).i32(3, REP_OPTIONAL) \
                     .binary(4, fname.encode())
                 for fid, v in extras:
-                    leaf_el.i32(fid, v)
+                    if isinstance(v, bytes):
+                        leaf_el.struct(fid, v)
+                    else:
+                        leaf_el.i32(fid, v)
                 elems_here.append(leaf_el.done())
                 chunks.append((f"{name}.{fname}", elems_here,
                                meta.done(), data_off, total, None))
@@ -1053,7 +1088,10 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             .i32(3, REP_OPTIONAL if optional else REP_REQUIRED) \
             .binary(4, name.encode())
         for fid, v in extras:
-            e.i32(fid, v)
+            if isinstance(v, bytes):
+                e.struct(fid, v)
+            else:
+                e.i32(fid, v)
         chunks.append((name, [e.done()], meta.done(), data_off, total,
                        pidx))
       row_groups.append(
@@ -1422,6 +1460,9 @@ def _apply_converted(col: pa.Array, el: dict) -> pa.Array:
     UNSCALED values (a plain cast would scale them), via the text form —
     per-value Python, acceptable for conformance reads."""
     conv = el.get(6)
+    ts_t = _ts_logical(el)
+    if ts_t is not None:
+        return col.cast(pa.int64()).view(ts_t)
     if conv == CONV_DATE:
         return col.cast(pa.int32()).view(pa.date32())
     if conv == CONV_INT_8:
@@ -1517,11 +1558,31 @@ def _walk_leaves(schema: list) -> dict[str, dict]:
     return leaves
 
 
+def _ts_logical(el: dict) -> "pa.DataType | None":
+    """TIMESTAMP annotation of a SchemaElement, from the LogicalType
+    struct (fid 10 member 8: {1: isAdjustedToUTC, 2: unit union}) when
+    present — the only place the UTC-adjusted vs NTZ distinction lives
+    — else from legacy ConvertedType TIMESTAMP_MICROS (implies UTC).
+    Returns the Arrow timestamp type, or None when not a timestamp."""
+    lt = el.get(10)
+    if isinstance(lt, dict) and 8 in lt:
+        ts = lt[8]
+        unit = {1: "ms", 2: "us", 3: "ns"}.get(
+            next(iter(ts.get(2, {2: {}}))), "us")
+        return pa.timestamp(unit, tz="UTC" if ts.get(1) else None)
+    if el.get(6) == CONV_TS_MICROS:
+        return pa.timestamp("us", tz="UTC")
+    return None
+
+
 def _leaf_arrow_type(el: dict) -> pa.DataType:
     """SchemaElement (leaf) -> the Arrow type our reader materializes:
-    physical type + ConvertedType lift (UTF8/date/narrow-int/decimal).
-    Non-UTF8 BYTE_ARRAY maps to string too — `_deinterleave` always
-    rebuilds strings."""
+    physical type + ConvertedType/LogicalType lift
+    (UTF8/date/narrow-int/decimal/timestamp). Non-UTF8 BYTE_ARRAY maps
+    to string too — `_deinterleave` always rebuilds strings."""
+    ts_t = _ts_logical(el)
+    if ts_t is not None:
+        return ts_t
     conv = el.get(6)
     if conv == CONV_DATE:
         return pa.date32()

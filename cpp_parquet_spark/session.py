@@ -39,6 +39,10 @@ def get_spark(master: str | None = None, app: str = "cpp_parquet_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the Python DataSource front door (datasource.py) prunes row
+        # groups from Catalyst's pushed filters — off by default in
+        # Spark 4.1, required for CppParquetReader.pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # scan-side parallelism: source-code parquet compresses ~4x, so
         # the default 128 MB split feeds tasks ~512 MB of decoded strings
         # AND caps a 470 MB file at 4 scan tasks — the stage ahead of the

@@ -272,9 +272,13 @@ def test_footer_schema_matches_decoded_types(spark, tmp_path):
         assert _norm_type(got) == want, (name, got, want)
 
 
-def test_scan_pruning_decisions_match_driver_recompute(spark, tmp_path):
-    # the distributed footer pass must reach the IDENTICAL surviving
-    # (file, row group) set a driver-side loop over _rg_stats computes
+def test_scan_pruning_decisions_match_driver_recompute(spark, tmp_path,
+                                                       monkeypatch):
+    # the DISTRIBUTED footer pass (forced via threshold=0) must reach
+    # the IDENTICAL surviving (file, row group) set a driver-side loop
+    # over _rg_stats computes — and the driver-side small-directory
+    # path must agree with both
+    from cpp_parquet_spark import export as export_mod
     from cpp_parquet_spark.export import scan_parquet, _rg_stats
     df = (spark.range(8000).select(F.col("id").alias("v"),
                                    (F.col("id") % 7).alias("w"))
@@ -288,29 +292,68 @@ def test_scan_pruning_decisions_match_driver_recompute(spark, tmp_path):
             st = ent.get("v")
             if st is None or (st[1] >= lo and st[0] <= hi):
                 expected.append((f, rgi))
-    out = scan_parquet(spark, dst, range_prune=("v", lo, hi))
     assert 0 < len(expected) < 16          # pruning actually happened
-    assert out.rdd.getNumPartitions() == len(expected)
-    got = out.filter(f"v between {lo} and {hi}") \
-        .agg(F.count("*"), F.sum("v")).collect()[0]
     exp = df.filter(f"v between {lo} and {hi}") \
         .agg(F.count("*"), F.sum("v")).collect()[0]
-    assert tuple(got) == tuple(exp)
+    orig_threshold = export_mod.PARALLEL_PLAN_THRESHOLD
+    for threshold in (0, orig_threshold):
+        monkeypatch.setattr(export_mod, "PARALLEL_PLAN_THRESHOLD",
+                            threshold)
+        out = scan_parquet(spark, dst, range_prune=("v", lo, hi))
+        assert out.rdd.getNumPartitions() == len(expected), threshold
+        got = out.filter(f"v between {lo} and {hi}") \
+            .agg(F.count("*"), F.sum("v")).collect()[0]
+        assert tuple(got) == tuple(exp), threshold
 
 
 def test_check_schema_rejects_nested_unsupported_leaf(spark, tmp_path):
-    # struct<ts:timestamp> must fail on the DRIVER pre-check, not
-    # inside an executor mid-job
+    # struct<iv:interval> must fail on the DRIVER pre-check, not
+    # inside an executor mid-job (timestamps became supported in r5,
+    # so the probe type is a day-time interval)
     df = spark.range(3).select(
         F.col("id"),
-        F.struct(F.current_timestamp().alias("ts")).alias("st"))
+        F.struct(F.expr("INTERVAL '1' DAY").alias("iv")).alias("st"))
     with pytest.raises(ValueError, match="unsupported column types"):
         export_parquet(df, str(tmp_path / "badnest"))
     dfm = spark.range(3).select(
         F.col("id"),
-        F.create_map(F.lit("k"), F.current_timestamp()).alias("m"))
+        F.create_map(F.lit("k"), F.expr("INTERVAL '2' HOUR")).alias("m"))
     with pytest.raises(ValueError, match="unsupported column types"):
         export_parquet(dfm, str(tmp_path / "badmap"))
+
+
+def test_export_scan_timestamps(spark, tmp_path):
+    # TIMESTAMP (UTC-adjusted) and TIMESTAMP_NTZ columns through the
+    # sink and back: Spark's JVM reader must see the exact logical
+    # types (tz-aware vs ntz comes from the LogicalType struct), and
+    # our scan + DuckDB must agree on the values
+    df = spark.range(300).select(
+        F.col("id"),
+        F.expr("CASE WHEN id % 9 = 0 THEN NULL ELSE "
+               "timestamp_micros(CAST(id * 1000003 AS BIGINT)) END")
+        .alias("ts"),
+        F.expr("CASE WHEN id % 5 = 0 THEN NULL ELSE "
+               "CAST(timestamp_micros(CAST(id * 7 AS BIGINT)) "
+               "AS TIMESTAMP_NTZ) END").alias("tsn"))
+    dst = str(tmp_path / "ts")
+    export_parquet(df.repartition(2), dst).collect()
+    back = spark.read.parquet(dst)
+    assert back.schema.simpleString() == \
+        "struct<id:bigint,ts:timestamp,tsn:timestamp_ntz>"
+
+    def canon(frame):
+        return frame.selectExpr("id", "CAST(ts AS STRING) s",
+                                "CAST(tsn AS STRING) sn") \
+            .orderBy("id").collect()
+
+    assert canon(back) == canon(df)
+    from cpp_parquet_spark.export import scan_parquet
+    assert canon(scan_parquet(spark, dst)) == canon(df)
+    n_ts, n_tsn = duckdb.sql(
+        f"SELECT count(ts), count(tsn) "
+        f"FROM read_parquet('{dst}/*.parquet')").fetchone()
+    assert (n_ts, n_tsn) == (df.filter("ts IS NOT NULL").count(),
+                             df.filter("tsn IS NOT NULL").count())
 
 
 def test_export_scan_list_of_struct(spark, tmp_path):

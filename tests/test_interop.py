@@ -200,3 +200,49 @@ def test_pyarrow_extended_types_read_by_our_codecs(tmp_path, use_dictionary):
         g = got[name]
         g = g.cast(arr.type) if g.type != arr.type else g
         assert g.to_pylist() == arr.to_pylist(), name
+
+
+def test_timestamp_columns_both_directions(tmp_path):
+    # INT64 + LogicalType TIMESTAMP (fid 10 member 8) with the
+    # UTC-adjusted vs NTZ distinction, legacy ConvertedType
+    # TIMESTAMP_MICROS on the adjusted flavor — written by our emitters,
+    # read by pyarrow; pyarrow-written timestamps through our reader;
+    # nested (struct field / list element) timestamps included
+    import datetime as dt
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ntz = pa.array([base + dt.timedelta(seconds=i) if i % 7 else None
+                    for i in range(300)], pa.timestamp("us"))
+    utc = ntz.cast(pa.timestamp("us", tz="UTC"))
+    st = pa.StructArray.from_arrays([ntz], names=["when"])
+    lst = pa.array([[base + dt.timedelta(hours=i), None] if i % 3
+                    else None for i in range(300)],
+                   pa.list_(pa.timestamp("us")))
+    p = str(tmp_path / "ts_ours.parquet")
+    interop.write_parquet(p, {"t_ntz": ntz, "t_utc": utc, "st": st,
+                              "evs": lst},
+                          statistics=True, row_group_rows=128)
+    back = pq.read_table(p)
+    assert back.schema.field("t_ntz").type == pa.timestamp("us")
+    assert back.schema.field("t_utc").type == pa.timestamp("us",
+                                                           tz="UTC")
+    assert back.column("t_ntz").to_pylist() == ntz.to_pylist()
+    assert back.column("st").to_pylist() == st.to_pylist()
+    assert back.column("evs").to_pylist() == lst.to_pylist()
+    ours = interop.read_parquet_with_our_codecs(p)
+    assert ours["t_ntz"].to_pylist() == ntz.to_pylist()
+    assert str(ours["t_utc"].type) == "timestamp[us, tz=UTC]"
+    assert ours["st"].to_pylist() == st.to_pylist()
+    assert ours["evs"].to_pylist() == lst.to_pylist()
+    assert interop.footer_schema(p)["t_ntz"] == pa.timestamp("us")
+    # reverse: pyarrow-written file through our reader
+    p2 = str(tmp_path / "ts_pa.parquet")
+    pq.write_table(pa.table({"t_ntz": ntz, "t_utc": utc}), p2,
+                   use_dictionary=False)
+    o2 = interop.read_parquet_with_our_codecs(p2)
+    assert o2["t_ntz"].to_pylist() == ntz.to_pylist()
+    assert o2["t_utc"].cast(pa.timestamp("us")).to_pylist() == \
+        ntz.to_pylist()
+    # ns-unit rejection is loud
+    with pytest.raises(ValueError, match="unit"):
+        interop.write_parquet(str(tmp_path / "ns.parquet"),
+                              {"t": ntz.cast(pa.timestamp("ns"))})

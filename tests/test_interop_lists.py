@@ -256,3 +256,15 @@ def test_liststruct_pyarrow_to_our_reader(tmp_path):
         pq.write_table(tbl, p, **kwargs)
         ours = interop.read_parquet_with_our_codecs(p)
         assert ours["evs"].to_pylist() == _ls_data(), kwargs
+
+
+def test_liststruct_ours_multi_row_group(tmp_path):
+    p = str(tmp_path / "ls_rg.parquet")
+    arr = _ls_arr()
+    interop.write_parquet(
+        p, {"id": pa.array(range(len(arr)), pa.int64()), "evs": arr},
+        row_group_rows=77)
+    back = pq.read_table(p)
+    assert back.column("evs").to_pylist() == _ls_data()
+    ours = interop.read_parquet_with_our_codecs(p)
+    assert ours["evs"].to_pylist() == _ls_data()

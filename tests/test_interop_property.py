@@ -54,6 +54,22 @@ def _columns(draw):
                             max_size=4)),
             min_size=n, max_size=n)),
         pa.map_(pa.string(), pa.int64()))
+    cols["t"] = pa.array(
+        draw(st.lists(st.one_of(st.none(),
+                                st.integers(-2**52, 2**52)),
+                      min_size=n, max_size=n)),
+        pa.int64()).cast(pa.timestamp("us"))
+    cols["ls"] = pa.array(
+        draw(st.lists(st.one_of(
+            st.none(),
+            st.lists(st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"a": st.one_of(st.none(), st.integers(-99, 99)),
+                     "b": st.one_of(st.none(), _text)})),
+                max_size=4)),
+            min_size=n, max_size=n)),
+        pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])))
     return cols
 
 
