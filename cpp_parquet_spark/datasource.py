@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -218,9 +219,89 @@ class CppParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+class CppParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Structured Streaming sink leg of the format: every micro-batch
+    lands as real .parquet files from our emitters, EXACTLY-ONCE via a
+    stage-then-move commit — tasks write into ``_tmp/``, the driver's
+    `commit` moves only the files named by successful commit messages
+    into the directory root and records the batch id in
+    ``_commits.jsonl``; a REPLAYED batch (same id after a restart) is
+    detected there and its staged output dropped, so the sink directory
+    only ever holds each batch's winners once. Readers (our batch
+    format, pyarrow, DuckDB, Spark) glob ``*.parquet`` at the root and
+    never see staged or replayed attempts."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._options = options
+        self._dst = options.get("path")
+        if not self._dst:
+            raise ValueError(f"{FORMAT_NAME}: a path is required")
+        self._tmp = os.path.join(self._dst, "_tmp")
+        os.makedirs(self._tmp, exist_ok=True)
+        self._log = os.path.join(self._dst, "_commits.jsonl")
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
+        from . import interop
+        from .export import _check_schema
+        got = list(iterator)
+        if not got:
+            return _FileCommit("", 0)
+        tbl = pa.Table.from_batches(got)
+        _check_schema(tbl.schema)
+        o = self._options
+        csv_set = (lambda k: frozenset(
+            x for x in o.get(k, "").split(",") if x))
+        fname = f"part-{uuid.uuid4().hex[:16]}.parquet"
+        interop.write_parquet(
+            os.path.join(self._tmp, fname),
+            {n: tbl.column(n).combine_chunks()
+             for n in tbl.column_names},
+            dictionary=csv_set("dictionary"),
+            compression=o.get("compression", "zstd"),
+            page_rows=int(o.get("page_rows", 20_000)),
+            row_group_rows=int(o.get("row_group_rows", 200_000)),
+            page_index=True, statistics=True,
+            string_encoding=o.get("string_encoding", "delta_length"),
+            bloom=csv_set("bloom"),
+            bloom_fpp=float(o.get("bloom_fpp", 0.01)))
+        return _FileCommit(fname, len(tbl))
+
+    def _committed(self) -> set[int]:
+        import json
+        if not os.path.exists(self._log):
+            return set()
+        with open(self._log) as fh:
+            return {json.loads(ln)["batch"] for ln in fh if ln.strip()}
+
+    def _clear_tmp(self) -> None:
+        for f in glob.glob(os.path.join(self._tmp, "*.parquet")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        winners = [m.file for m in messages if m is not None and m.file]
+        if batchId in self._committed():
+            self._clear_tmp()          # replayed batch: drop duplicates
+            return
+        for f in winners:
+            os.replace(os.path.join(self._tmp, f),
+                       os.path.join(self._dst, f))
+        with open(self._log, "a") as fh:
+            fh.write(json.dumps({"batch": batchId,
+                                 "files": sorted(winners)}) + "\n")
+        self._clear_tmp()              # failed/speculative attempts
+
+    def abort(self, messages, batchId: int) -> None:
+        self._clear_tmp()
+
+
 class CppParquetDataSource(DataSource):
     """`spark.dataSource.register(CppParquetDataSource)` enables
-    ``format("cpp_parquet")`` for both read and write."""
+    ``format("cpp_parquet")`` for batch read/write AND as a Structured
+    Streaming sink (`df.writeStream.format("cpp_parquet")`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -247,3 +328,7 @@ class CppParquetDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> CppParquetWriter:
         return CppParquetWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool
+                     ) -> CppParquetStreamWriter:
+        return CppParquetStreamWriter(self.options, schema, overwrite)

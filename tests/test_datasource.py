@@ -104,3 +104,38 @@ def test_unsupported_write_type_fails_loudly(registered, tmp_path):
     with pytest.raises(Exception, match="unsupported column types"):
         (df.write.format("cpp_parquet").mode("append")
          .save(str(tmp_path / "bad")))
+
+
+def test_stream_sink_exactly_once(registered, tmp_path):
+    # writeStream.format("cpp_parquet"): micro-batches land as real
+    # parquet files via stage-then-move commit; a replayed batch (same
+    # checkpoint, no new input) must not duplicate rows
+    spark = registered
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("k")) \
+        .coalesce(1).write.parquet(in_dir)
+
+    def run_stream():
+        q = (spark.readStream.schema("id bigint, k bigint")
+             .parquet(in_dir)
+             .writeStream.format("cpp_parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_stream()
+    back = spark.read.format("cpp_parquet").load(out)
+    assert back.count() == 100
+    run_stream()                        # no new input: no duplicates
+    assert spark.read.format("cpp_parquet").load(out).count() == 100
+    spark.range(100, 150).select(F.col("id"),
+                                 (F.col("id") % 5).alias("k")) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream()
+    final = spark.read.format("cpp_parquet").load(out)
+    assert final.count() == 150
+    assert final.agg(F.sum("id")).collect()[0][0] == sum(range(150))
+    # no staged leftovers
+    assert glob.glob(os.path.join(out, "_tmp", "*.parquet")) == []
