@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -85,6 +86,19 @@ class RowGroupPartition(InputPartition):
     rgi: int                       # -1 = whole file (no per-rg stats)
 
 
+def _read_rg(path: str, rgi: int, columns: list[str]
+             ) -> Iterator[pa.RecordBatch]:
+    """Decode one row group (or whole file, rgi -1) through our
+    kernels, projected and normalized to the declared Spark schema."""
+    from . import interop
+    from .export import _norm_type
+    cols = interop.read_parquet_with_our_codecs(
+        path, columns, row_groups=[rgi] if rgi >= 0 else None)
+    tbl = pa.table({n: cols[n].cast(_norm_type(cols[n].type))
+                    for n in columns})
+    yield from tbl.to_batches()
+
+
 class CppParquetReader(DataSourceReader):
     def __init__(self, options, schema):
         self._options = options
@@ -92,6 +106,7 @@ class CppParquetReader(DataSourceReader):
         self._columns = [f.name for f in schema.fields]
         self._ranges: dict[str, list] = {}
         self._eqs: list[tuple[str, object]] = []
+        self._ins: list[tuple[str, tuple]] = []
 
     def pushFilters(self, filters):
         """Capture prunable predicates for row-group planning; EVERY
@@ -108,13 +123,17 @@ class CppParquetReader(DataSourceReader):
                     and all(isinstance(v, _PRUNABLE)
                             and not isinstance(v, bool)
                             for v in f.value):
-                # IN prunes as [min, max] window; bloom pruning would
-                # need per-value OR across row groups — stats-only here
                 col = f.attribute[0]
-                w = self._ranges.setdefault(col, [None, None])
-                lo, hi = min(f.value), max(f.value)
-                w[0] = lo if w[0] is None else max(w[0], lo)
-                w[1] = hi if w[1] is None else min(w[1], hi)
+                if len(f.value) <= 64:
+                    # per-value stats + bloom membership, OR'd — a row
+                    # group survives only if SOME value might be there
+                    self._ins.append((col, tuple(f.value)))
+                else:
+                    # big IN lists prune as a [min, max] window only
+                    w = self._ranges.setdefault(col, [None, None])
+                    lo, hi = min(f.value), max(f.value)
+                    w[0] = lo if w[0] is None else max(w[0], lo)
+                    w[1] = hi if w[1] is None else min(w[1], hi)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
                     and len(f.attribute) == 1 \
                     and isinstance(f.value, _PRUNABLE) \
@@ -134,21 +153,15 @@ class CppParquetReader(DataSourceReader):
     def partitions(self):
         from .export import plan_row_groups
         ranges = [(col, w[0], w[1]) for col, w in self._ranges.items()]
-        surv = plan_row_groups(self._files, ranges, self._eqs)
+        surv = plan_row_groups(self._files, ranges, self._eqs,
+                               ins=self._ins)
         return [RowGroupPartition(p, rgi) for p, rgi in surv]
 
     def read(self, part: "RowGroupPartition | None"
              ) -> Iterator[pa.RecordBatch]:
-        from . import interop
-        from .export import _norm_type
         if part is None:       # every row group pruned: one empty task
             return
-        cols = interop.read_parquet_with_our_codecs(
-            part.path, self._columns,
-            row_groups=[part.rgi] if part.rgi >= 0 else None)
-        tbl = pa.table({n: cols[n].cast(_norm_type(cols[n].type))
-                        for n in self._columns})
-        yield from tbl.to_batches()
+        yield from _read_rg(part.path, part.rgi, self._columns)
 
 
 @dataclass
@@ -166,6 +179,9 @@ class CppParquetWriter(DataSourceArrowWriter):
         if overwrite:
             for f in glob.glob(os.path.join(self._dst, "*.parquet")):
                 os.remove(f)
+            log = os.path.join(self._dst, "_commits.jsonl")
+            if os.path.exists(log):
+                os.remove(log)
         os.makedirs(self._dst, exist_ok=True)
         # per-JOB token: commit/abort may only reclaim THIS job's
         # orphaned attempt files — append jobs must never touch files
@@ -203,12 +219,18 @@ class CppParquetWriter(DataSourceArrowWriter):
         # keep only the winners: speculative/retried attempts may have
         # left THIS job's part files that no commit message names —
         # other jobs' files (no job token match) are untouched
+        import json
         keep = {m.file for m in messages if m is not None and m.file}
         mine = glob.glob(
             os.path.join(self._dst, f"part-{self._job}-*.parquet"))
         for f in mine:
             if os.path.basename(f) not in keep:
                 os.remove(f)
+        # append-only commit log: makes format-written directories
+        # consumable as a STREAM source (readStream tails the log)
+        with open(os.path.join(self._dst, "_commits.jsonl"), "a") as fh:
+            fh.write(json.dumps({"batch": -1,
+                                 "files": sorted(keep)}) + "\n")
 
     def abort(self, messages):
         for m in messages:
@@ -298,10 +320,61 @@ class CppParquetStreamWriter(DataSourceStreamArrowWriter):
         self._clear_tmp()
 
 
+class CppParquetStreamReader(DataSourceStreamReader):
+    """Structured Streaming SOURCE leg: tails a format-written
+    directory's append-only ``_commits.jsonl`` — each micro-batch reads
+    the files named by the log lines between the start and end offsets
+    (``{"commits": n}``), one executor task per file through our
+    kernels. Log-based offsets make the tail append-stable (file names
+    are uuids, so a directory listing is NOT ordered by arrival) and
+    replay-exact: the same offset range always names the same files.
+    Directories without the log (e.g. `export_parquet` output) are
+    rejected with a pointer to the batch reader."""
+
+    def __init__(self, options, schema):
+        self._dst = options.get("path")
+        if not self._dst:
+            raise ValueError(f"{FORMAT_NAME}: a path is required")
+        self._log = os.path.join(self._dst, "_commits.jsonl")
+        self._columns = [f.name for f in schema.fields]
+
+    def _lines(self) -> list[str]:
+        if not os.path.exists(self._log):
+            return []
+        with open(self._log) as fh:
+            return [ln for ln in fh if ln.strip()]
+
+    def initialOffset(self) -> dict:
+        return {"commits": 0}
+
+    def latestOffset(self) -> dict:
+        if not os.path.exists(self._log) \
+                and not os.path.isdir(self._dst):
+            raise ValueError(
+                f"{FORMAT_NAME} stream source: {self._dst!r} does not "
+                "exist")
+        return {"commits": len(self._lines())}
+
+    def partitions(self, start: dict, end: dict):
+        import json
+        lines = self._lines()[start["commits"]:end["commits"]]
+        files = [f for ln in lines for f in json.loads(ln)["files"]]
+        return [RowGroupPartition(os.path.join(self._dst, f), -1)
+                for f in files]
+
+    def read(self, part: RowGroupPartition
+             ) -> Iterator[pa.RecordBatch]:
+        yield from _read_rg(part.path, part.rgi, self._columns)
+
+    def commit(self, end: dict) -> None:
+        pass                               # the log is append-only
+
+
 class CppParquetDataSource(DataSource):
     """`spark.dataSource.register(CppParquetDataSource)` enables
     ``format("cpp_parquet")`` for batch read/write AND as a Structured
-    Streaming sink (`df.writeStream.format("cpp_parquet")`)."""
+    Streaming sink (`df.writeStream.format("cpp_parquet")`) and source
+    (`spark.readStream.format("cpp_parquet")`, commit-log tailing)."""
 
     @classmethod
     def name(cls) -> str:
@@ -332,3 +405,6 @@ class CppParquetDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool
                      ) -> CppParquetStreamWriter:
         return CppParquetStreamWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema) -> CppParquetStreamReader:
+        return CppParquetStreamReader(self.options, schema)

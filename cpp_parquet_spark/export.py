@@ -246,33 +246,46 @@ def _spark_type_of(t: pa.DataType) -> str:
 PARALLEL_PLAN_THRESHOLD = 1024
 
 
-def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None
-                    ) -> list[tuple[str, int]]:
+def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None,
+                    ins=()) -> list[tuple[str, int]]:
     """Metadata-only scan planning shared by `scan_parquet` and the
     Python DataSource front door: -> sorted surviving ``(path, rgi)``
     pairs (rgi -1 = a file without per-row-group stats, scanned whole).
 
     ``ranges``: (column, lo, hi) windows (lo/hi None = open side) pruned
     via footer Statistics; ``eqs``: (column, value) point predicates
-    pruned via Statistics AND the SBBF bloom sidecar when present. All
-    predicates AND together; pruning is conservative (a surviving row
-    group may still hold no matching row — the caller applies the exact
+    pruned via Statistics AND the SBBF bloom sidecar when present;
+    ``ins``: (column, values) IN-lists — a row group survives when ANY
+    value passes its stats window and bloom (OR within the list, AND
+    across predicates). Pruning is conservative (a surviving row group
+    may still hold no matching row — the caller applies the exact
     predicate). At or below `PARALLEL_PLAN_THRESHOLD` files (or with no
     ``spark`` session) footers are read on the driver; above it one
     metadata task per file-batch reads them executor-side and ships
     back only survivors — one (string, int) row each."""
-    ranges_n = []
-    for col, lo, hi in ranges:
-        ranges_n.append((col,
-                         lo.encode() if isinstance(lo, str) else lo,
-                         hi.encode() if isinstance(hi, str) else hi))
-    eqs_n = [(col, v.encode() if isinstance(v, str) else v, v)
-             for col, v in eqs]
+    def _enc(v):
+        return v.encode() if isinstance(v, str) else v
+
+    ranges_n = [(col, _enc(lo), _enc(hi)) for col, lo, hi in ranges]
+    eqs_n = [(col, _enc(v), v) for col, v in eqs]
+    ins_n = [(col, tuple((_enc(v), v) for v in vals))
+             for col, vals in ins]
 
     def plan_file(p: str) -> list[tuple[str, int]]:
         stats = _rg_stats(p)
         blooms = {col: interop.bloom_rg_survivors(p, col, raw)
                   for col, _sv, raw in eqs_n} if eqs_n else {}
+        in_blooms = {col: [interop.bloom_rg_survivors(p, col, raw)
+                           for _sv, raw in vals]
+                     for col, vals in ins_n} if ins_n else {}
+
+        def point_alive(rgi, ent, col, sv, bl) -> bool:
+            st = ent.get(col)
+            if st is not None and not (st[0] <= sv <= st[1]):
+                return False
+            if bl is not None and not bl.get(rgi, True):
+                return False                   # bloom: provably absent
+            return True
 
         def rg_survives(rgi, ent) -> bool:
             for col, lo, hi in ranges_n:
@@ -284,12 +297,14 @@ def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None
                 if hi is not None and st[0] > hi:
                     return False
             for col, sv, _raw in eqs_n:
-                st = ent.get(col)
-                if st is not None and not (st[0] <= sv <= st[1]):
+                if not point_alive(rgi, ent, col, sv, blooms.get(col)):
                     return False
-                bl = blooms.get(col)
-                if bl is not None and not bl.get(rgi, True):
-                    return False               # bloom: provably absent
+            for col, vals in ins_n:
+                bls = in_blooms.get(col, [])
+                if not any(point_alive(rgi, ent, col, sv,
+                                       bls[i] if i < len(bls) else None)
+                           for i, (sv, _raw) in enumerate(vals)):
+                    return False
             return True
 
         if not stats:

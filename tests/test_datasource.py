@@ -139,3 +139,58 @@ def test_stream_sink_exactly_once(registered, tmp_path):
     assert final.agg(F.sum("id")).collect()[0][0] == sum(range(150))
     # no staged leftovers
     assert glob.glob(os.path.join(out, "_tmp", "*.parquet")) == []
+
+
+def test_in_filter_bloom_pruning(registered, tmp_path):
+    # IN-lists prune per VALUE through the blooms (OR semantics): two
+    # needles from different row groups keep ~2 row groups, not the
+    # [min, max] span between them
+    spark = registered
+    dst = str(tmp_path / "dsin")
+    df = _write(spark, dst)
+    from pyspark.sql.datasource import In
+    back = spark.read.format("cpp_parquet").load(dst)
+    k1 = (123 * 104729) % 999983
+    k2 = (19876 * 104729) % 999983
+    got = sorted(r.id for r in
+                 back.filter(F.col("k").isin([k1, k2])).collect())
+    assert got == [123, 19876]
+    rdr = CppParquetReader({"path": dst}, back.schema)
+    total = len(rdr.partitions())
+    rdr2 = CppParquetReader({"path": dst}, back.schema)
+    list(rdr2.pushFilters([In(("k",), (k1, k2))]))
+    assert len(rdr2.partitions()) <= max(total // 4, 3)
+
+
+def test_stream_source_sink_chain(registered, tmp_path):
+    # readStream.format("cpp_parquet") tails the directory's
+    # _commits.jsonl (append-stable offsets — uuid file names make a
+    # listing unordered), chained into the format's own sink:
+    # incremental, exactly-once, no reprocessing on an empty drain
+    spark = registered
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    spark.range(0, 50).select(F.col("id")).repartition(2) \
+        .write.format("cpp_parquet").mode("append").save(src)
+
+    def drain():
+        q = (spark.readStream.format("cpp_parquet").load(src)
+             .withColumn("id2", F.col("id") * 2)
+             .writeStream.format("cpp_parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    r1 = spark.read.format("cpp_parquet").load(out) \
+        .agg(F.count("*"), F.sum("id2")).collect()[0]
+    assert tuple(r1) == (50, 2 * sum(range(50)))
+    drain()                            # nothing new: no reprocessing
+    assert spark.read.format("cpp_parquet").load(out).count() == 50
+    spark.range(50, 80).select(F.col("id")).repartition(1) \
+        .write.format("cpp_parquet").mode("append").save(src)
+    drain()
+    r3 = spark.read.format("cpp_parquet").load(out) \
+        .agg(F.count("*"), F.sum("id2")).collect()[0]
+    assert tuple(r3) == (80, 2 * sum(range(80)))
