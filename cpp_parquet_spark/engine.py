@@ -508,12 +508,30 @@ def encode_table(df: DataFrame, cfg: EncodeConfig,
 
 
 def decode_table(pages: DataFrame, spark: SparkSession | None = None,
-                 columns: list[tuple[str, str]] | None = None) -> DataFrame:
+                 columns: list[tuple[str, str]] | None = None,
+                 colocated: bool = False) -> DataFrame:
     """pages DataFrame -> original rows (grouped per-part reassembly).
 
     ``columns`` = [(name, tag), ...] in col_idx order; when omitted, taken
     from the hint ``encode_table`` attached, else discovered with a
-    (costly) distinct scan over the pages."""
+    (costly) distinct scan over the pages.
+
+    ``colocated=True`` skips the groupBy SHUFFLE and reassembles per
+    PHYSICAL partition (one mapInArrow pass): legal ONLY when every
+    part's pages live inside one partition — true for `encode_table`
+    output (each encode task emits whole parts) and anything that
+    preserves its partitioning (cache/filter/select), NOT after a
+    repartition or an arbitrary disk read. Honest local measurement
+    (248 MB cell, local[32]): NO wall-clock win — the decode wall is
+    dominated by the JVM<->Python Arrow bridge of the page blobs (a
+    null kernel behind the same groupBy costs 0.65 s of the 0.91 s
+    total), and a local "shuffle" is a memory copy. The case for this
+    path is a REAL cluster, where the grouped plan moves every encoded
+    blob across the network once; decoding where the pages already sit
+    is the standard locality win. Output is bit-identical to the
+    grouped path (hash-pinned). A page_id-prefix guard raises on the
+    common violation (a part's page run not starting at 0 in its
+    partition); prefer the default grouped path when unsure."""
     columns = columns or getattr(pages, "_cps_columns", None)
     if columns is None:
         meta = (pages.filter(F.col("col_idx") >= 0)
@@ -635,6 +653,32 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
             mask = np.concatenate(keeps) if keeps else np.ones(0, bool)
             result = result.filter(pa.array(mask))
         return result
+
+    if colocated:
+        def decode_partition(batches):
+            import pyarrow.compute as pc
+            got = list(batches)
+            if not got:
+                return
+            tbl = pa.Table.from_batches(got)
+            if tbl.num_rows == 0:
+                return
+            for pid in pc.unique(tbl.column("part_id")).to_pylist():
+                sub = tbl.filter(pc.equal(tbl.column("part_id"), pid))
+                # guard against the common colocation violation (a
+                # part split across partitions by a repartition): each
+                # (column, run) page run must start at page_id 0 here
+                first = (sub.group_by(
+                    ["column", "run_id"] if has_run else ["column"])
+                    .aggregate([("page_id", "min")])
+                    .column("page_id_min"))
+                if len(first) and pc.max(first).as_py() != 0:
+                    raise ValueError(
+                        f"decode_table(colocated=True): part {pid} is "
+                        "split across partitions (page run does not "
+                        "start at 0) — use the default grouped path")
+                yield from decode_part(sub).to_batches()
+        return pages.mapInArrow(decode_partition, out_schema)
 
     grouped = pages.groupBy("part_id")
     if hasattr(grouped, "applyInArrow"):

@@ -346,3 +346,33 @@ def test_quantized_array_int_roundtrip(spark, sf_dir):
         assert dec["qvec"] == "listi"
     finally:
         st.unpersist()
+
+
+def test_decode_table_colocated_matches_grouped(spark):
+    # the shuffle-free decode path must be bit-identical to the grouped
+    # path over encode_table output (whole parts per partition), and
+    # must REFUSE a repartitioned frame (parts split across partitions)
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from cpp_parquet_spark.engine import decode_table, encode_table
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "lang", "text"))
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=(), num_parts=6,
+                       order_keys=("doc_id",), table_name="docs_colo",
+                       page_bytes=2048, page_rows_max=64)
+    pages = encode_table(df, cfg).cache()
+    try:
+        cols = pages._cps_columns
+        fp = lambda d: tuple(d.agg(
+            F.count("*"), F.sum("doc_id"),
+            F.bit_xor(F.xxhash64("text"))).collect()[0])
+        a = fp(decode_table(pages, columns=cols))
+        b = fp(decode_table(pages, columns=cols, colocated=True))
+        assert a == b
+        with _pytest.raises(Exception, match="split across partitions"):
+            decode_table(pages.repartition(16), columns=cols,
+                         colocated=True).count()
+    finally:
+        pages.unpersist()
