@@ -1159,6 +1159,17 @@ def q_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_features(media)
 
 
+def q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (round 5, pure numpy + stdlib zlib — no Pillow):
+    payloads are real PNG files (IHDR/IDAT/IEND, zlib scanlines,
+    per-row filter types cycling none/sub/up/average/paeth so every
+    inverse-filter branch runs), decoded through the sniffing
+    decode_image front door; same pixel law and formula oracle as the
+    BMP query — a wrong filter inversion cannot hide."""
+    media = multimodal.synth_png_media(_read(spark, sf_dir, "documents"))
+    return multimodal.png_features(media)
+
+
 def q_roundtrip_media_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media payloads THROUGH the codec pipeline (round 3): real
     RIFF/WAVE blobs ride a `bin` column into encode_table (string-codec
@@ -1707,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_pushdown_eq": q_decode_pushdown_eq,
         # round-5 Spark DataSource front door (format("cpp_parquet"))
         "datasource_roundtrip": q_datasource_roundtrip,
+        # round-5 REAL PNG codec (numpy + stdlib zlib)
+        "image_png_features": q_image_png_features,
         "pages_conservation_lineitem":
             _pages_conservation("lineitem", LINEITEM_CFG),
         "stats_cardinality": q_stats_cardinality,
@@ -2984,4 +2997,7 @@ def oracle_sql() -> dict[str, str]:
     # so the features -- and therefore the oracle -- are identical to the
     # direct-decode query
     d["roundtrip_media_payload"] = d["audio_wav_features"]
+    # the PNG fixture uses the SAME pixel law as the BMP one, so the
+    # formula oracle is shared — only the container format differs
+    d["image_png_features"] = d["image_bmp_features"]
     return d
