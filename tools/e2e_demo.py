@@ -21,6 +21,9 @@ only the byte count differs):
   9. SQL front door    register_sql + a plain spark.sql aggregate
  10. export            standard-parquet interchange via our writer,
                        read back by Spark's JVM parquet reader
+ 11. format front door registered Spark format: write with per-rg
+                       blooms, bloom-pruned point lookup via pushed
+                       filters (spark.read.format("cpp_parquet"))
 
 Prints one JSON line with per-stage walls + pruning/size receipts.
 Usage: python tools/e2e_demo.py [--rows 800000] [--cpus 32] [--dst DIR]
@@ -214,6 +217,24 @@ def main(argv: list[str] | None = None) -> None:
             "rows_via_spark_jvm_reader": n_exp}
         assert n_exp == df.count()
 
+    with stage("format_front_door"):
+        # round-5 surface: the registered Spark format — write with
+        # per-row-group blooms, point-look-up through Catalyst's pushed
+        # filters (stats + SBBF pruning before any data task)
+        from cpp_parquet_spark.datasource import CppParquetDataSource
+        spark.dataSource.register(CppParquetDataSource)
+        ds_dir = dst.rstrip("/") + "_format"
+        (df.select("repo", "path", "commit", "lang")
+         .write.format("cpp_parquet").mode("overwrite")
+         .option("path", ds_dir).option("bloom", "commit")
+         .option("row_group_rows", "100000").save())
+        back = spark.read.format("cpp_parquet").load(ds_dir)
+        needle = df.select("commit").first()[0]
+        n_hit = back.filter(F.col("commit") == needle).count()
+        out["format_front_door"] = {
+            "rows": int(back.count()), "needle_rows": int(n_hit)}
+        assert n_hit >= 1
+
     with stage("lifecycle"):
         import datetime
 
@@ -246,6 +267,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.dst is None:
         shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(dst.rstrip("/") + "_export", ignore_errors=True)
+        shutil.rmtree(dst.rstrip("/") + "_format", ignore_errors=True)
     print(json.dumps(out))
 
 
