@@ -84,19 +84,22 @@ def synth_media(df: DataFrame, text_col: str = "text",
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniffing image decode front door: REAL decoders for PNG
-    (`decode_png`, pure numpy + stdlib zlib) and 24-bit BMP
-    (`decode_bmp`), plus the deterministic SIMG synthetic format for
-    tests. JPEG remains a NotImplementedError — baseline JPEG needs a
-    Huffman + IDCT pipeline this container has no library for."""
+    (`decode_png`, pure numpy + stdlib zlib), baseline JPEG
+    (`jpegcodec.decode_jpeg`, pure numpy Huffman + vectorized IDCT) and
+    24-bit BMP (`decode_bmp`), plus the deterministic SIMG synthetic
+    format for tests. Progressive JPEG / other containers raise with
+    the feature named."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] != MAGIC_IMAGE:
         raise NotImplementedError(
-            "unrecognized image container (JPEG decoding requires "
-            "Pillow/libvips, not shipped here); PNG, 24-bit BMP and "
-            "the SIMG synthetic format are decodable")
+            "unrecognized image container; PNG, baseline JPEG, 24-bit "
+            "BMP and the SIMG synthetic format are decodable")
     w = int(np.frombuffer(payload[4:8], "<u4")[0])
     h = int(np.frombuffer(payload[8:12], "<u4")[0])
     body = np.frombuffer(payload[12:], np.uint8)

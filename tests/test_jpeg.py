@@ -1,0 +1,106 @@
+"""Baseline JPEG codec (pure numpy, no Pillow/libjpeg).
+
+Evidence comes from three independent directions: our encoder's
+forward path roundtripped through the decoder (quantitative PSNR,
+bit-exact on flat blocks), foreign-encoder files shipped in the
+container (incl. a 4:2:0 photo), and a cross-FORMAT anchor — the same
+16x16 Python-logo asset exists as .jpg and .png, so the JPEG decode is
+correlated pixel-wise against our independent PNG decoder."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from cpp_parquet_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+_FOREIGN = [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/test_email/data/python.jpg",
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "site-packages/IPython/core/tests/2x2.jpg",
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+    "doc/rust/html/embedded-book/assets/verify.jpeg",
+]
+_PNG_TWIN = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+             "test_email/data/python.png")
+
+
+def _psnr(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float((d * d).mean())
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+def test_flat_blocks_roundtrip_exact():
+    flat = np.full((24, 40), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 85)), flat)
+    flatc = np.zeros((16, 16, 3), np.uint8)
+    flatc[:] = (200, 64, 32)
+    back = decode_jpeg(encode_jpeg(flatc, 90))
+    assert int(np.abs(back.astype(int) - flatc.astype(int)).max()) <= 1
+
+
+def test_roundtrip_psnr():
+    y, x = np.mgrid[:48, :64]
+    grad = ((x * 2 + y * 3) % 256).astype(np.uint8)
+    assert _psnr(decode_jpeg(encode_jpeg(grad, 90)), grad) > 45
+    img = np.stack([(x * 3 + y) % 256, (x + y * 2) % 256,
+                    (255 - x * 2) % 256], axis=2).astype(np.uint8)
+    assert _psnr(decode_jpeg(encode_jpeg(img, 90)), img) > 40
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    assert _psnr(decode_jpeg(encode_jpeg(noise, 95)), noise) > 30
+
+
+def test_odd_dimensions_and_gray():
+    rng = np.random.default_rng(9)
+    for shape in [(13, 17), (1, 1), (8, 9), (9, 8, 3)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        back = decode_jpeg(encode_jpeg(img, 92))
+        assert back.shape == img.shape
+
+
+def test_foreign_files_decode():
+    seen = 0
+    for p in _FOREIGN:
+        if not os.path.exists(p):
+            continue
+        img = decode_jpeg(open(p, "rb").read())
+        assert img.dtype == np.uint8 and img.size > 0
+        seen += 1
+    if not seen:
+        pytest.skip("no foreign JPEGs in this container")
+
+
+def test_cross_format_anchor_vs_png_decoder():
+    # the SAME logo asset as .jpg (on black) and .png (alpha): two
+    # foreign encoders, two of OUR independent decoders — pixel
+    # correlation must be high
+    jp_path = _FOREIGN[0]
+    if not (os.path.exists(jp_path) and os.path.exists(_PNG_TWIN)):
+        pytest.skip("twin assets not present")
+    from cpp_parquet_spark.multimodal import decode_png
+    jp = decode_jpeg(open(jp_path, "rb").read()).astype(np.float64)
+    png = decode_png(open(_PNG_TWIN, "rb").read()).astype(np.float64)
+    comp = png[:, :, :3] * (png[:, :, 3:] / 255.0)   # over black
+    c = np.corrcoef(jp.ravel(), comp.ravel())[0, 1]
+    assert c > 0.9, c
+
+
+def test_progressive_rejects_loudly():
+    # flip the SOF0 marker of one of our files to SOF2
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(blob))
+
+
+def test_decode_image_sniffs_jpeg():
+    from cpp_parquet_spark.multimodal import decode_image
+    img = np.full((10, 12, 3), 77, np.uint8)
+    back = decode_image(encode_jpeg(img, 90))
+    assert back.shape == img.shape
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1

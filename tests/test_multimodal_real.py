@@ -184,6 +184,10 @@ def test_decode_image_sniffs_containers():
     img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     assert np.array_equal(M.decode_image(M.encode_png(img)), img)
     assert np.array_equal(M.decode_image(M.encode_bmp(img)), img)
+    # JPEG payloads route to the real decoder (round 5); a truncated
+    # one fails loudly there rather than silently
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="JPEG"):
+    with _pytest.raises(ValueError, match="jpeg"):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError, match="decodable"):
+        M.decode_image(b"GIF89a" + b"\x00" * 32)
