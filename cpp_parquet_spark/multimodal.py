@@ -168,19 +168,58 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos = body0 + size + (size & 1)     # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if fmt["tag"] != 1:
-        raise NotImplementedError(
-            f"WAV format tag {fmt['tag']} (non-PCM) needs ffmpeg/soundfile, "
-            "not shipped in this container")
+    tag = fmt["tag"]
+    if tag == 0xFFFE:          # WAVE_FORMAT_EXTENSIBLE: real tag is the
+        tag = 1                # SubFormat GUID's first word; PCM assumed
     ch = max(fmt["ch"], 1)
-    if fmt["bits"] == 16:
-        s = data.view("<i2")
-    elif fmt["bits"] == 8:                  # unsigned 8-bit convention
-        s = (data.astype(np.int16) - 128) << 8
+    if tag == 1:
+        if fmt["bits"] == 16:
+            s = data.view("<i2")
+        elif fmt["bits"] == 8:              # unsigned 8-bit convention
+            s = (data.astype(np.int16) - 128) << 8
+        else:
+            raise NotImplementedError(
+                f"{fmt['bits']}-bit PCM not supported")
+    elif tag == 3:                          # IEEE float (round 5)
+        if fmt["bits"] == 32:
+            f32 = data.view("<f4")
+        elif fmt["bits"] == 64:
+            f32 = data.view("<f8")
+        else:
+            raise NotImplementedError(
+                f"{fmt['bits']}-bit float WAV not supported")
+        s = np.clip(np.round(f32 * 32767.0), -32768, 32767)
+    elif tag in (6, 7):                     # G.711 A-law / mu-law
+        s = (_alaw_expand(data) if tag == 6 else _mulaw_expand(data))
     else:
-        raise NotImplementedError(f"{fmt['bits']}-bit PCM not supported")
+        raise NotImplementedError(
+            f"WAV format tag {tag} (compressed codec) needs "
+            "ffmpeg/soundfile, not shipped in this container")
     n = s.shape[0] // ch
     return s[: n * ch].reshape(n, ch).astype(np.int16), fmt["rate"]
+
+
+def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 PCM (ITU G.711 table law, the exact
+    256-entry expansion every telephony stack agrees on)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 PCM (even-bit inversion + segment
+    expansion per the spec)."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag)   # A-law: bit 7 SET = positive
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

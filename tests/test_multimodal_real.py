@@ -191,3 +191,57 @@ def test_decode_image_sniffs_containers():
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with _pytest.raises(NotImplementedError, match="decodable"):
         M.decode_image(b"GIF89a" + b"\x00" * 32)
+
+
+def test_wav_nonpcm_formats():
+    # round 5: IEEE-float (tag 3) and G.711 A-law/mu-law (tags 6/7)
+    # WAV decode — G.711 expansions pinned against the classic scalar
+    # reference over ALL 256 codes
+    import numpy as np
+
+    from cpp_parquet_spark import multimodal as M
+
+    def ulaw2lin(c):
+        u = ~c & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2lin(c):
+        a = c ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(M._mulaw_expand(codes),
+                          [ulaw2lin(int(c)) for c in codes])
+    assert np.array_equal(M._alaw_expand(codes),
+                          [alaw2lin(int(c)) for c in codes])
+
+    def wav(tag, bits, body, block):
+        return (b"RIFF" + np.uint32(36 + len(body)).tobytes() + b"WAVE"
+                + b"fmt " + np.uint32(16).tobytes()
+                + np.uint16(tag).tobytes() + np.uint16(1).tobytes()
+                + np.uint32(8000).tobytes()
+                + np.uint32(8000 * block).tobytes()
+                + np.uint16(block).tobytes() + np.uint16(bits).tobytes()
+                + b"data" + np.uint32(len(body)).tobytes() + body)
+
+    s = (np.sin(np.linspace(0, 20, 300)) * 0.5).astype("<f4")
+    dec, rate = M.decode_wav(wav(3, 32, s.tobytes(), 4))
+    exp = np.clip(np.round(s.astype(np.float64) * 32767),
+                  -32768, 32767).astype(np.int16)
+    assert rate == 8000 and np.array_equal(dec[:, 0], exp)
+    dec6, _ = M.decode_wav(wav(6, 8, bytes(codes), 1))
+    assert np.array_equal(dec6[:, 0],
+                          np.asarray([alaw2lin(int(c)) for c in codes],
+                                     np.int16))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="format tag"):
+        M.decode_wav(wav(2, 4, b"\x00" * 16, 1))     # ADPCM: still out
