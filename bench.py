@@ -465,7 +465,9 @@ def q_export_scan(spark: SparkSession) -> None:
             df.agg(F.sum(F.octet_length("content"))).collect()[0][0])
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         ew, sw = [], []
-        for _ in range(2):
+        # 3 reps (r5: was 2): the first export wall flared 2.3x in the
+        # r5-final window and min-of-2 left no clean second sample
+        for _ in range(3):
             td = _tf.mkdtemp(dir=base)
             try:
                 t0 = _time.monotonic()
