@@ -388,3 +388,72 @@ def test_export_scan_list_of_struct(spark, tmp_path):
         f"read_parquet('{dst}/*.parquet'))").fetchone()[0]
     exp = df.select(F.explode("evs")).count()
     assert n_el == exp
+
+
+def test_plan_row_groups_property_vs_bruteforce(spark, tmp_path):
+    # the shared metadata planner's survivors must equal a brute-force
+    # per-row-group recompute for random predicate mixes (ranges, eqs,
+    # IN-lists) over a multi-file multi-row-group layout with blooms
+    import random
+
+    from cpp_parquet_spark.export import plan_row_groups, _rg_stats
+    from cpp_parquet_spark import interop
+    rng = random.Random(17)
+    df = spark.range(12000).select(
+        F.col("id").alias("v"),
+        ((F.col("id") * 104729) % 9973).alias("k"))
+    dst = str(tmp_path / "prop")
+    export_parquet(df.repartitionByRange(3, "v")
+                   .sortWithinPartitions("v"),
+                   dst, row_group_rows=700, bloom={"k"}).collect()
+    files = sorted(glob.glob(dst + "/*.parquet"))
+    per_rg = {f: _rg_stats(f) for f in files}
+
+    def brute(ranges, eqs, ins):
+        out = []
+        for f in files:
+            blooms = {col: interop.bloom_rg_survivors(f, col, v)
+                      for col, v in eqs}
+            in_bl = {col: [interop.bloom_rg_survivors(f, col, v)
+                           for v in vals] for col, vals in ins}
+            for rgi, ent in enumerate(per_rg[f]):
+                ok = True
+                for col, lo, hi in ranges:
+                    st_ = ent.get(col)
+                    if st_ and ((lo is not None and st_[1] < lo)
+                                or (hi is not None and st_[0] > hi)):
+                        ok = False
+                for col, v in eqs:
+                    st_ = ent.get(col)
+                    if st_ and not (st_[0] <= v <= st_[1]):
+                        ok = False
+                    bl = blooms[col]
+                    if bl is not None and not bl.get(rgi, True):
+                        ok = False
+                for col, vals in ins:
+                    alive = False
+                    for i, v in enumerate(vals):
+                        st_ = ent.get(col)
+                        good = not (st_ and not (st_[0] <= v <= st_[1]))
+                        bl = in_bl[col][i]
+                        if good and bl is not None \
+                                and not bl.get(rgi, True):
+                            good = False
+                        alive = alive or good
+                    ok = ok and alive
+                if ok:
+                    out.append((f, rgi))
+        return sorted(out)
+
+    for _ in range(12):
+        ranges, eqs, ins = [], [], []
+        if rng.random() < 0.7:
+            lo = rng.randrange(0, 12000)
+            ranges.append(("v", lo, lo + rng.randrange(1, 4000)))
+        if rng.random() < 0.7:
+            eqs.append(("k", rng.randrange(0, 9973)))
+        if rng.random() < 0.5:
+            ins.append(("k", tuple(rng.randrange(0, 9973)
+                                   for _ in range(3))))
+        got = plan_row_groups(files, ranges, eqs, ins=ins)
+        assert got == brute(ranges, eqs, ins), (ranges, eqs, ins)

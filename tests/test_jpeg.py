@@ -104,3 +104,24 @@ def test_decode_image_sniffs_jpeg():
     back = decode_image(encode_jpeg(img, 90))
     assert back.shape == img.shape
     assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       ch=st.sampled_from([1, 3]), q=st.sampled_from([70, 85, 95]),
+       seed=st.integers(0, 10**6))
+def test_jpeg_roundtrip_fuzz(h, w, ch, q, seed):
+    rng = np.random.default_rng(seed)
+    # piecewise-smooth image: random low-frequency field (JPEG's home
+    # turf) so PSNR bounds are meaningful at every quality
+    base = rng.integers(0, 256, (max(h // 8, 1) + 1,
+                                 max(w // 8, 1) + 1, ch))
+    img = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+    if ch == 1:
+        img = img[:, :, 0]
+    back = decode_jpeg(encode_jpeg(img, q))
+    assert back.shape == img.shape
+    assert _psnr(back, img) > 28, (h, w, ch, q)

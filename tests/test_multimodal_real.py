@@ -245,3 +245,22 @@ def test_wav_nonpcm_formats():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="format tag"):
         M.decode_wav(wav(2, 4, b"\x00" * 16, 1))     # ADPCM: still out
+
+
+def test_png_roundtrip_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    from cpp_parquet_spark import multimodal as M
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           ch=st.sampled_from([0, 3, 4]), seed=st.integers(0, 10**6))
+    def inner(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        filters = rng.integers(0, 5, h).astype(np.uint8)
+        assert np.array_equal(
+            M.decode_png(M.encode_png(img, filters)), img)
+
+    inner()
