@@ -170,6 +170,37 @@ class _FileCommit(WriterCommitMessage):
     rows: int
 
 
+def _write_file(options, path: str,
+                batches: Iterator[pa.RecordBatch]) -> int:
+    """Collect one task's Arrow batches into one parquet file through
+    `interop.write_parquet` with the format's write options — the ONE
+    place batch and streaming writers share their option plumbing.
+    Returns the row count (0 = empty partition, no file written)."""
+    from . import interop
+    from .export import _check_schema
+    got = list(batches)
+    if not got:
+        return 0
+    tbl = pa.Table.from_batches(got)
+    _check_schema(tbl.schema)
+
+    def csv_set(k: str):
+        return frozenset(x for x in options.get(k, "").split(",") if x)
+
+    interop.write_parquet(
+        path,
+        {n: tbl.column(n).combine_chunks() for n in tbl.column_names},
+        dictionary=csv_set("dictionary"),
+        compression=options.get("compression", "zstd"),
+        page_rows=int(options.get("page_rows", 20_000)),
+        row_group_rows=int(options.get("row_group_rows", 200_000)),
+        page_index=True, statistics=True,
+        string_encoding=options.get("string_encoding", "delta_length"),
+        bloom=csv_set("bloom"),
+        bloom_fpp=float(options.get("bloom_fpp", 0.01)))
+    return len(tbl)
+
+
 class CppParquetWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         self._options = options
@@ -190,30 +221,10 @@ class CppParquetWriter(DataSourceArrowWriter):
 
     def write(self, iterator: Iterator[pa.RecordBatch]
               ) -> _FileCommit:
-        from . import interop
-        from .export import _check_schema
-        got = list(iterator)
-        if not got:
-            return _FileCommit("", 0)
-        tbl = pa.Table.from_batches(got)
-        _check_schema(tbl.schema)
-        o = self._options
-        csv_set = (lambda k: frozenset(
-            x for x in o.get(k, "").split(",") if x))
         fname = f"part-{self._job}-{uuid.uuid4().hex[:12]}.parquet"
-        interop.write_parquet(
-            os.path.join(self._dst, fname),
-            {n: tbl.column(n).combine_chunks()
-             for n in tbl.column_names},
-            dictionary=csv_set("dictionary"),
-            compression=o.get("compression", "zstd"),
-            page_rows=int(o.get("page_rows", 20_000)),
-            row_group_rows=int(o.get("row_group_rows", 200_000)),
-            page_index=True, statistics=True,
-            string_encoding=o.get("string_encoding", "delta_length"),
-            bloom=csv_set("bloom"),
-            bloom_fpp=float(o.get("bloom_fpp", 0.01)))
-        return _FileCommit(fname, len(tbl))
+        rows = _write_file(self._options,
+                           os.path.join(self._dst, fname), iterator)
+        return _FileCommit(fname if rows else "", rows)
 
     def commit(self, messages):
         # keep only the winners: speculative/retried attempts may have
@@ -263,37 +274,22 @@ class CppParquetStreamWriter(DataSourceStreamArrowWriter):
         self._log = os.path.join(self._dst, "_commits.jsonl")
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
-        from . import interop
-        from .export import _check_schema
-        got = list(iterator)
-        if not got:
-            return _FileCommit("", 0)
-        tbl = pa.Table.from_batches(got)
-        _check_schema(tbl.schema)
-        o = self._options
-        csv_set = (lambda k: frozenset(
-            x for x in o.get(k, "").split(",") if x))
         fname = f"part-{uuid.uuid4().hex[:16]}.parquet"
-        interop.write_parquet(
-            os.path.join(self._tmp, fname),
-            {n: tbl.column(n).combine_chunks()
-             for n in tbl.column_names},
-            dictionary=csv_set("dictionary"),
-            compression=o.get("compression", "zstd"),
-            page_rows=int(o.get("page_rows", 20_000)),
-            row_group_rows=int(o.get("row_group_rows", 200_000)),
-            page_index=True, statistics=True,
-            string_encoding=o.get("string_encoding", "delta_length"),
-            bloom=csv_set("bloom"),
-            bloom_fpp=float(o.get("bloom_fpp", 0.01)))
-        return _FileCommit(fname, len(tbl))
+        rows = _write_file(self._options,
+                           os.path.join(self._tmp, fname), iterator)
+        return _FileCommit(fname if rows else "", rows)
 
-    def _committed(self) -> set[int]:
+    def _log_entries(self) -> dict[int, list[str]]:
         import json
         if not os.path.exists(self._log):
-            return set()
+            return {}
+        out: dict[int, list[str]] = {}
         with open(self._log) as fh:
-            return {json.loads(ln)["batch"] for ln in fh if ln.strip()}
+            for ln in fh:
+                if ln.strip():
+                    e = json.loads(ln)
+                    out[e["batch"]] = e["files"]
+        return out
 
     def _clear_tmp(self) -> None:
         for f in glob.glob(os.path.join(self._tmp, "*.parquet")):
@@ -302,18 +298,36 @@ class CppParquetStreamWriter(DataSourceStreamArrowWriter):
             except OSError:
                 pass
 
+    def _publish(self, files: list[str]) -> None:
+        for f in files:
+            src = os.path.join(self._tmp, f)
+            if os.path.exists(src):
+                os.replace(src, os.path.join(self._dst, f))
+
     def commit(self, messages, batchId: int) -> None:
+        # crash-safe exactly-once, write-ahead order: (1) append the
+        # {batch, files} INTENT to the log, (2) publish the staged
+        # files, (3) clear leftovers. A crash between (1) and (2)
+        # replays the batch with its intent already logged — the replay
+        # branch COMPLETES the publish for any intent file still in
+        # _tmp (never re-publishing its own fresh attempt), so no
+        # ordering window loses or duplicates rows.
         import json
         winners = [m.file for m in messages if m is not None and m.file]
-        if batchId in self._committed():
-            self._clear_tmp()          # replayed batch: drop duplicates
+        logged = self._log_entries()
+        if batchId in logged:
+            # replayed batch: finish the LOGGED files' publish if the
+            # earlier attempt died mid-move, then drop this attempt's
+            # freshly staged duplicates
+            self._publish(logged[batchId])
+            self._clear_tmp()
             return
-        for f in winners:
-            os.replace(os.path.join(self._tmp, f),
-                       os.path.join(self._dst, f))
         with open(self._log, "a") as fh:
             fh.write(json.dumps({"batch": batchId,
                                  "files": sorted(winners)}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._publish(winners)
         self._clear_tmp()              # failed/speculative attempts
 
     def abort(self, messages, batchId: int) -> None:
@@ -348,11 +362,21 @@ class CppParquetStreamReader(DataSourceStreamReader):
         return {"commits": 0}
 
     def latestOffset(self) -> dict:
-        if not os.path.exists(self._log) \
-                and not os.path.isdir(self._dst):
-            raise ValueError(
-                f"{FORMAT_NAME} stream source: {self._dst!r} does not "
-                "exist")
+        if not os.path.exists(self._log):
+            # a directory that already HOLDS parquet files but no
+            # commit log was written by something else (export_parquet,
+            # a foreign writer) — an empty stream forever would be a
+            # silent wrong answer; an EMPTY/not-yet-created directory
+            # is a sink that has not produced its first batch, which
+            # legitimately streams zero rows for now
+            if os.path.isdir(self._dst) and \
+                    glob.glob(os.path.join(self._dst, "*.parquet")):
+                raise ValueError(
+                    f"{FORMAT_NAME} stream source: {self._dst!r} has "
+                    "parquet files but no _commits.jsonl — it was not "
+                    "written by this format; use the batch reader "
+                    "(spark.read.format) instead")
+            return {"commits": 0}
         return {"commits": len(self._lines())}
 
     def partitions(self, start: dict, end: dict):

@@ -655,6 +655,8 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
         return result
 
     if colocated:
+        want_cols = set(cols)
+
         def decode_partition(batches):
             import pyarrow.compute as pc
             got = list(batches)
@@ -665,9 +667,14 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
                 return
             for pid in pc.unique(tbl.column("part_id")).to_pylist():
                 sub = tbl.filter(pc.equal(tbl.column("part_id"), pid))
-                # guard against the common colocation violation (a
-                # part split across partitions by a repartition): each
-                # (column, run) page run must start at page_id 0 here
+                # guards against the two colocation violations a
+                # repartition can introduce: (a) a part's PAGE RUN
+                # split across partitions — every (column, run) run
+                # must start at page_id 0 here; (b) a part's COLUMNS
+                # split across partitions (e.g. repartition("column"))
+                # — the data columns present must be exactly the
+                # requested set, else two partitions would each emit
+                # the part's rows with complementary NULL columns
                 first = (sub.group_by(
                     ["column", "run_id"] if has_run else ["column"])
                     .aggregate([("page_id", "min")])
@@ -677,6 +684,16 @@ def decode_table(pages: DataFrame, spark: SparkSession | None = None,
                         f"decode_table(colocated=True): part {pid} is "
                         "split across partitions (page run does not "
                         "start at 0) — use the default grouped path")
+                present = {c for c in
+                           pc.unique(sub.column("column")).to_pylist()
+                           if c in want_cols}
+                if present and present != want_cols:
+                    raise ValueError(
+                        f"decode_table(colocated=True): part {pid} "
+                        f"holds columns {sorted(present)} of requested "
+                        f"{sorted(want_cols)} — columns split across "
+                        "partitions (or a schema-evolved dataset); use "
+                        "the default grouped path")
                 yield from decode_part(sub).to_batches()
         return pages.mapInArrow(decode_partition, out_schema)
 

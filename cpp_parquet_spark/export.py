@@ -263,7 +263,19 @@ def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None,
     ``spark`` session) footers are read on the driver; above it one
     metadata task per file-batch reads them executor-side and ships
     back only survivors — one (string, int) row each."""
+    import decimal as _decimal
+
     def _enc(v):
+        if isinstance(v, _decimal.Decimal):
+            # decimal columns store UNSCALED ints in Statistics and
+            # bloom hashes (write side: _pq_work/dec_unscaled); a raw
+            # Decimal here would compare/hash in the wrong domain and
+            # prune row groups that DO hold the value. Pruning must
+            # never lie — refuse loudly, callers pass the unscaled int
+            raise ValueError(
+                "plan_row_groups: Decimal predicate values are not "
+                "supported — pass the column's UNSCALED integer "
+                "(value * 10**scale) instead")
         return v.encode() if isinstance(v, str) else v
 
     ranges_n = [(col, _enc(lo), _enc(hi)) for col, lo, hi in ranges]
@@ -271,20 +283,35 @@ def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None,
     ins_n = [(col, tuple((_enc(v), v) for v in vals))
              for col, vals in ins]
 
+    # one bloom probe per (file, column) with ALL that column's values
+    # hashed in one batch — planning cost stays one footer parse per
+    # predicate column, not one per VALUE (64-value IN-lists would
+    # otherwise re-mmap the footer 64 times per file)
+    probe_vals: dict[str, list] = {}
+
+    def _slot(col, raw) -> int:
+        vs = probe_vals.setdefault(col, [])
+        vs.append(raw)
+        return len(vs) - 1
+
+    eq_slots = [(col, sv, _slot(col, raw)) for col, sv, raw in eqs_n]
+    in_slots = [(col, [(sv, _slot(col, raw)) for sv, raw in vals])
+                for col, vals in ins_n]
+
     def plan_file(p: str) -> list[tuple[str, int]]:
         stats = _rg_stats(p)
-        blooms = {col: interop.bloom_rg_survivors(p, col, raw)
-                  for col, _sv, raw in eqs_n} if eqs_n else {}
-        in_blooms = {col: [interop.bloom_rg_survivors(p, col, raw)
-                           for _sv, raw in vals]
-                     for col, vals in ins_n} if ins_n else {}
+        blooms = {col: interop.bloom_rg_multi(p, col, vs)
+                  for col, vs in probe_vals.items()}
 
-        def point_alive(rgi, ent, col, sv, bl) -> bool:
+        def point_alive(rgi, ent, col, sv, slot) -> bool:
             st = ent.get(col)
             if st is not None and not (st[0] <= sv <= st[1]):
                 return False
-            if bl is not None and not bl.get(rgi, True):
-                return False                   # bloom: provably absent
+            bl = blooms.get(col)
+            if bl is not None:
+                bits = bl.get(rgi)
+                if bits is not None and not bits[slot]:
+                    return False               # bloom: provably absent
             return True
 
         def rg_survives(rgi, ent) -> bool:
@@ -296,14 +323,12 @@ def plan_row_groups(files: list[str], ranges=(), eqs=(), spark=None,
                     return False
                 if hi is not None and st[0] > hi:
                     return False
-            for col, sv, _raw in eqs_n:
-                if not point_alive(rgi, ent, col, sv, blooms.get(col)):
+            for col, sv, slot in eq_slots:
+                if not point_alive(rgi, ent, col, sv, slot):
                     return False
-            for col, vals in ins_n:
-                bls = in_blooms.get(col, [])
-                if not any(point_alive(rgi, ent, col, sv,
-                                       bls[i] if i < len(bls) else None)
-                           for i, (sv, _raw) in enumerate(vals)):
+            for col, vals in in_slots:
+                if not any(point_alive(rgi, ent, col, sv, slot)
+                           for sv, slot in vals):
                     return False
             return True
 
@@ -403,6 +428,13 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
             raise ValueError("apply_range needs the pruned column in "
                              "the projection")
 
+    # column ORDER is part of the mapInArrow contract: the declared
+    # schema is in FOOTER order, but the reader's output dict appends
+    # struct/map reassemblies after the flat columns — emit batches in
+    # the declared order explicitly (a struct column anywhere but last
+    # would otherwise mis-bind)
+    out_names = list(ftypes)
+
     def scan(batches):
         import pyarrow.compute as pc
         for batch in batches:
@@ -411,8 +443,9 @@ def scan_parquet(spark, src: str, columns: list[str] | None = None,
                 rg_list = [int(x) for x in rgs.split(",")] if rgs else None
                 cols = interop.read_parquet_with_our_codecs(
                     p, columns, row_groups=rg_list)
-                tbl = pa.table({n: a.cast(_norm_type(a.type))
-                                for n, a in cols.items()})
+                tbl = pa.table(
+                    {n: cols[n].cast(_norm_type(cols[n].type))
+                     for n in out_names})
                 if apply_range:
                     cl = tbl.column(range_prune[0])
                     lo_v, hi_v = range_prune[1], range_prune[2]

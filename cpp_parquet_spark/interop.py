@@ -1723,13 +1723,14 @@ def read_bloom_filter(path: str, column: str) -> "list[np.ndarray]":
     return out
 
 
-def bloom_rg_survivors(path: str, column: str, value
-                       ) -> "dict[int, bool] | None":
-    """Per-ROW-GROUP point-membership for one value: {rgi: might
-    contain} over the row groups that carry a bloom for ``column``
-    (row groups without one are absent — the caller must scan those).
-    Returns None when NO row group has a filter. Metadata + sidecar
-    bytes only."""
+def bloom_rg_multi(path: str, column: str, values
+                   ) -> "dict[int, np.ndarray] | None":
+    """Per-ROW-GROUP membership for MANY values in one footer parse:
+    {rgi: bool[len(values)]} over the row groups that carry a bloom for
+    ``column`` (row groups without one are absent — the caller must
+    scan those). Returns None when NO row group has a filter. The SBBF
+    check is vectorized over the value hashes, so an IN-list probe
+    costs one mmap + one hash batch, not a parse per value."""
     from .codecs import xxh
     buf = _map_file(path)
     flen = int(np.frombuffer(buf[-8:-4], np.uint32)[0])
@@ -1737,8 +1738,8 @@ def bloom_rg_survivors(path: str, column: str, value
     elm = _walk_leaves(meta[2]).get(column)
     if elm is None:
         raise ValueError(f"{column!r} is not a column")
-    h = _bloom_hashes([value], elm[1])
-    out: dict[int, bool] = {}
+    h = _bloom_hashes(list(values), elm[1])
+    out: dict[int, np.ndarray] = {}
     for rgi, rg in enumerate(meta[4]):
         for chunk in rg[1]:
             cm = chunk[3]
@@ -1750,8 +1751,17 @@ def bloom_rg_survivors(path: str, column: str, value
             r = _CR(buf, off)
             hdr = r.struct()
             words = np.frombuffer(buf, "<u4", hdr[1] // 4, offset=r.pos)
-            out[rgi] = bool(xxh.sbbf_check(words, h)[0])
+            out[rgi] = xxh.sbbf_check(words, h)
     return out or None
+
+
+def bloom_rg_survivors(path: str, column: str, value
+                       ) -> "dict[int, bool] | None":
+    """Single-value convenience over `bloom_rg_multi`."""
+    got = bloom_rg_multi(path, column, [value])
+    if got is None:
+        return None
+    return {rgi: bool(v[0]) for rgi, v in got.items()}
 
 
 def bloom_might_contain(path: str, column: str, values) -> "np.ndarray":

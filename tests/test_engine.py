@@ -376,3 +376,24 @@ def test_decode_table_colocated_matches_grouped(spark):
                          colocated=True).count()
     finally:
         pages.unpersist()
+
+
+def test_decode_table_colocated_rejects_column_split(spark):
+    # review finding: a repartition("column") keeps every page run
+    # starting at 0 but separates a part's COLUMNS — the colocated path
+    # must refuse instead of emitting duplicated rows with
+    # complementary NULL columns
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from cpp_parquet_spark.engine import decode_table, encode_table
+    from cpp_parquet_spark.partitioning import EncodeConfig
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "lang"))
+    cfg = EncodeConfig(keys=("doc_id",), salt_from=(), num_parts=4,
+                       order_keys=("doc_id",), table_name="docs_colsplit")
+    pages = encode_table(df, cfg)
+    split = pages.repartition(8, "column")
+    with _pytest.raises(Exception, match="columns split|split across"):
+        decode_table(split, columns=pages._cps_columns,
+                     colocated=True).count()

@@ -457,3 +457,27 @@ def test_plan_row_groups_property_vs_bruteforce(spark, tmp_path):
                                    for _ in range(3))))
         got = plan_row_groups(files, ranges, eqs, ins=ins)
         assert got == brute(ranges, eqs, ins), (ranges, eqs, ins)
+
+
+def test_scan_parquet_struct_column_not_last(spark, tmp_path):
+    # regression (round-5 review): the reader's output dict appends
+    # struct/map reassemblies AFTER flat columns, but the declared scan
+    # schema is in FOOTER order — a struct column in the middle must
+    # still bind to the right slot
+    from cpp_parquet_spark.export import scan_parquet
+    df = spark.range(200).select(
+        F.col("id").alias("a"),
+        F.struct(F.col("id").alias("u"),
+                 (F.col("id") * 2.0).alias("v")).alias("s"),
+        (F.col("id") + 7).alias("b"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.concat(F.lit("x"), F.col("id")).alias("t"))
+    dst = str(tmp_path / "structmid")
+    export_parquet(df.repartition(2), dst).collect()
+    back = scan_parquet(spark, dst)
+    assert back.columns == ["a", "s", "b", "m", "t"]
+    got = back.selectExpr("a", "s.u", "s.v", "b",
+                          "m['k'] AS mk", "t").orderBy("a").collect()
+    exp = df.selectExpr("a", "s.u", "s.v", "b",
+                        "m['k'] AS mk", "t").orderBy("a").collect()
+    assert got == exp
