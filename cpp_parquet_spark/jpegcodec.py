@@ -422,15 +422,24 @@ def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """uint8 gray [h, w] or RGB [h, w, 3] -> baseline JFIF bytes
-    (4:4:4, Annex K quantization scaled by ``quality`` + typical
-    Huffman tables). An independent forward path for the decoder to
-    cross-check: fwd DCT (einsum basis), zigzag, run/size Huffman,
-    byte stuffing."""
+    (Annex K quantization scaled by ``quality`` + typical Huffman
+    tables). ``subsampling``: "444" (one block per component per MCU)
+    or "420" (16x16 MCUs: 4 Y blocks + box-averaged Cb + Cr — the
+    photographic default, exercising the decoder's interleave +
+    upsample path). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every N MCUs (byte-aligned, DC predictors reset). An independent
+    forward path for the decoder to cross-check: fwd DCT (einsum
+    basis), zigzag, run/size Huffman, byte stuffing."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     gray = img.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
     if gray:
         planes = [img.astype(np.float64)]
     else:
@@ -448,60 +457,102 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     enc_ac = [_HuffEnc(*_AC_L)] if gray else \
         [_HuffEnc(*_AC_L), _HuffEnc(*_AC_C)]
 
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    wtr = _BitWriter()
-    pred = [0] * len(planes)
-    # per-plane blocked coefficients, quantized (vectorized), then the
-    # serial Huffman emission MCU by MCU (4:4:4: one block per comp)
-    qcoefs = []
-    for pi, plane in enumerate(planes):
-        pad = np.empty((bh_ * 8, bw_ * 8))
-        pad[:h, :w] = plane
-        pad[h:, :w] = plane[h - 1: h, :]       # edge replicate
-        pad[:, w:] = pad[:, w - 1: w]
-        blocks = (pad.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3)
+    mcu_px = 16 if sub420 else 8
+    mcux = (w + mcu_px - 1) // mcu_px
+    mcuy = (h + mcu_px - 1) // mcu_px
+
+    def _pad_edge(plane, ph, pw):
+        hh, ww = plane.shape
+        pad = np.empty((ph, pw))
+        pad[:hh, :ww] = plane
+        pad[hh:, :ww] = plane[hh - 1: hh, :]
+        pad[:, ww:] = pad[:, ww - 1: ww]
+        return pad
+
+    def _block_coefs(plane, pi, bh, bw):
+        """plane -> quantized zigzag coefficients [bh, bw, 64]."""
+        pad = _pad_edge(plane, bh * 8, bw * 8)
+        blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
                   .reshape(-1, 8, 8) - 128.0)
         coefs = _fdct_blocks(blocks)
         # QL/QC above are written in NATURAL row-major order; the DQT
         # segment emits them re-ordered to zigzag below
         qm = qtabs[min(pi, len(qtabs) - 1)].reshape(8, 8)
         qq = np.round(coefs / qm).astype(np.int64)
-        zz = qq.reshape(-1, 64)[:, ZIGZAG]
-        qcoefs.append(zz)
-    for bi in range(bh_ * bw_):
-        for pi in range(len(planes)):
-            ti = min(pi, 1)
-            zz = qcoefs[pi][bi]
-            diff = int(zz[0]) - pred[pi]
-            pred[pi] = int(zz[0])
-            t = _cat(diff)
-            c, ln = enc_dc[ti].codes[t]
-            wtr.put(c, ln)
-            if t:
-                wtr.put(_mag_bits(diff, t), t)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = int(nz[-1]) + 1 if nz.size else 0
-            k = 1
-            while k <= last:
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    c, ln = enc_ac[ti].codes[0xF0]     # ZRL
-                    wtr.put(c, ln)
-                    run -= 16
-                s = _cat(v)
-                c, ln = enc_ac[ti].codes[(run << 4) | s]
-                wtr.put(c, ln)
-                wtr.put(_mag_bits(v, s), s)
-                run = 0
+        return qq.reshape(-1, 64)[:, ZIGZAG].reshape(bh, bw, 64)
+
+    if sub420:
+        ydown = None
+        yq = _block_coefs(planes[0], 0, mcuy * 2, mcux * 2)
+        # 2x2 box-average chroma downsample (pad to even dims first)
+        chroma_q = []
+        for pi in (1, 2):
+            p = _pad_edge(planes[pi], mcuy * 16, mcux * 16)
+            down = p.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+            chroma_q.append(_block_coefs(down, pi, mcuy, mcux))
+        qgrids = [yq] + chroma_q
+    else:
+        qgrids = [_block_coefs(p, pi, mcuy, mcux)
+                  for pi, p in enumerate(planes)]
+
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+
+    def emit_block(zz, pi):
+        ti = min(pi, 1)
+        diff = int(zz[0]) - pred[pi]
+        pred[pi] = int(zz[0])
+        t = _cat(diff)
+        c, ln = enc_dc[ti].codes[t]
+        wtr.put(c, ln)
+        if t:
+            wtr.put(_mag_bits(diff, t), t)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = int(nz[-1]) + 1 if nz.size else 0
+        k = 1
+        while k <= last:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
                 k += 1
-            if last < 63:
-                c, ln = enc_ac[ti].codes[0x00]         # EOB
+                continue
+            while run > 15:
+                c, ln = enc_ac[ti].codes[0xF0]         # ZRL
                 wtr.put(c, ln)
+                run -= 16
+            s = _cat(v)
+            c, ln = enc_ac[ti].codes[(run << 4) | s]
+            wtr.put(c, ln)
+            wtr.put(_mag_bits(v, s), s)
+            run = 0
+            k += 1
+        if last < 63:
+            c, ln = enc_ac[ti].codes[0x00]             # EOB
+            wtr.put(c, ln)
+
+    n_mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                wtr.flush()                 # byte-align, 1-bit padding
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                for pi in range(len(pred)):
+                    pred[pi] = 0
+            n_mcu += 1
+            if sub420:
+                for by in range(2):
+                    for bx in range(2):
+                        emit_block(qgrids[0][my * 2 + by, mx * 2 + bx],
+                                   0)
+                emit_block(qgrids[1][my, mx], 1)
+                emit_block(qgrids[2][my, mx], 2)
+            else:
+                for pi in range(len(planes)):
+                    emit_block(qgrids[pi][my, mx], pi)
     wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -515,8 +566,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         out += seg(0xDB, b"\x01" + zz_q(qcs))
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
+    y_hv = 0x22 if sub420 else 0x11
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        sof += bytes([i + 1, y_hv if i == 0 else 0x11,
+                      0 if i == 0 else 1])
     out += seg(0xC0, sof)
 
     def dht(tc, th, bits, vals):
@@ -526,6 +579,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     out += dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
     if not gray:
         out += dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0 if i == 0 else 0x11])

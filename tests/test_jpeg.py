@@ -125,3 +125,38 @@ def test_jpeg_roundtrip_fuzz(h, w, ch, q, seed):
     back = decode_jpeg(encode_jpeg(img, q))
     assert back.shape == img.shape
     assert _psnr(back, img) > 28, (h, w, ch, q)
+
+
+def test_420_and_restart_roundtrips():
+    # our own 4:2:0 + DRI encode exercises the decoder's interleave /
+    # upsample / restart paths systematically (previously only one
+    # foreign photo did)
+    y, x = np.mgrid[:50, :70]
+    img = np.stack([(x * 3 + y) % 256, (x + y * 2) % 256,
+                    (255 - x * 2) % 256], axis=2).astype(np.uint8)
+    assert _psnr(decode_jpeg(encode_jpeg(img, 90, subsampling="420")),
+                 img) > 35
+    assert _psnr(decode_jpeg(encode_jpeg(img, 90, subsampling="420",
+                                         restart_interval=2)),
+                 img) > 35
+    assert _psnr(decode_jpeg(encode_jpeg(img, 90, restart_interval=3)),
+                 img) > 45
+    # flat chroma: 4:2:0 is lossless on the subsample
+    flat = np.zeros((20, 24, 3), np.uint8)
+    flat[:] = (120, 130, 140)
+    back = decode_jpeg(encode_jpeg(flat, 90, subsampling="420"))
+    assert int(np.abs(back.astype(int) - flat.astype(int)).max()) == 0
+    # chroma-noise loss is SUBSAMPLING, not a codec bug: luma-only
+    # fidelity stays high on full noise
+    rng = np.random.default_rng(3)
+    o = rng.integers(0, 256, (19, 33, 3), np.uint8)
+    b = decode_jpeg(encode_jpeg(o, 95, subsampling="420"))
+
+    def lum(a):
+        a = a.astype(np.float64)
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] \
+            + 0.114 * a[:, :, 2]
+
+    d = lum(b) - lum(o)
+    mse = float((d * d).mean())
+    assert 10 * np.log10(255 ** 2 / mse) > 35
