@@ -65,7 +65,9 @@ def _check_schema(schema: pa.Schema) -> None:
                     if not _leaf_ok(et.field(i).type):
                         bad.append(f"{f.name}[].{et.field(i).name}: "
                                    f"{et.field(i).type}")
-            elif not _leaf_ok(et):
+            elif et != pa.bool_() and not _leaf_ok(et):
+                # bool is legal as a LIST element (round 5): the PLAIN
+                # bit-packed leaf rides the rep/def framing
                 bad.append(f"{f.name}: {f.type}")
             continue
         if pa.types.is_struct(t):

@@ -776,8 +776,9 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             # definition level streams ahead of the element values
             rep, deflev, leaf, _ = _list_levels(arr)
             tag, ptype, extras = _colspec(leaf.type)
-            if tag == "bool":
-                raise ValueError("interop writer: list<bool> unsupported")
+            if tag == "bool" and name in dictionary:
+                raise ValueError("the format has no BOOLEAN dictionary "
+                                 "encoding; write list<bool> PLAIN")
             work = _pq_work(leaf, tag)
             n_slots = rep.shape[0]
             lvl = _prefixed_rle(rep, 1) + _prefixed_rle(deflev, 2)

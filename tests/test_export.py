@@ -481,3 +481,21 @@ def test_scan_parquet_struct_column_not_last(spark, tmp_path):
     exp = df.selectExpr("a", "s.u", "s.v", "b",
                         "m['k'] AS mk", "t").orderBy("a").collect()
     assert got == exp
+
+
+def test_export_scan_list_bool(spark, tmp_path):
+    from cpp_parquet_spark.export import scan_parquet
+    df = spark.range(150).select(
+        F.col("id"),
+        F.expr("CASE WHEN id % 7 = 0 THEN NULL ELSE "
+               "transform(sequence(0, CAST(id % 4 AS INT)), "
+               "i -> (id + i) % 3 = 0) END").alias("flags"))
+    dst = str(tmp_path / "lb")
+    export_parquet(df.repartition(2), dst).collect()
+
+    def canon(fr):
+        return fr.selectExpr("id", "to_json(struct(flags)) j") \
+            .orderBy("id").collect()
+
+    assert canon(spark.read.parquet(dst)) == canon(df)
+    assert canon(scan_parquet(spark, dst)) == canon(df)

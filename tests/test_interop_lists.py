@@ -268,3 +268,22 @@ def test_liststruct_ours_multi_row_group(tmp_path):
     assert back.column("evs").to_pylist() == _ls_data()
     ours = interop.read_parquet_with_our_codecs(p)
     assert ours["evs"].to_pylist() == _ls_data()
+
+
+def test_list_bool_both_directions(tmp_path):
+    # round 5: bool LIST elements (PLAIN bit-packed leaf under rep/def
+    # framing) — previously rejected out of conservatism
+    data = [[True, False, None], None, [], [True], [False] * 17,
+            [None, True]] * 30
+    arr = pa.array(data, pa.list_(pa.bool_()))
+    p = str(tmp_path / "lb.parquet")
+    interop.write_parquet(
+        p, {"id": pa.array(range(len(arr)), pa.int64()), "flags": arr},
+        row_group_rows=50)
+    assert pq.read_table(p).column("flags").to_pylist() == data
+    ours = interop.read_parquet_with_our_codecs(p)
+    assert ours["flags"].cast(pa.list_(pa.bool_())).to_pylist() == data
+    p2 = str(tmp_path / "pa_lb.parquet")
+    pq.write_table(pa.table({"flags": arr}), p2, use_dictionary=False)
+    o2 = interop.read_parquet_with_our_codecs(p2)
+    assert o2["flags"].cast(pa.list_(pa.bool_())).to_pylist() == data
