@@ -43,9 +43,10 @@ from . import interop
 def _leaf_ok(t: pa.DataType) -> bool:
     """Can `interop.write_parquet` store this type as a NESTED leaf?
     Runs the real `_colspec` so the driver-side pre-check rejects
-    exactly what an executor would reject (e.g. struct<ts:timestamp>
-    must fail HERE, not mid-job)."""
-    if pa.types.is_nested(t) or t == pa.bool_():
+    exactly what an executor would reject (e.g. struct<interval> must
+    fail HERE, not mid-job). Bool leaves are legal everywhere since
+    round 5 (PLAIN bit-packed under the level framing)."""
+    if pa.types.is_nested(t):
         return False
     try:
         interop._colspec(t)
@@ -65,9 +66,7 @@ def _check_schema(schema: pa.Schema) -> None:
                     if not _leaf_ok(et.field(i).type):
                         bad.append(f"{f.name}[].{et.field(i).name}: "
                                    f"{et.field(i).type}")
-            elif et != pa.bool_() and not _leaf_ok(et):
-                # bool is legal as a LIST element (round 5): the PLAIN
-                # bit-packed leaf rides the rep/def framing
+            elif not _leaf_ok(et):
                 bad.append(f"{f.name}: {f.type}")
             continue
         if pa.types.is_struct(t):

@@ -722,7 +722,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 fname = st_t.field(fi).name
                 fld = flat.field(fi)
                 tag, ptype, extras = _colspec(fld.type)
-                if tag == "bool" or pa.types.is_nested(fld.type):
+                if pa.types.is_nested(fld.type):
                     raise ValueError(
                         f"interop writer: list<struct> field "
                         f"{name}.{fname} type {fld.type} unsupported")
@@ -866,7 +866,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
             for leaf_name, leaf_arr, extra_def in (
                     ("key", keys_all, None), ("value", items_all, 2)):
                 tag, ptype, extras = _colspec(leaf_arr.type)
-                if tag == "bool" or pa.types.is_nested(leaf_arr.type):
+                if pa.types.is_nested(leaf_arr.type):
                     raise ValueError(
                         f"interop writer: map {leaf_name} type "
                         f"{leaf_arr.type} unsupported")
@@ -931,7 +931,7 @@ def write_parquet(path: str, columns: dict[str, pa.Array],
                 fname = st_t.field(fi).name
                 fld = arr.field(fi)
                 tag, ptype, extras = _colspec(fld.type)
-                if tag == "bool" or pa.types.is_nested(fld.type):
+                if pa.types.is_nested(fld.type):
                     raise ValueError(
                         f"interop writer: struct field {name}.{fname} "
                         f"type {fld.type} unsupported")

@@ -246,3 +246,32 @@ def test_timestamp_columns_both_directions(tmp_path):
     with pytest.raises(ValueError, match="unit"):
         interop.write_parquet(str(tmp_path / "ns.parquet"),
                               {"t": ntz.cast(pa.timestamp("ns"))})
+
+
+def test_nested_bool_leaves_both_directions(tmp_path):
+    # round 5: bool leaves everywhere nesting allows — struct field,
+    # map value, list<struct> field (PLAIN bit-packed under the level
+    # streams); previously rejected out of conservatism
+    n = 120
+    st = pa.array([None if i % 7 == 0 else
+                   {"ok": None if i % 5 == 0 else (i % 3 == 0),
+                    "v": i} for i in range(n)],
+                  pa.struct([("ok", pa.bool_()), ("v", pa.int64())]))
+    mp = pa.array([None if i % 6 == 0 else
+                   {"a": i % 2 == 0, "b": None if i % 4 == 0 else True}
+                   for i in range(n)], pa.map_(pa.string(), pa.bool_()))
+    ls = pa.array([None if i % 9 == 0 else
+                   [{"f": (i + j) % 2 == 0, "g": j}
+                    if (i + j) % 5 else None
+                    for j in range(i % 4)] for i in range(n)],
+                  pa.list_(pa.struct([("f", pa.bool_()),
+                                      ("g", pa.int64())])))
+    p = str(tmp_path / "nb.parquet")
+    interop.write_parquet(p, {"st": st, "mp": mp, "ls": ls},
+                          row_group_rows=50)
+    back = pq.read_table(p)
+    ours = interop.read_parquet_with_our_codecs(p)
+    for nm, a in (("st", st), ("mp", mp), ("ls", ls)):
+        assert back.column(nm).combine_chunks().cast(a.type) \
+            .to_pylist() == a.to_pylist(), nm
+        assert ours[nm].cast(a.type).to_pylist() == a.to_pylist(), nm
