@@ -1312,6 +1312,13 @@ def read_parquet_with_our_codecs(path: str,
                 elif enc == ENC_BYTE_STREAM_SPLIT:
                     dt = {T_FLOAT: np.float32, T_DOUBLE: np.float64}[ptype]
                     vals = pa.array(bss.unsplit_bytes(payload, k, dt))
+                elif enc == ENC_RLE and ptype == T_BOOLEAN:
+                    # v2 data pages carry BOOLEAN values RLE-encoded
+                    # (u32 length prefix + rle/bit-packed, bw=1)
+                    vlen = int(np.frombuffer(payload[:4], np.uint32)[0])
+                    vals = pa.array(
+                        rle.decode(payload[4:4 + vlen],
+                                   {"bw": 1}, k).astype(bool))
                 else:
                     raise ValueError(f"encoding {enc} unsupported")
                 if max_rep == 0 and k < nv:

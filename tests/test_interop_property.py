@@ -59,6 +59,13 @@ def _columns(draw):
                                 st.integers(-2**52, 2**52)),
                       min_size=n, max_size=n)),
         pa.int64()).cast(pa.timestamp("us"))
+    cols["lb"] = pa.array(
+        draw(st.lists(st.one_of(st.none(),
+                                st.lists(st.one_of(st.none(),
+                                                   st.booleans()),
+                                         max_size=6)),
+                      min_size=n, max_size=n)),
+        pa.list_(pa.bool_()))
     cols["ls"] = pa.array(
         draw(st.lists(st.one_of(
             st.none(),
